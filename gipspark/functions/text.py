@@ -1,0 +1,212 @@
+"""Webtext functions: HTML→text extraction, geotagging, text analysis.
+
+``extract_text`` is the frozen extraction spec (SURVEY.md §2.2): the
+reference's extraction rule is unobservable (empty checkout, SURVEY.md
+§0), so this spec is the engine's own — frozen here, used verbatim by the
+fixture generator, which makes the byte-identical-text-per-url invariant
+(BASELINE.json:15) self-consistent and testable against golden hashes.
+
+Python executes only where regexes over HTML demand it, always through
+vectorized pandas/Arrow batches (no per-row Python — BASELINE.json:15).
+The text-*analysis* functions (token_count, quality, lang-id,
+fingerprint) are pure JVM Column expressions with textually-mirrored
+DuckDB SQL templates for the oracle harness.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+# ---------------------------------------------------------------------------
+# extract_text — the frozen spec
+# ---------------------------------------------------------------------------
+
+_RE_SCRIPT = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_RE_COMMENT = re.compile(r"(?s)<!--.*?-->")
+_RE_TAG = re.compile(r"(?s)<[^>]*>")
+_RE_WS = re.compile(r"\s+")
+# fixed entity set, decoded in this exact order (amp last so literal
+# "&amp;lt;" decodes to "&lt;" not "<")
+_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Vectorized frozen extraction: bytes/str HTML → normalized text.
+
+    Spec (order matters, every step deterministic):
+      1. decode UTF-8, errors→U+FFFD
+      2. drop <script>/<style> elements, then comments, then all tags
+      3. decode the fixed entity set (_ENTITIES order)
+      4. collapse all whitespace runs to single spaces; strip ends
+      5. Unicode NFC normalization
+    """
+    if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
+        s = html.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
+    else:
+        s = html.astype("string")
+    s = s.str.replace(_RE_SCRIPT, " ", regex=True)
+    s = s.str.replace(_RE_COMMENT, " ", regex=True)
+    s = s.str.replace(_RE_TAG, " ", regex=True)
+    for ent, ch in _ENTITIES:
+        s = s.str.replace(ent, ch, regex=False)
+    s = s.str.replace(_RE_WS, " ", regex=True).str.strip()
+    return s.str.normalize("NFC").astype(object).where(s.notna(), None)
+
+
+def extract_text_py(html: bytes | str) -> str:
+    """Single-value convenience wrapper (tests, golden generation)."""
+    return extract_text_series(pd.Series([html])).iloc[0]
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return extract_text_series(html)
+
+
+# ---------------------------------------------------------------------------
+# geotag — the Common-Crawl geocoding signal
+# ---------------------------------------------------------------------------
+
+_RE_GEO = re.compile(
+    r'(?is)<meta\s+name=["\']geo\.position["\']\s+content=["\']\s*'
+    r"(-?\d+(?:\.\d+)?)\s*;\s*(-?\d+(?:\.\d+)?)\s*[\"']"
+)
+
+
+def geotag_frame(html: pd.Series) -> pd.DataFrame:
+    """Vectorized geo.position meta-tag parse → (lat, lon) doubles or NaN."""
+    if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
+        s = html.map(lambda b: b.decode("utf-8", "replace") if b is not None else "")
+    else:
+        s = html.fillna("").astype(str)
+    ext = s.str.extract(_RE_GEO)
+    return pd.DataFrame(
+        {
+            "lat": pd.to_numeric(ext[0], errors="coerce"),
+            "lon": pd.to_numeric(ext[1], errors="coerce"),
+        }
+    )
+
+
+@pandas_udf(StructType([StructField("lat", DoubleType()), StructField("lon", DoubleType())]))
+def geotag_udf(html: pd.Series) -> pd.DataFrame:
+    return geotag_frame(html)
+
+
+# ---------------------------------------------------------------------------
+# JVM-side text analysis (documents table surface) + oracle SQL templates
+# ---------------------------------------------------------------------------
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lower-cased text (JVM-side)."""
+    return F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+TOKEN_COUNT_SQL = "len(regexp_split_to_array(lower(trim({t})), '\\s+'))"
+
+
+# Marker stopwords per language for the n-gram/stopword lang-id heuristic.
+# Deliberately tiny and frozen — the heuristic must be reproducible in
+# pure SQL for the oracle. Scores = count of marker-token hits.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "los", "que"],
+    "zh": ["的", "了", "是", "我", "不"],
+}
+_LANG_ORDER = ["de", "en", "es", "fr", "zh"]  # tie-break: alphabetical
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language id: argmax marker-hit count, ties→alphabetical,
+    zero hits → 'und'. Pure JVM higher-order functions."""
+    toks = tokens(text)
+
+    def _hits(lang: str):
+        # closure factory — a default-arg lambda would bind PySpark's
+        # element-index parameter over the default, shadowing `lang`
+        return lambda t: t.isin(LANG_MARKERS[lang])
+
+    scores = [F.size(F.filter(toks, _hits(lang))) for lang in _LANG_ORDER]
+    best = F.greatest(*scores)
+    pred = F.lit("und")
+    # first (alphabetical) language achieving the max
+    for lang, sc in reversed(list(zip(_LANG_ORDER, scores))):
+        pred = F.when(sc == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def _lang_score_sql(t: str, lang: str) -> str:
+    quoted = ", ".join("'" + w + "'" for w in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(trim({t})), '\\s+'),"
+        f" x -> x in ({quoted})))"
+    )
+
+
+def lang_id_sql(t: str) -> str:
+    scores = {lang: _lang_score_sql(t, lang) for lang in _LANG_ORDER}
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE "
+    for lang in _LANG_ORDER:
+        case += f"WHEN {scores[lang]} = {greatest} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"CASE WHEN {greatest} > 0 THEN {case} ELSE 'und' END"
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality score from cheap surface statistics:
+    0.4·length_score + 0.3·alpha_ratio + 0.3·(1 − repetition).
+
+    length_score = least(1, n_tokens/100); alpha_ratio = alpha chars /
+    chars; repetition = 1 − distinct_tokens/tokens. All-integer inputs
+    to exact double arithmetic → bit-identical in the SQL mirror.
+    """
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    length_score = F.least(F.lit(1.0), n_tok.cast("double") / F.lit(100.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    rep = F.when(n_tok > 0, n_distinct.cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    return length_score * 0.4 + alpha_ratio * 0.3 + rep * 0.3
+
+
+def quality_score_sql(t: str) -> str:
+    toks = f"regexp_split_to_array(lower(trim({t})), '\\s+')"
+    return (
+        f"least(1.0, len({toks})::double / 100.0) * 0.4 + "
+        f"(CASE WHEN length({t}) > 0 THEN length(regexp_replace({t}, '[^a-zA-Z]', '', 'g'))::double"
+        f" / length({t})::double ELSE 0.0 END) * 0.3 + "
+        f"(CASE WHEN len({toks}) > 0 THEN len(list_distinct({toks}))::double / len({toks})::double ELSE 0.0 END) * 0.3"
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token list joined by unit separator. Detects bag-of-words duplicates
+    regardless of token order (SURVEY.md training-data ops)."""
+    return F.md5(F.concat_ws("\u001f", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def doc_fingerprint_sql(t: str) -> str:
+    toks = f"regexp_split_to_array(lower(trim({t})), '\\s+')"
+    return f"md5(array_to_string(list_sort(list_distinct({toks})), chr(31)))"

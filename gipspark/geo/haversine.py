@@ -23,18 +23,32 @@ def haversine_m(
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
 
 
+DEG2RAD = 0.017453292519943295  # double nearest π/180 — shared with SQL
+
+
 def haversine_col(lat1, lon1, lat2, lon2):
-    """Spark Column: same formula, built from JVM-side functions."""
+    """Spark Column: same formula, JVM-side only.
+
+    Deliberately avoids ``radians()`` and ``pow()``: both engines round
+    ``x*const`` and ``x*x`` exactly (IEEE), whereas Math.toRadians vs
+    DuckDB's radians() and Math.pow vs libm pow can differ in the last
+    ulp — the only remaining cross-engine wiggle is sin/cos/asin libm
+    differences, absorbed by rounding in oracle-facing outputs.
+    """
     from pyspark.sql import functions as F
 
-    p1, l1, p2, l2 = (F.radians(c) for c in (lat1, lon1, lat2, lon2))
-    a = F.pow(F.sin((p2 - p1) / 2), 2) + F.cos(p1) * F.cos(p2) * F.pow(F.sin((l2 - l1) / 2), 2)
+    p1, l1, p2, l2 = (c * F.lit(DEG2RAD) for c in (lat1, lon1, lat2, lon2))
+    sp = F.sin((p2 - p1) / 2)
+    sl = F.sin((l2 - l1) / 2)
+    a = sp * sp + F.cos(p1) * F.cos(p2) * sl * sl
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
 HAVERSINE_SQL = (
     "2.0 * 6371000.0 * asin(sqrt("
-    "pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
-    "cos(radians({lat1})) * cos(radians({lat2})) * "
-    "pow(sin((radians({lon2}) - radians({lon1})) / 2), 2)))"
+    "sin((({lat2}) * 0.017453292519943295 - ({lat1}) * 0.017453292519943295) / 2) * "
+    "sin((({lat2}) * 0.017453292519943295 - ({lat1}) * 0.017453292519943295) / 2) + "
+    "cos(({lat1}) * 0.017453292519943295) * cos(({lat2}) * 0.017453292519943295) * "
+    "sin((({lon2}) * 0.017453292519943295 - ({lon1}) * 0.017453292519943295) / 2) * "
+    "sin((({lon2}) * 0.017453292519943295 - ({lon1}) * 0.017453292519943295) / 2)))"
 )

@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data pipelines.
+
+The task brief's first-class training-data ops: exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard. All JVM-side (split/transform/explode/groupBy)
+— hashing via md5 hex arithmetic so the DuckDB oracle can replay the
+exact computation (conv(hex)→bigint ≡ cast('0x'||hex as bigint)).
+
+Scale shape: every variant is shingle-explode → shuffle on
+shingle/band/bucket → pair aggregation. At 10^12 docs the band-bucket
+join (LSH) bounds candidate pairs to near-duplicates instead of |D|²;
+exact dedup is a single hash aggregate on the content digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gipspark.functions.text import tokens
+
+# ---------------------------------------------------------------------------
+# shared hashing — md5-hex → int64, mirrored by the oracle as
+#   cast(concat('0x', substr(md5(x), 1, 15)) as bigint)
+# ---------------------------------------------------------------------------
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string, oracle-replayable."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+MD5_LONG_SQL = "cast(concat('0x', substr(md5({x}), 1, 15)) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact content digest. One hash aggregate
+    (partial+final via Catalyst); digest = md5 of raw text bytes."""
+    return (
+        df.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(F.min(F.col(id_col)).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (JVM higher-order fns, no Python)."""
+    toks = tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(t: str, n: int = 3) -> str:
+    """DuckDB mirror of :func:`shingles` — 1-based list indexing both."""
+    toks = f"regexp_split_to_array(lower(trim({t})), '\\s+')"
+    if n == 1:
+        return f"list_distinct({toks})"
+    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    gram = f"list_transform(generate_series(1, len({toks}) - {n - 1}), i -> {parts})"
+    return f"CASE WHEN len({toks}) >= {n} THEN list_distinct({gram}) ELSE [] END"
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _hash_i(i: int):
+    # NB: a closure factory, NOT `lambda s, i=i: ...` — PySpark binds a
+    # second lambda parameter to the array *index*, shadowing defaults.
+    return lambda s: md5_long(F.concat(s, F.lit(f"#{i}")))
+
+
+def minhash_signature(text: Column, n_hashes: int = 16, shingle_n: int = 2) -> Column:
+    """Array of n_hashes minima over shingle hashes; hash_i(s) =
+    md5_long(s || '#i'). Oracle-replayable bit-for-bit."""
+    sh = shingles(text, shingle_n)
+    return F.array(
+        *[F.array_min(F.transform(sh, _hash_i(i))) for i in range(n_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Band bucket = md5_long of the band's joined signature slice; pairs
+    come from a self-equi-join on (band, bucket) — shuffle volume scales
+    with bucket occupancy, not |D|². Returns (id_a, id_b, n_bands)
+    with id_a < id_b.
+    """
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: Column, shingle_n: int = 1, bits: int = 32) -> Column:
+    """SimHash over shingle hashes: bit b of the fingerprint is the sign
+    of Σ_tokens (±1 per token's hash bit b). JVM-only via aggregate."""
+    sh = shingles(text, shingle_n)
+    hashes = F.transform(sh, lambda s: md5_long(s))
+
+    def _vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
+        out = out + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the two 16-bit halves (a pair
+    within hamming ≤ 3 of 32 bits shares at least one half exactly),
+    then verify hamming distance — the classic Charikar blocking."""
+    half = bits // 2
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), bits=bits).alias("sig"))
+    blocks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), (F.col("sig") % F.lit(2 ** half)).alias("blk")),
+                F.struct(F.lit(1).alias("part"), F.shiftright(F.col("sig"), half).alias("blk")),
+            )
+        ).alias("pb"),
+    ).select("id", "sig", "pb.part", "pb.blk")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(b, on=[F.col("a.part") == F.col("b.part"), F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+    k: int = 1,
+) -> DataFrame:
+    """Top-k most similar docs per query doc by shingle-set Jaccard.
+
+    Inverted-index shape: explode shingles → self-join on shingle →
+    count common → jaccard = common / (|A| + |B| − common). Exact
+    rational arithmetic (int counts, one double divide) → the DuckDB
+    oracle reproduces values bit-for-bit. Tie-break (jaccard desc,
+    other id asc) makes top-k deterministic.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    inv = base.select("id", "sz", F.explode("sh").alias("s"))
+    q = inv.filter(F.col("id").isin(query_ids)).withColumnRenamed("id", "q_id").withColumnRenamed("sz", "q_sz")
+    pairs = (
+        q.join(inv, on="s")
+        .filter(F.col("id") != F.col("q_id"))
+        .groupBy("q_id", "q_sz", "id", "sz")
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("q_sz") + F.col("sz") - F.col("common")).cast("double"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("jaccard").desc(), F.col("id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("id").alias("match_id"), "jaccard", "rank")
+    )

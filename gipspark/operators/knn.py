@@ -1,0 +1,158 @@
+"""kNN join via k-ring expansion with a coverage guarantee loop.
+
+north_star: "k-ring-expansion kNN" (BASELINE.json:6). Spark-first shape:
+
+- both sides carry an S2 cell at a coarse ``level``;
+- round ``r``: each live query explodes its lattice disk of radius r
+  (gipspark.geo.s2.grid_disk — exact across cube-face seams) and
+  equi-joins candidates on cell — a shuffle join on cell ids, never a
+  cross join;
+- exact haversine (JVM codegen, no Python) ranks candidates; a query is
+  *settled* when it has ≥ k candidates whose k-th distance is within the
+  ring's guaranteed covered radius (r−1)·min_cell_width — every point
+  outside the disk must be at least that far away, so the top-k is
+  provably exact;
+- unsettled queries re-expand (r doubles); after ``max_rounds`` the
+  stragglers (typically none) fall back to a bounded brute-force join.
+
+At 10^12 points the candidate volume per query is O(k·skew), the big
+side shuffles once per round on cell id, and AQE handles residual
+skew; the driver never sees the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gipspark.functions.cells import kring, s2_cell
+from gipspark.geo import s2
+from gipspark.geo.haversine import haversine_col
+
+
+def _min_cell_width_m(level: int) -> float:
+    """Conservative lower bound on level-``level`` cell width (meters),
+    estimated from sampled adjacent-cell center distances × 0.45."""
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-85, 85, 512)
+    lon = rng.uniform(-180, 180, 512)
+    cells = s2.latlng_to_cell(lat, lon, level)
+    nbrs = s2.neighbor_offsets(cells, level, np.array([[0, 1], [1, 0]]))
+    c_lat, c_lon = s2.cell_to_latlng(cells)
+    best = np.inf
+    for col in range(2):
+        n_lat, n_lon = s2.cell_to_latlng(nbrs[:, col])
+        from gipspark.geo.haversine import haversine_m
+
+        d = haversine_m(c_lat, c_lon, n_lat, n_lon)
+        best = min(best, float(d[d > 0].min()))
+    return best * 0.45
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    level: int = 6,
+    q_id: str = "q_id",
+    p_id: str = "p_id",
+    q_lat: str = "q_lat",
+    q_lon: str = "q_lon",
+    p_lat: str = "p_lat",
+    p_lon: str = "p_lon",
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Exact k nearest ``points`` per query row.
+
+    Returns (q_id, p_id, dist_m, rank) with rank 1..k ordered by
+    (dist_m, p_id) — the tie-break makes results deterministic and
+    oracle-comparable.
+    """
+    # Persist both sides: the loop takes multiple actions per round and
+    # the cell encode is a pandas-UDF pass worth paying exactly once.
+    pts = points.select(
+        F.col(p_id),
+        F.col(p_lat),
+        F.col(p_lon),
+        s2_cell(F.col(p_lat), F.col(p_lon), level).alias("__pcell"),
+    ).persist()
+    live = queries.select(
+        F.col(q_id),
+        F.col(q_lat),
+        F.col(q_lon),
+        s2_cell(F.col(q_lat), F.col(q_lon), level).alias("__qcell"),
+    ).persist()
+    min_width = _min_cell_width_m(level)
+    settled_parts: list[DataFrame] = []
+    w = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(p_id).asc())
+
+    r = 1
+    for _ in range(max_rounds):
+        cand = (
+            live.withColumn("__ring", kring(F.col("__qcell"), level, r))
+            .select(q_id, q_lat, q_lon, F.explode("__ring").alias("__pcell"))
+            .join(pts, on="__pcell")
+            .withColumn(
+                "dist_m", haversine_col(F.col(q_lat), F.col(q_lon), F.col(p_lat), F.col(p_lon))
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        guarantee = (r - 1) * min_width
+        stats = cand.groupBy(q_id).agg(
+            F.count("*").alias("__n"), F.max("dist_m").alias("__kth")
+        )
+        ok_ids = stats.filter((F.col("__n") >= k) & (F.col("__kth") <= F.lit(guarantee)))
+        settled_parts.append(
+            cand.join(F.broadcast(ok_ids.select(q_id)), on=q_id, how="left_semi")
+        )
+        live = live.join(
+            F.broadcast(ok_ids.select(q_id)), on=q_id, how="left_anti"
+        ).persist()
+        # cheap emptiness probe per round: query side is small by contract
+        if live.count() == 0:
+            live = None
+            break
+        r *= 2
+    if live is not None and live.count() > 0:
+        brute = (
+            live.drop("__qcell")
+            .crossJoin(pts.drop("__pcell"))
+            .withColumn(
+                "dist_m", haversine_col(F.col(q_lat), F.col(q_lon), F.col(p_lat), F.col(p_lon))
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        settled_parts.append(brute)
+    out = settled_parts[0]
+    for part in settled_parts[1:]:
+        out = out.unionByName(part, allowMissingColumns=True)
+    return out.select(q_id, p_id, "dist_m", "rank")
+
+
+def knn_join_brute(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    p_id: str = "p_id",
+    q_lat: str = "q_lat",
+    q_lon: str = "q_lon",
+    p_lat: str = "p_lat",
+    p_lon: str = "p_lon",
+) -> DataFrame:
+    """Reference brute force (broadcast nested loop) — baseline + oracle."""
+    w = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(p_id).asc())
+    return (
+        F.broadcast(queries.select(q_id, q_lat, q_lon))
+        .crossJoin(points.select(p_id, p_lat, p_lon))
+        .withColumn(
+            "dist_m", haversine_col(F.col(q_lat), F.col(q_lon), F.col(p_lat), F.col(p_lon))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, p_id, "dist_m", "rank")
+    )
