@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship pipeline smoke on sf0.001 — synthesizes the
+  Common-Crawl-style html column from the documents table (deterministic,
+  JVM-side), then runs the real engine chain: geotag/extract (Arrow
+  UDFs) → S2/H3 encode → PIP join vs the frozen oracle polygons → GIPS
+  tile assignment → per-(tile, poly) counts.
+- ``queries()`` / ``oracle_sql()``: the full operator registry lives in
+  gipspark/queries.py — one entry per SURVEY.md §2 operator, DuckDB
+  oracle SQL for every SQL-expressible one (26 oracle-checked + 6
+  rows-only as of round 1; parity verified by tools/check_oracle.py).
 """
 
 from __future__ import annotations
@@ -13,26 +17,74 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from gipspark.functions.cells import derived_lat, derived_lon
+    from gipspark.operators.pip import pip_join
+    from gipspark.plans.pipeline import enrich_docs
+    from gipspark.queries import ORACLE_POLYGONS
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # synthesize the input_hint shape (url, warc_ts, html, text, lang)
+    # from the driver table: ~70% of docs get a geo.position meta tag
+    # with deterministically derived coordinates (JVM-side only)
+    lat = derived_lat(F.col("doc_id") + 1)
+    lon = derived_lon(F.col("doc_id") + 1)
+    geo_meta = F.when(
+        F.col("doc_id") % 10 < 7,
+        F.concat(
+            F.lit('<meta name="geo.position" content="'),
+            lat.cast("string"),
+            F.lit(";"),
+            lon.cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    cc = docs.select(
+        F.concat(F.lit("https://doc"), F.col("doc_id").cast("string"), F.lit(".example/")).alias(
+            "url"
+        ),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>d</title>"),
+                geo_meta,
+                F.lit("<script>var x=1;</script></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    enriched = enrich_docs(cc).filter(F.col("lat").isNotNull())
+    matched = pip_join(enriched, ORACLE_POLYGONS, cell_col=None, level=7)
+    return (
+        matched.groupBy("tile_id", "poly_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("cell").alias("n_cells"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .orderBy("tile_id", "poly_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from gipspark.queries import queries as _q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL mirror for every SQL-expressible query."""
+    from gipspark.queries import oracle_sql as _o
+
+    return _o()

@@ -1,0 +1,151 @@
+"""Benchmark runner — prints ONE JSON line (driver contract).
+
+Headline metric: the north_star pipeline (scan → extract/geotag →
+S2/H3 encode → PIP join → tile assign) in docs/sec over the synthetic
+Common-Crawl-style table at a size proportional to the scale factor,
+plus per-query timings over the driver tables, plus the two-cluster-size
+scaling evidence (same job at local[N/4] and local[N] — the sandbox
+surrogate for N vs 4N executors, BASELINE.md protocol).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     GIPSPARK_BENCH_DOCS (override doc count),
+     GIPSPARK_BENCH_SCALING=0 to skip the scaling runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_DOCS = int(os.environ.get("GIPSPARK_BENCH_DOCS", str(int(2_000_000 * SF))))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "broadcast_dim_join",
+    "window_rank_orders",
+    "tumbling_window_counts",
+    "tile_assign_customers",
+    "pip_join_customers",
+    "knn_join_nations",
+    "skew_salted_join",
+    "inventory_matrix",
+    "asof_purchase_click",
+    "dedup_exact_docs",
+    "minhash_lsh_pairs",
+    "jaccard_top1_docs",
+    "cosine_topk_bruteforce",
+]
+
+
+def make_spark(cores: int):
+    from gipspark import get_spark
+
+    return get_spark(
+        f"bench{cores}",
+        parallelism=cores,
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def ensure_docs(spark, n: int) -> str:
+    """Generate (once) the deterministic doc table at ``n`` rows."""
+    from gipspark.sources.fixtures import docs_df
+
+    path = os.path.join(CACHE, f"docs_{n}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        docs_df(spark, n, partitions=CPUS * 2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_pipeline_once(spark, docs_path: str) -> tuple[float, int]:
+    """One timed end-to-end pass; returns (wall_s, rows_in)."""
+    from pyspark.sql import functions as F
+
+    from gipspark.operators.pip import pip_join
+    from gipspark.plans.pipeline import enrich_docs
+    from gipspark.queries import ORACLE_POLYGONS
+    from gipspark.sources.fixtures import polygons
+
+    # fixture zones + the big oracle polygons, re-keyed to avoid id clash
+    polyset = polygons(50) + [
+        {**p, "poly_id": 100 + p["poly_id"]} for p in ORACLE_POLYGONS
+    ]
+    docs = spark.read.parquet(docs_path)
+    t0 = time.time()
+    enriched = enrich_docs(docs).filter(F.col("lat").isNotNull())
+    matched = pip_join(enriched, polyset, cell_col="cell")
+    out = matched.groupBy("tile_id", "poly_id").agg(F.count("*").alias("n"))
+    out.write.mode("overwrite").format("noop").save()
+    wall = time.time() - t0
+    return wall, docs.count()
+
+
+def main() -> None:
+    result: dict = {"metric": "e2e_pipeline_sec", "unit": "sec", "sf": SF}
+    spark = make_spark(CPUS)
+
+    docs_path = ensure_docs(spark, N_DOCS)
+
+    # headline: median of 2 pipeline passes at full parallelism
+    walls = []
+    rows = N_DOCS
+    for _ in range(2):
+        w, rows = run_pipeline_once(spark, docs_path)
+        walls.append(w)
+    wall = sorted(walls)[len(walls) // 2]
+    result["value"] = round(wall, 3)
+    result["docs"] = rows
+    result["docs_per_sec"] = round(rows / wall, 1)
+
+    # per-query timings at the driver sf dir
+    from gipspark.queries import REGISTRY
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        qtimes[name] = round(time.time() - t0, 3)
+    result["queries"] = qtimes
+
+    # scaling evidence: same pipeline at N/4 vs N cores
+    if os.environ.get("GIPSPARK_BENCH_SCALING", "1") != "0" and CPUS >= 8:
+        spark.stop()
+        small, large = max(2, CPUS // 4), CPUS
+        thr = {}
+        for cores in (small, large):
+            s = make_spark(cores)
+            ws = []
+            for _ in range(2):
+                w, n = run_pipeline_once(s, docs_path)
+                ws.append(w)
+            w = sorted(ws)[len(ws) // 2]
+            thr[cores] = n / w
+            s.stop()
+        eff = (thr[large] / thr[small]) / (large / small)
+        result["scaling"] = {
+            f"docs_per_sec_local{small}": round(thr[small], 1),
+            f"docs_per_sec_local{large}": round(thr[large], 1),
+            "cores_ratio": large // small,
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,7 @@ def polygon_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
 
 
 def polygon_cover(
-    rings: list[np.ndarray], level: int = 12, sample_deg: float = 0.01
+    rings: list[np.ndarray], level: int = 12, sample_deg: float | None = None
 ) -> np.ndarray:
     """S2 cells at ``level`` whose region intersects the polygon's bbox.
 
@@ -82,6 +82,12 @@ def polygon_cover(
     Supersetness (cover ⊇ {cells of points inside polygon}) is
     property-tested against brute force in tests/test_pip.py.
     """
+    if sample_deg is None:
+        # ~1/3 of the min cell width at ``level`` (level-12 cells ≈ 3–5 km
+        # ≈ 0.03°): fine enough that every polygon-interior cell contains
+        # or neighbors a sample, coarse enough to stay cheap for the
+        # large oracle polygons covered at level 6–8.
+        sample_deg = (90.0 / (1 << level)) / 3.0 * 4.0
     min_lon, min_lat, max_lon, max_lat = polygon_bbox(rings)
     pad = sample_deg
     lons = np.arange(min_lon - pad, max_lon + pad + sample_deg, sample_deg)

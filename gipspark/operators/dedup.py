@@ -113,9 +113,17 @@ def minhash_lsh_pairs(
     with id_a < id_b.
     """
     rows = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("sig"),
+    # materialize shingles once: the signature tree references a plain
+    # column instead of inlining the regex-split 8× (smaller codegen,
+    # one tokenization pass)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    sig = sh.select(
+        "id",
+        F.array(*[F.array_min(F.transform(F.col("__sh"), _hash_i(i))) for i in range(n_hashes)]).alias(
+            "sig"
+        ),
     )
     banded = sig.select(
         "id",

@@ -39,13 +39,40 @@ COVER_SCHEMA = StructType(
     [StructField("__cell", LongType(), False), StructField("poly_id", LongType(), False)]
 )
 
+_COVER_CACHE: dict = {}
 
-def polygon_covers(polys: list[dict], level: int = 12) -> pd.DataFrame:
-    """Driver-side (cell, poly_id) cover table for a small polygon dim."""
+
+COVER_LEVELS = (6, 9, 12)  # quantized cover levels — bounds the probe
+# amplification of the single prefilter join to |COVER_LEVELS| rows/point
+
+
+def choose_cover_level(rings: list[np.ndarray]) -> int:
+    """Adaptive cover level: cell width ≈ polygon diameter / 8, snapped
+    to COVER_LEVELS, so every polygon costs O(tens–hundreds) of cover
+    cells whether it spans 5 km or 5000 km (a fixed fine level would
+    need millions of cells for continental polygons)."""
+    min_lon, min_lat, max_lon, max_lat = pipgeo.polygon_bbox(rings)
+    diam = max(max_lon - min_lon, max_lat - min_lat, 1e-3)
+    raw = np.log2(90.0 * 8.0 / diam)
+    return min(COVER_LEVELS, key=lambda lv: abs(lv - raw))
+
+
+def _poly_key(p: dict) -> tuple:
+    r0 = p["rings"][0]
+    return (p["poly_id"], len(p["rings"]), len(r0), float(r0[0][0]), float(r0[0][1]))
+
+
+def polygon_covers(polys: list[dict], level: int) -> pd.DataFrame:
+    """Driver-side (cell, poly_id) cover table at ``level`` (cached —
+    bench/pipeline reruns must not pay the sampling twice)."""
     rows_cell, rows_pid = [], []
     for p in polys:
-        rings = [np.asarray(r, dtype=np.float64) for r in p["rings"]]
-        cells = pipgeo.polygon_cover(rings, level=level)
+        key = (_poly_key(p), level)
+        cells = _COVER_CACHE.get(key)
+        if cells is None:
+            rings = [np.asarray(r, dtype=np.float64) for r in p["rings"]]
+            cells = pipgeo.polygon_cover(rings, level=level)
+            _COVER_CACHE[key] = cells
         rows_cell.append(cells)
         rows_pid.append(np.full(len(cells), p["poly_id"], dtype=np.int64))
     return pd.DataFrame(
@@ -65,30 +92,68 @@ def pip_join(
     polys: list[dict],
     lat_col: str = "lat",
     lon_col: str = "lon",
-    level: int = 12,
+    level: int | None = None,
     cell_col: str | None = None,
+    cell_level: int = 12,
     keep_all_points: bool = False,
 ) -> DataFrame:
     """points ⋈ polygons → points' columns + ``poly_id``.
 
     ``polys``: list of {poly_id, rings} dicts (rings = [[lon,lat]...]).
-    If ``cell_col`` names an existing S2 cell column it is reused
-    (encode-once pipelines); otherwise cells are computed here.
+    ``level``: force one cover level; default picks one per polygon
+    (choose_cover_level) and unions per-level prefilter joins — one
+    shuffle-free broadcast join per distinct level (≤3 in practice).
+    ``cell_col``/``cell_level``: reuse an existing S2 cell column for
+    the group at that level (encode-once pipelines).
     ``keep_all_points``: left join semantics (unmatched → poly_id null).
     """
     spark = points.sparkSession
-    cover = spark.createDataFrame(polygon_covers(polys, level), COVER_SCHEMA)
+    if len({p["poly_id"] for p in polys}) != len(polys):
+        raise ValueError("pip_join: poly_id values must be unique")
     edges = _edges_by_pid(polys)
 
-    pts = points
-    if cell_col is None:
-        pts = pts.withColumn("__cell", s2_cell(F.col(lat_col), F.col(lon_col), level))
-        cell_ref = "__cell"
-    else:
-        cell_ref = cell_col
-        cover = cover.withColumnRenamed("__cell", cell_ref)
+    # group polygons by cover level
+    groups: dict[int, list[dict]] = {}
+    for p in polys:
+        lvl = level if level is not None else choose_cover_level(
+            [np.asarray(r, dtype=np.float64) for r in p["rings"]]
+        )
+        groups.setdefault(lvl, []).append(p)
 
-    cand = pts.join(F.broadcast(cover), on=cell_ref, how="inner")
+    # ONE pandas-UDF encode at the finest needed level; each point then
+    # explodes into its parent cell at every active cover level via the
+    # S2 parent bit trick ((cell & ~(lsb-1)) | lsb) — pure JVM bitwise
+    # arithmetic — and ONE broadcast equi-join probes the combined
+    # multi-level cover (cell ids self-describe their level, so there
+    # are no cross-level collisions). Single branch, single Python pass,
+    # |levels|× probe amplification, no shuffle.
+    finest = max(groups)
+    pts = points
+    if cell_col is not None and cell_level >= finest:
+        base, base_lvl = cell_col, cell_level
+    else:
+        base, base_lvl = "__cellbase", finest
+        pts = pts.withColumn(base, s2_cell(F.col(lat_col), F.col(lon_col), finest))
+
+    def parent_expr(lvl: int):
+        if lvl == base_lvl:
+            return F.col(base)
+        lsb = 1 << (2 * (30 - lvl))
+        mask = (~(lsb - 1)) & 0xFFFFFFFFFFFFFFFF
+        if mask >= 1 << 63:
+            mask -= 1 << 64
+        return F.col(base).bitwiseAND(F.lit(mask)).bitwiseOR(F.lit(lsb))
+
+    cover_pd = pd.concat(
+        [polygon_covers(ps, lvl) for lvl, ps in sorted(groups.items())], ignore_index=True
+    )
+    cover = spark.createDataFrame(cover_pd, COVER_SCHEMA)
+    probe = pts.withColumn(
+        "__pcell", F.explode(F.array(*[parent_expr(lvl) for lvl in sorted(groups)]))
+    )
+    cand = probe.join(
+        F.broadcast(cover.withColumnRenamed("__cell", "__pcell")), on="__pcell", how="inner"
+    ).select(*points.columns, "poly_id")
 
     @pandas_udf(BooleanType())
     def _refine(lon: pd.Series, lat: pd.Series, pid: pd.Series) -> pd.Series:
@@ -102,7 +167,6 @@ def pip_join(
         return pd.Series(out)
 
     matched = cand.filter(_refine(F.col(lon_col), F.col(lat_col), F.col("poly_id")))
-    matched = matched.drop("__cell") if cell_col is None else matched
     if not keep_all_points:
         return matched
     return points.join(

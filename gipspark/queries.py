@@ -1,0 +1,826 @@
+"""Driver-facing query registry: every operator as (Spark fn, DuckDB oracle).
+
+The driver harness (__spark_entry__.py) runs ``queries()[name](spark,
+sf_dir)`` and DuckDB on ``oracle_sql()[name]`` over the same parquet
+views and compares row count + schema + order-insensitive value hash.
+Rules that keep the comparison bit-exact (SURVEY.md §5.2):
+
+- identical column *names* both sides (driver sorts columns by name);
+- doubles only from exact IEEE ops (int arithmetic, +,-,*,/ in the
+  same textual order) — trig-derived values are rounded to coarse
+  ticks (whole meters) so libm ulp differences can't flip a hash;
+- money sums go through decimal(18,2) then cast to double (exact in
+  both engines, avoids parallel-sum reorder drift and DuckDB's
+  hugeint/decimal-widening schema mismatches);
+- counts stay bigint (DuckDB count(*) is already BIGINT; int sums are
+  cast); ranks cast to int to match Spark's row_number;
+- timestamps leave as DATE or bigint epoch (naive-vs-UTC arrow
+  mismatch avoidance).
+
+Geospatial queries derive (lat, lon) deterministically from integer
+keys (gipspark.functions.cells.derived_*) because the oracle sees only
+the ten driver tables; the polygon set for PIP/zonal oracles is the
+frozen ORACLE_POLYGONS below, whose edges are inlined into the SQL as
+VALUES rows with the ray-cast crossing rule written textually identical
+to the NumPy kernel (gipspark.geo.pip.points_in_polygon).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gipspark.functions import cells as C
+from gipspark.functions import text as T
+from gipspark.functions.vectors import cosine_sim
+from gipspark.geo.haversine import HAVERSINE_SQL, haversine_col
+from gipspark.operators import dedup as D
+from gipspark.operators.asof import asof_join, range_join
+from gipspark.operators.knn import knn_join
+from gipspark.operators.pip import pip_join
+from gipspark.operators.similarity import cosine_topk, lsh_cosine_topk
+from gipspark.operators.skew import salted_hybrid_join
+from gipspark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# frozen oracle polygon set (vertices rounded to 6dp, embedded in SQL)
+# ---------------------------------------------------------------------------
+
+
+def _ngon(cx: float, cy: float, r: float, n: int, star: bool = False) -> list[list[float]]:
+    pts = []
+    for i in range(n):
+        a = 2 * math.pi * i / n + 0.0991
+        rr = r * (0.45 if (star and i % 2) else 1.0)
+        pts.append([round(cx + rr * math.cos(a), 6), round(cy + rr * 0.8 * math.sin(a), 6)])
+    pts.append(pts[0])
+    return pts
+
+
+ORACLE_POLYGONS: list[dict] = [
+    {"poly_id": 0, "rings": [_ngon(20.0007, 10.0003, 15.0, 8)]},
+    {"poly_id": 1, "rings": [_ngon(-60.0013, -40.0011, 18.0, 6)]},
+    {"poly_id": 2, "rings": [_ngon(100.0003, 30.0007, 24.0, 10, star=True)]},
+    # polygon with hole: outer ring + reversed inner ring (even-odd rule)
+    {"poly_id": 3, "rings": [_ngon(150.0009, -20.0003, 20.0, 8), _ngon(150.0009, -20.0003, 8.0, 8)[::-1]]},
+    {"poly_id": 4, "rings": [_ngon(-120.0007, 50.0001, 10.0, 8)]},
+]
+
+
+def _edges_values_sql() -> str:
+    """All polygon edges as a VALUES table (poly_id, x1, y1, x2, y2)."""
+    rows = []
+    for p in ORACLE_POLYGONS:
+        for ring in p["rings"]:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                rows.append(f"({p['poly_id']},{x1!r},{y1!r},{x2!r},{y2!r})")
+    return "(VALUES " + ",".join(rows) + ") AS e(poly_id, x1, y1, x2, y2)"
+
+
+# Even-odd ray cast in SQL — textually the same crossing rule as
+# gipspark.geo.pip.points_in_polygon (exact IEEE ops only).
+def _pip_matches_sql(pts_cte: str, id_col: str) -> str:
+    return f"""
+  SELECT p.{id_col}, e.poly_id
+  FROM {pts_cte} p CROSS JOIN {_edges_values_sql()}
+  WHERE ((e.y1 > p.lat) != (e.y2 > p.lat))
+    AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+  GROUP BY p.{id_col}, e.poly_id
+  HAVING count(*) % 2 = 1
+"""
+
+
+_LAT = C.DERIVED_LAT_SQL
+_LON = C.DERIVED_LON_SQL
+
+
+def _cust_pts_sql() -> str:
+    return (
+        "(SELECT c_custkey, "
+        + _LAT.format(k="c_custkey")
+        + " AS lat, "
+        + _LON.format(k="c_custkey")
+        + " AS lon FROM customer)"
+    )
+
+
+def _cust_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the registry: name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+DEC = "decimal(18,2)"
+
+# --- relational surface (TPC-H-ish) ----------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as {DEC})) as double) AS sum_qty,
+       cast(sum(cast(l_extendedprice as {DEC})) as double) AS sum_price,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    # revenue in exact integer "cent·basis-point" units: price and
+    # discount are 2dp doubles, so round(x*100) is an exact integer in
+    # both engines; the product & sum stay integral (no decimal-cast of
+    # computed doubles — Spark rounds those via shortest-string repr,
+    # DuckDB via binary value, and they disagree at midpoints)
+    """
+SELECT o.o_orderkey,
+       cast(sum(cast(round(l.l_extendedprice * 100) as bigint) * (100 - cast(round(l.l_discount * 100) as bigint))) as double) / 10000.0 AS revenue,
+       cast(o.o_orderdate as date) AS odate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, odate
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+""",
+)
+def q3(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("odate"))
+        .agg((F.sum(cents).cast("double") / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "revenue", "odate")
+    )
+
+
+@register(
+    "broadcast_dim_join",
+    """
+SELECT r.r_name, count(*) AS n_customers,
+       cast(sum(cast(c.c_acctbal as decimal(18,2))) as double) AS bal_sum
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def broadcast_dim_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    dim = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        c.join(dim, c.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("bal_sum"),
+        )
+    )
+
+
+@register(
+    "semi_anti_join",
+    """
+SELECT 'with_orders' AS side, count(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS side, count(*) AS n FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def semi_anti_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("with_orders").alias("side"), "n")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("without_orders").alias("side"), "n")
+    return semi.unionByName(anti)
+
+
+@register(
+    "window_rank_orders",
+    """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) as int) AS rnk
+  FROM orders)
+WHERE rnk <= 2 AND o_custkey < 100
+""",
+)
+def window_rank_orders(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 2) & (F.col("o_custkey") < 100))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_lag_events",
+    """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+FROM events WHERE user_id < 20
+""",
+)
+def window_lag_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # parquet naive ts loads as TIMESTAMP_NTZ; session tz is UTC so the
+    # cast makes unix_micros == DuckDB's epoch_us exactly
+    us = F.unix_micros(F.col("ts").cast("timestamp")).cast("long")
+    return ev.select(
+        "event_id", "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+
+
+@register(
+    "set_ops_nations",
+    """
+SELECT n_nationkey FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey AS n_nationkey FROM supplier)
+UNION ALL
+SELECT n_nationkey FROM (
+  SELECT c_nationkey AS n_nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey AS n_nationkey FROM supplier)
+""",
+)
+def set_ops_nations(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    return c.intersect(s).unionByName(c.distinct().exceptAll(s.distinct()))
+
+
+@register(
+    "rollup_order_calendar",
+    """
+SELECT coalesce(yr0, '(all)') AS yr, coalesce(prio0, '(all)') AS prio,
+       count(*) AS n, cast(sum(cast(price as decimal(18,2))) as double) AS price_sum
+FROM (SELECT strftime(cast(o_orderdate as date), '%Y') AS yr0,
+             o_orderpriority AS prio0, o_totalprice AS price FROM orders)
+GROUP BY ROLLUP (yr0, prio0)
+""",
+)
+def rollup_order_calendar(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("yr", F.date_format(F.col("o_orderdate"), "yyyy"))
+        .withColumn("prio", F.col("o_orderpriority"))
+        .rollup("yr", "prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("price_sum"),
+        )
+        .select(
+            F.coalesce(F.col("yr"), F.lit("(all)")).alias("yr"),
+            F.coalesce(F.col("prio"), F.lit("(all)")).alias("prio"),
+            "n",
+            "price_sum",
+        )
+    )
+
+
+@register(
+    "scalar_function_sweep",
+    """
+SELECT p_partkey,
+       lower(p_name) AS lname,
+       upper(p_brand) AS ubrand,
+       length(p_type) AS type_len,
+       substr(p_name, 1, 5) AS name5,
+       concat_ws('-', p_brand, cast(p_size as varchar)) AS brand_size,
+       regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+       cast(round(p_retailprice, 1) as double) AS price_r,
+       cast(floor(p_retailprice) as double) AS price_f,
+       cast(p_size % 7 as int) AS size_mod
+FROM part WHERE p_partkey <= 200
+""",
+)
+def scalar_function_sweep(spark, sf_dir):
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.length("p_type").alias("type_len"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_size").cast("string")).alias("brand_size"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.round("p_retailprice", 1).cast("double").alias("price_r"),
+        F.floor("p_retailprice").cast("double").alias("price_f"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+SELECT event_type, count(*) AS n,
+       cast(sum(cast(json_extract_string(props, '$.k') as int)) as bigint) AS k_sum,
+       max(cast(json_extract_string(props, '$.k') as int)) AS k_max
+FROM events GROUP BY event_type
+""",
+)
+def json_props_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.max(k).alias("k_max"),
+    )
+
+
+@register(
+    "distinct_users_daily",
+    """
+SELECT cast(ts as date) AS day, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY day
+""",
+)
+def distinct_users_daily(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "tumbling_window_counts",
+    """
+SELECT cast(floor(epoch(ts) / 300) * 300 as bigint) AS win_start_s, event_type,
+       count(*) AS n
+FROM events GROUP BY win_start_s, event_type
+""",
+)
+def tumbling_window_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            (F.unix_timestamp(F.col("win.start"))).cast("bigint").alias("win_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+# --- spatial surface -------------------------------------------------------
+
+
+@register(
+    "tile_assign_customers",
+    f"""
+WITH pts AS (SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon FROM customer)
+SELECT {C.TILE_SQL.format(lat='lat', lon='lon')} AS tile_id, count(*) AS n
+FROM pts GROUP BY tile_id
+""",
+)
+def tile_assign_customers(spark, sf_dir):
+    pts = _cust_pts(spark, sf_dir)
+    return pts.groupBy(C.tile_of(F.col("lat"), F.col("lon")).alias("tile_id")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "pip_join_customers",
+    f"""
+WITH pts AS (SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon FROM customer)
+SELECT c_custkey, poly_id FROM ({_pip_matches_sql('pts', 'c_custkey')})
+""",
+)
+def pip_join_customers(spark, sf_dir):
+    pts = _cust_pts(spark, sf_dir)
+    return pip_join(pts, ORACLE_POLYGONS, level=7).select("c_custkey", "poly_id")
+
+
+@register(
+    "zonal_customer_stats",
+    f"""
+WITH pts AS (SELECT c_custkey, c_acctbal, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon FROM customer),
+m AS (SELECT c_custkey, poly_id FROM ({_pip_matches_sql('pts', 'c_custkey')}))
+SELECT m.poly_id, count(*) AS n_pts,
+       cast(sum(cast(p.c_acctbal as decimal(18,2))) as double) AS bal_sum,
+       min(p.c_custkey) AS min_key, max(p.c_custkey) AS max_key
+FROM m JOIN pts p ON m.c_custkey = p.c_custkey
+GROUP BY m.poly_id
+""",
+)
+def zonal_customer_stats(spark, sf_dir):
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    m = pip_join(pts, ORACLE_POLYGONS, level=7)
+    return m.groupBy("poly_id").agg(
+        F.count("*").alias("n_pts"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("bal_sum"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@register(
+    "knn_join_nations",
+    f"""
+WITH q AS (SELECT n_nationkey AS q_id,
+                  {_LAT.format(k='n_nationkey * 101 + 13')} AS q_lat,
+                  {_LON.format(k='n_nationkey * 101 + 13')} AS q_lon FROM nation),
+p AS (SELECT c_custkey AS p_id, {_LAT.format(k='c_custkey')} AS p_lat, {_LON.format(k='c_custkey')} AS p_lon FROM customer),
+d AS (SELECT q_id, p_id,
+             {HAVERSINE_SQL.format(lat1='q_lat', lon1='q_lon', lat2='p_lat', lon2='p_lon')} AS dist_m
+      FROM q CROSS JOIN p),
+r AS (SELECT q_id, p_id, dist_m,
+             cast(row_number() OVER (PARTITION BY q_id ORDER BY dist_m ASC, p_id ASC) as int) AS rank
+      FROM d)
+SELECT q_id, p_id, cast(round(dist_m, 0) as double) AS dist_km0, rank FROM r WHERE rank <= 5
+""",
+)
+def knn_join_nations(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    qk = F.col("n_nationkey") * 101 + 13
+    qs = n.select(
+        F.col("n_nationkey").alias("q_id"),
+        C.derived_lat(qk).alias("q_lat"),
+        C.derived_lon(qk).alias("q_lon"),
+    )
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("p_id"),
+        C.derived_lat(F.col("c_custkey")).alias("p_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("p_lon"),
+    )
+    out = knn_join(qs, pts, k=5, level=6)
+    return out.select(
+        "q_id", "p_id", F.round("dist_m", 0).cast("double").alias("dist_km0"), "rank"
+    )
+
+
+@register(
+    "skew_salted_join",
+    f"""
+WITH li AS (SELECT l_orderkey, l_extendedprice FROM lineitem),
+o AS (SELECT o_orderkey, o_orderstatus FROM orders)
+SELECT o.o_orderstatus, count(*) AS n,
+       cast(sum(cast(li.l_extendedprice as decimal(18,2))) as double) AS price_sum
+FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def skew_salted_join(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderstatus")
+    )
+    joined = salted_hybrid_join(li, o, key="l_orderkey", n_salt=8, hot_threshold=0.001)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("price_sum"),
+    )
+
+
+@register(
+    "inventory_matrix",
+    f"""
+WITH pts AS (SELECT o_orderkey, o_custkey, cast(o_orderdate as date) AS d,
+                    {_LAT.format(k='o_custkey')} AS lat, {_LON.format(k='o_custkey')} AS lon
+             FROM orders)
+SELECT {C.TILE_SQL.format(lat='lat', lon='lon')} AS tile_id,
+       strftime(d, '%Y-%m') AS month,
+       count(*) AS n_orders, count(DISTINCT o_custkey) AS n_custs
+FROM pts GROUP BY tile_id, month
+""",
+)
+def inventory_matrix(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        C.derived_lat(F.col("o_custkey")).alias("lat"),
+        C.derived_lon(F.col("o_custkey")).alias("lon"),
+    )
+    return pts.groupBy(
+        C.tile_of(F.col("lat"), F.col("lon")).alias("tile_id"),
+        F.date_format("d", "yyyy-MM").alias("month"),
+    ).agg(F.count("*").alias("n_orders"), F.count_distinct("o_custkey").alias("n_custs"))
+
+
+# --- temporal joins --------------------------------------------------------
+
+
+@register(
+    "asof_purchase_click",
+    """
+SELECT l.event_id, l.user_id,
+       (SELECT max_by(r.event_id, r.ts) FROM events r
+        WHERE r.event_type = 'click' AND r.user_id = l.user_id AND r.ts <= l.ts) AS click_id
+FROM events l WHERE l.event_type = 'purchase'
+""",
+)
+def asof_purchase_click(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    lft = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    rgt = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return asof_join(lft, rgt, on="ts", by="user_id", right_cols=["click_id"]).select(
+        "event_id", "user_id", "click_id"
+    )
+
+
+@register(
+    "range_join_windows",
+    """
+WITH w AS (SELECT event_id AS w_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+           FROM events WHERE event_type = 'error' AND event_id % 17 = 0),
+p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, w.w_id
+FROM p JOIN w ON w.w_start <= p.ts AND p.ts < w.w_end
+""",
+)
+def range_join_windows(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    win = (
+        ev.filter((F.col("event_type") == "error") & (F.col("event_id") % 17 == 0))
+        .select(
+            F.col("event_id").alias("w_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    return range_join(p, win, "ts", "w_start", "w_end", bucket="1 hour").select(
+        "event_id", "w_id"
+    )
+
+
+# --- documents: dedup + text analysis --------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    """
+SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY digest
+""",
+)
+def dedup_exact_docs(spark, sf_dir):
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint_groups",
+    f"""
+SELECT {T.doc_fingerprint_sql('text')} AS fp, count(*) AS n, min(doc_id) AS keep_id
+FROM documents GROUP BY fp
+""",
+)
+def doc_fingerprint_groups(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(T.doc_fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("keep_id")
+    )
+
+
+@register(
+    "jaccard_top1_docs",
+    f"""
+WITH base AS (SELECT doc_id, {D.shingles_sql('text', 1)} AS sh FROM documents),
+inv AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM base),
+q AS (SELECT doc_id AS q_id, sz AS q_sz, s FROM inv WHERE doc_id < 20),
+pairs AS (
+  SELECT q.q_id, q.q_sz, i.doc_id AS id, i.sz, count(*) AS common
+  FROM q JOIN inv i ON q.s = i.s AND i.doc_id != q.q_id
+  GROUP BY q.q_id, q.q_sz, i.doc_id, i.sz),
+scored AS (
+  SELECT q_id, id AS match_id,
+         cast(common as double) / cast(q_sz + sz - common as double) AS jaccard,
+         cast(row_number() OVER (PARTITION BY q_id ORDER BY (cast(common as double) / cast(q_sz + sz - common as double)) DESC, id ASC) as int) AS rank
+  FROM pairs)
+SELECT q_id, match_id, jaccard, rank FROM scored WHERE rank <= 1
+""",
+)
+def jaccard_top1_docs(spark, sf_dir):
+    return D.jaccard_topk(load(spark, sf_dir, "documents"), list(range(20)), shingle_n=1, k=1)
+
+
+def _minhash_sig_sql(n_hashes: int, shingle_n: int) -> str:
+    sh = D.shingles_sql("text", shingle_n)
+    mins = ",".join(
+        "list_min(list_transform(sh, s -> "
+        + D.MD5_LONG_SQL.format(x=f"s || '#{i}'")
+        + f")) AS h{i}"
+        for i in range(n_hashes)
+    )
+    return f"WITH base AS (SELECT doc_id, {sh} AS sh FROM documents), sig AS (SELECT doc_id, {mins} FROM base)"
+
+
+@register(
+    "minhash_lsh_pairs",
+    _minhash_sig_sql(8, 2)
+    + """,
+banded AS (
+  SELECT doc_id, b.band, b.bucket FROM sig, LATERAL (
+    SELECT * FROM (VALUES
+      (0, """
+    + D.MD5_LONG_SQL.format(x="cast(h0 as varchar) || ',' || cast(h1 as varchar)")
+    + """),
+      (1, """
+    + D.MD5_LONG_SQL.format(x="cast(h2 as varchar) || ',' || cast(h3 as varchar)")
+    + """),
+      (2, """
+    + D.MD5_LONG_SQL.format(x="cast(h4 as varchar) || ',' || cast(h5 as varchar)")
+    + """),
+      (3, """
+    + D.MD5_LONG_SQL.format(x="cast(h6 as varchar) || ',' || cast(h7 as varchar)")
+    + """)) AS t(band, bucket)) b)
+SELECT a.doc_id AS id_a, bb.doc_id AS id_b, count(*) AS n_bands
+FROM banded a JOIN banded bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id
+GROUP BY id_a, id_b
+""",
+)
+def minhash_lsh_pairs_q(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_hashes=8, bands=4, shingle_n=2
+    )
+
+
+@register(
+    "token_quality_langid",
+    f"""
+SELECT doc_id,
+       {T.TOKEN_COUNT_SQL.format(t='text')} AS n_tokens,
+       {T.quality_score_sql('text')} AS quality,
+       {T.lang_id_sql('text')} AS pred_lang,
+       lang
+FROM documents WHERE doc_id < 100
+""",
+)
+def token_quality_langid(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("pred_lang"),
+        "lang",
+    )
+
+
+# --- embeddings ------------------------------------------------------------
+
+_COS_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+d AS (
+  SELECT q.q_id, e.vec_id,
+    list_reduce(list_transform(generate_series(1, len(q.q_vec)), i -> q.q_vec[i]::double * e.embedding[i]::double), (acc, x) -> acc + x)
+    / (sqrt(list_reduce(list_transform(generate_series(1, len(q.q_vec)), i -> q.q_vec[i]::double * q.q_vec[i]::double), (acc, x) -> acc + x))
+     * sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> e.embedding[i]::double * e.embedding[i]::double), (acc, x) -> acc + x))) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.q_id),
+r AS (SELECT q_id, vec_id, sim,
+             cast(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) as int) AS rank
+      FROM d)
+SELECT q_id, vec_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+
+@register("cosine_topk_bruteforce", _COS_SQL)
+def cosine_topk_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(q, emb, k=5)
+
+
+# --- rows-only queries (non-SQL-expressible: vendored cell geometry) -------
+
+
+@register("s2_cell_counts", None)
+def s2_cell_counts(spark, sf_dir):
+    pts = _cust_pts(spark, sf_dir)
+    return (
+        pts.withColumn("cell", C.s2_cell(F.col("lat"), F.col("lon"), 12))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("cell").asc())
+        .limit(100)
+    )
+
+
+@register("h3_cell_counts", None)
+def h3_cell_counts(spark, sf_dir):
+    pts = _cust_pts(spark, sf_dir)
+    return (
+        pts.withColumn("cell", C.h3_cell(F.col("lat"), F.col("lon"), 7))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("cell").asc())
+        .limit(100)
+    )
+
+
+@register("kring_expansion", None)
+def kring_expansion(spark, sf_dir):
+    pts = _cust_pts(spark, sf_dir).filter(F.col("c_custkey") < 50)
+    cells = pts.withColumn("cell", C.s2_cell(F.col("lat"), F.col("lon"), 10))
+    return (
+        cells.withColumn("ring", C.kring(F.col("cell"), 10, 2))
+        .select("c_custkey", "cell", F.explode("ring").alias("neighbor"))
+        .groupBy("c_custkey", "cell")
+        .agg(F.count("*").alias("n_neighbors"))
+    )
+
+
+@register("lsh_cosine_topk", None)
+def lsh_cosine_topk_q(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_cosine_topk(q, emb, k=5)
+
+
+@register("simhash_signatures", None)
+def simhash_signatures(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", D.simhash64(F.col("text"), bits=32).alias("sig"))
+
+
+@register("streaming_tile_counts", None)
+def streaming_tile_counts(spark, sf_dir):
+    """Batch-mode execution of the streaming per-tile rollup plan
+    (same DataFrame ops Structured Streaming runs incrementally)."""
+    ev = load(spark, sf_dir, "events")
+    lat = C.derived_lat(F.col("user_id") + F.lit(1))
+    lon = C.derived_lon(F.col("user_id") + F.lit(1))
+    return (
+        ev.withColumn("tile_id", C.tile_of(lat, lon))
+        .groupBy(F.window("ts", "15 minutes").alias("win"), "tile_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp(F.col("win.start")).cast("bigint").alias("win_start_s"), "tile_id", "n")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,201 @@
+"""Operator correctness: each engine operator vs an independent oracle
+(NumPy brute force, pandas reimplementation, or plain-Spark equivalent).
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gipspark.functions.cells import derived_lat, derived_lon
+from gipspark.geo import pip as pipgeo
+from gipspark.operators.asof import asof_join, range_join
+from gipspark.operators.dedup import exact_dedup, jaccard_topk, minhash_lsh_pairs
+from gipspark.operators.knn import knn_join, knn_join_brute
+from gipspark.operators.pip import pip_join
+from gipspark.operators.skew import salted_hybrid_join
+from gipspark.operators.similarity import cosine_topk, lsh_cosine_topk
+from gipspark.plans.pipeline import enrich_docs
+from gipspark.sources.fixtures import docs_df, polygons
+
+
+def test_pip_join_equals_brute_force(spark):
+    docs = docs_df(spark, 2000)
+    enr = enrich_docs(docs).filter(F.col("lat").isNotNull())
+    polys = polygons(30)
+    got = {
+        (r.url, r.poly_id)
+        for r in pip_join(enr, polys, cell_col="cell").select("url", "poly_id").collect()
+    }
+    pdf = enr.select("url", "lat", "lon").toPandas()
+    want = set()
+    for p in polys:
+        edges = pipgeo.rings_to_edges([np.asarray(r) for r in p["rings"]])
+        ins = pipgeo.points_in_polygon_batched(pdf.lon.values, pdf.lat.values, edges)
+        want |= {(u, p["poly_id"]) for u in pdf.url.values[ins]}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_pip_join_rejects_duplicate_ids(spark):
+    import pytest
+
+    docs = docs_df(spark, 10)
+    enr = enrich_docs(docs).filter(F.col("lat").isNotNull())
+    with pytest.raises(ValueError):
+        pip_join(enr, polygons(5) + polygons(5), cell_col="cell")
+
+
+def test_knn_join_equals_brute(spark):
+    cust = spark.range(1, 400).select(
+        F.col("id").alias("p_id"),
+        derived_lat(F.col("id")).alias("p_lat"),
+        derived_lon(F.col("id")).alias("p_lon"),
+    )
+    qs = spark.range(0, 30).select(
+        F.col("id").alias("q_id"),
+        derived_lat(F.col("id") * 37 + 5).alias("q_lat"),
+        derived_lon(F.col("id") * 37 + 5).alias("q_lon"),
+    )
+    fast = {(r.q_id, r.p_id, r.rank) for r in knn_join(qs, cust, k=4).collect()}
+    brute = {(r.q_id, r.p_id, r.rank) for r in knn_join_brute(qs, cust, k=4).collect()}
+    assert fast == brute
+
+
+def test_salted_hybrid_join_equals_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    got = (
+        salted_hybrid_join(li, o, "l_orderkey", n_salt=4, hot_threshold=0.0005)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    )
+    want = (
+        li.join(o, "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    )
+    assert sorted((r.o_orderstatus, r.n, round(r.q, 6)) for r in got) == sorted(
+        (r.o_orderstatus, r.n, round(r.q, 6)) for r in want
+    )
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    texts = docs_df(spark, 50).select("text").toPandas().text.tolist()
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (1000 + i, t) for i, t in enumerate(texts[:10])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = exact_dedup(df).collect()
+    n_multi = sum(1 for r in groups if r.n_copies == 2)
+    assert n_multi == 10
+    assert all(r.keep_id < 1000 for r in groups)
+
+
+def test_jaccard_topk_matches_pandas(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.q_id, r.match_id): r.jaccard
+        for r in jaccard_topk(docs, [0, 1, 2], shingle_n=1, k=1).collect()
+    }
+    pdf = docs.toPandas()
+    toks = {r.doc_id: set(str(r.text).lower().strip().split()) for r in pdf.itertuples()}
+    for q in (0, 1, 2):
+        best = max(
+            ((len(toks[q] & toks[o]) / len(toks[q] | toks[o]), -o) for o in toks if o != q),
+        )
+        (qid, mid), j = [(k, v) for k, v in got.items() if k[0] == q][0]
+        assert mid == -best[1]
+        assert abs(j - best[0]) < 1e-12
+
+
+def test_minhash_pairs_superset_of_identical_docs(spark):
+    # identical texts must always collide in every band
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)] + [
+        (i, f"unrelated text number {i} with words w{i} x{i} y{i} z{i}") for i in range(10, 30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.n_bands for r in minhash_lsh_pairs(df, n_hashes=8, bands=4).collect()}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert pairs.get((a, b)) == 4
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = [(r.q_id, r.vec_id, r.rank) for r in cosine_topk(q, emb, k=3).collect()]
+    pdf = emb.toPandas()
+    M = np.stack(pdf.embedding.map(np.asarray))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn[:3] @ Mn.T
+    want = []
+    for qi in range(3):
+        order = sorted(
+            ((-(sims[qi, j]), pdf.vec_id[j]) for j in range(len(pdf)) if pdf.vec_id[j] != qi),
+        )[:3]
+        want += [(qi, vid, rk + 1) for rk, (_, vid) in enumerate(order)]
+    assert sorted(got) == sorted(want)
+
+
+def test_lsh_recall_on_clustered_vectors(spark):
+    # 20 clusters of 10 near-identical vectors: nearest neighbors are
+    # same-cluster, which sign-LSH must bucket together
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((20, 64))
+    rows = []
+    vid = 0
+    for c in range(20):
+        for _ in range(10):
+            v = centers[c] + rng.standard_normal(64) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(q, df, k=5).collect()}
+    approx = {(r.q_id, r.vec_id) for r in lsh_cosine_topk(q, df, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_asof_join_matches_merge_asof(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lft = ev.filter("event_type='purchase'").select("user_id", "ts", "event_id")
+    rgt = ev.filter("event_type='click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    got = {
+        r.event_id: r.click_id
+        for r in asof_join(lft, rgt, on="ts", by="user_id", right_cols=["click_id"]).collect()
+    }
+    lp = lft.toPandas().sort_values("ts")
+    rp = rgt.toPandas().sort_values("ts")
+    want = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    for r in want.itertuples():
+        w = None if pd.isna(r.click_id) else int(r.click_id)
+        assert got[r.event_id] == w
+
+
+def test_range_join_matches_brute(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = ev.filter("event_type='error' and event_id % 11 = 0").select(
+        F.col("event_id").alias("w_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("w_end"),
+    )
+    p = ev.filter("event_type='purchase'").select("event_id", "ts")
+    got = {(r.event_id, r.w_id) for r in range_join(p, win, "ts", "w_start", "w_end").collect()}
+    want = {
+        (r.event_id, r.w_id)
+        for r in p.crossJoin(win)
+        .filter((F.col("w_start") <= F.col("ts")) & (F.col("ts") < F.col("w_end")))
+        .collect()
+    }
+    assert got == want

