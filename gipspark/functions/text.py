@@ -36,6 +36,19 @@ _RE_WS = re.compile(r"\s+")
 # "&amp;lt;" decodes to "&lt;" not "<")
 _ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
+# Single-pass fusions of the passes above. Byte-equivalent to applying
+# them sequentially: the strip alternation tries script/style, then
+# comment, then bare tag at each '<' (the order the sequential passes
+# would consume them), and the entity tokens are mutually prefix-free,
+# so leftmost-scan-with-callback equals the ordered global replaces.
+# Fused because each pandas str.replace pass copies the whole corpus —
+# 11 passes of allocator churn was the enrich stage's true bottleneck
+# at high core counts (BENCH notes).
+_RE_STRIP = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>|<!--.*?-->|<[^>]*>")
+_ENT_MAP = dict(_ENTITIES)
+_RE_ENT = re.compile("|".join(re.escape(e) for e, _ in _ENTITIES))
+_ENT_SUB = lambda m: _ENT_MAP[m.group(0)]  # noqa: E731
+
 
 def extract_text_series(html: pd.Series) -> pd.Series:
     """Vectorized frozen extraction: bytes/str HTML → normalized text.
@@ -47,17 +60,20 @@ def extract_text_series(html: pd.Series) -> pd.Series:
       4. collapse all whitespace runs to single spaces; strip ends
       5. Unicode NFC normalization
     """
-    if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
-        s = html.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
-    else:
-        s = html.astype("string")
-    s = s.str.replace(_RE_SCRIPT, " ", regex=True)
-    s = s.str.replace(_RE_COMMENT, " ", regex=True)
-    s = s.str.replace(_RE_TAG, " ", regex=True)
-    for ent, ch in _ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
-    s = s.str.replace(_RE_WS, " ", regex=True).str.strip()
-    return s.str.normalize("NFC").astype(object).where(s.notna(), None)
+    import unicodedata
+
+    strip = _RE_STRIP.sub
+    ent = _RE_ENT.sub
+    ws = _RE_WS.sub
+    nfc = unicodedata.normalize
+
+    def one(b):
+        if b is None:
+            return None
+        t = b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else str(b)
+        return nfc("NFC", ws(" ", ent(_ENT_SUB, strip(" ", t))).strip())
+
+    return html.map(one)
 
 
 def extract_text_py(html: bytes | str) -> str:

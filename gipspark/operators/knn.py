@@ -32,6 +32,10 @@ from gipspark.geo import s2
 from gipspark.geo.haversine import haversine_col
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def _min_cell_width_m(level: int) -> float:
     """Conservative lower bound on level-``level`` cell width (meters),
     estimated from sampled adjacent-cell center distances × 0.45."""
@@ -55,7 +59,7 @@ def knn_join(
     queries: DataFrame,
     points: DataFrame,
     k: int = 5,
-    level: int = 6,
+    level: int | None = None,
     q_id: str = "q_id",
     p_id: str = "p_id",
     q_lat: str = "q_lat",
@@ -70,6 +74,16 @@ def knn_join(
     (dist_m, p_id) — the tie-break makes results deterministic and
     oracle-comparable.
     """
+    if level is None:
+        # density-adaptive: pick the level whose ring-1 disk (9 cells)
+        # is expected to hold ~8k points, so most queries settle in the
+        # first round instead of walking the expansion ladder
+        import math
+
+        n_pts = points.count()
+        target_cells = max(6, n_pts * 9 // (8 * k))
+        level = max(1, min(14, int(math.log(max(target_cells / 6, 1), 4))))
+
     # Persist both sides: the loop takes multiple actions per round and
     # the cell encode is a pandas-UDF pass worth paying exactly once.
     pts = points.select(
@@ -100,7 +114,10 @@ def knn_join(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
-        guarantee = (r - 1) * min_width
+        # a point outside the radius-r lattice disk is separated from the
+        # query cell by ≥ r full cell widths (the cells in between), so
+        # the top-k is provably exact once kth ≤ r·min_width
+        guarantee = r * min_width
         stats = cand.groupBy(q_id).agg(
             F.count("*").alias("__n"), F.max("dist_m").alias("__kth")
         )

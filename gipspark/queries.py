@@ -418,6 +418,157 @@ def tumbling_window_counts(spark, sf_dir):
     )
 
 
+@register(
+    "sliding_window_counts",
+    # 10-minute windows sliding by 5: every event lands in exactly the
+    # two windows starting at floor(t/300)*300 and that minus 300
+    """
+SELECT ws AS win_start_s, event_type, count(*) AS n FROM (
+  SELECT unnest([cast(floor(epoch(ts) / 300) * 300 as bigint),
+                 cast(floor(epoch(ts) / 300) * 300 - 300 as bigint)]) AS ws,
+         event_type
+  FROM events)
+GROUP BY ws, event_type
+""",
+)
+def sliding_window_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("bigint").alias("win_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "session_window_batch",
+    # session = maximal run of per-user events with gaps < 30 min;
+    # lag/cumsum derivation mirrors F.session_window's merge semantics
+    """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g)
+SELECT user_id, epoch_us(min(ts)) AS sess_start_us, count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+FROM s GROUP BY user_id, sess
+""",
+)
+def session_window_batch(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sess.start").cast("timestamp")).alias("sess_start_us"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+@register(
+    "inventory_rollup",
+    f"""
+WITH pts AS (SELECT o_custkey, cast(o_orderdate as date) AS d,
+                    {_LAT.format(k='o_custkey')} AS lat, {_LON.format(k='o_custkey')} AS lon
+             FROM orders),
+inv AS (SELECT {C.TILE_SQL.format(lat='lat', lon='lon')} AS tile0,
+               strftime(d, '%Y-%m') AS month0, count(*) AS n
+        FROM pts GROUP BY tile0, month0)
+SELECT coalesce(tile0, '(all)') AS tile_id, coalesce(month0, '(all)') AS month,
+       cast(sum(n) as bigint) AS n_orders, count(*) AS n_groups
+FROM inv GROUP BY ROLLUP (tile0, month0)
+""",
+)
+def inventory_rollup_q(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    inv = (
+        o.select(
+            C.derived_lat(F.col("o_custkey")).alias("lat"),
+            C.derived_lon(F.col("o_custkey")).alias("lon"),
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month0"),
+        )
+        .withColumn("tile0", C.tile_of(F.col("lat"), F.col("lon")))
+        .groupBy("tile0", "month0")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        inv.rollup("tile0", "month0")
+        .agg(F.sum("n").cast("bigint").alias("n_orders"), F.count("*").alias("n_groups"))
+        .select(
+            F.coalesce(F.col("tile0"), F.lit("(all)")).alias("tile_id"),
+            F.coalesce(F.col("month0"), F.lit("(all)")).alias("month"),
+            "n_orders",
+            "n_groups",
+        )
+    )
+
+
+@register(
+    "cube_order_matrix",
+    """
+SELECT coalesce(st0, '(all)') AS status, coalesce(pr0, '(all)') AS prio,
+       count(*) AS n
+FROM (SELECT o_orderstatus AS st0, o_orderpriority AS pr0 FROM orders)
+GROUP BY CUBE (st0, pr0)
+""",
+)
+def cube_order_matrix(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(F.col("o_orderstatus").alias("st0"), F.col("o_orderpriority").alias("pr0"))
+        .cube("st0", "pr0")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("st0"), F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("pr0"), F.lit("(all)")).alias("prio"),
+            "n",
+        )
+    )
+
+
+@register("approx_vs_exact_distinct", None)
+def approx_vs_exact_distinct(spark, sf_dir):
+    """HLL approx-distinct next to exact — rows-only (approx sketches
+    are engine-specific by definition); the exact side is oracle-covered
+    by distinct_users_daily."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
+@register(
+    "trigram_shingle_counts",
+    f"""
+SELECT doc_id, len({D.shingles_sql('text', 3)}) AS n_shingles,
+       len({D.shingles_sql('text', 1)}) AS n_unigrams
+FROM documents WHERE doc_id < 200
+""",
+)
+def trigram_shingle_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.size(D.shingles(F.col("text"), 3)).alias("n_shingles"),
+        F.size(D.shingles(F.col("text"), 1)).alias("n_unigrams"),
+    )
+
+
 # --- spatial surface -------------------------------------------------------
 
 
@@ -505,7 +656,7 @@ def knn_join_nations(spark, sf_dir):
         C.derived_lat(F.col("c_custkey")).alias("p_lat"),
         C.derived_lon(F.col("c_custkey")).alias("p_lon"),
     )
-    out = knn_join(qs, pts, k=5, level=6)
+    out = knn_join(qs, pts, k=5)
     return out.select(
         "q_id", "p_id", F.round("dist_m", 0).cast("double").alias("dist_km0"), "rank"
     )
@@ -801,6 +952,28 @@ def lsh_cosine_topk_q(spark, sf_dir):
 def simhash_signatures(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return d.select("doc_id", D.simhash64(F.col("text"), bits=32).alias("sig"))
+
+
+@register("zonal_raster_stats", None)
+def zonal_raster_stats(spark, sf_dir):
+    """Raster↔vector zonal aggregation over the engine's raster fixture
+    (gips_stats semantics — no driver table carries a raster, so this is
+    a rows-only check; exactness is covered by test_operators.py's
+    PIP-vs-brute-force equality on the same kernels)."""
+    from gipspark.operators.zonal import zonal_stats
+    from gipspark.sources.fixtures import polygons, raster_cells_df
+
+    tiles = ["h36v08", "h37v08", "h36v09"]  # megacity neighborhood
+    raster = raster_cells_df(spark, tiles, px=32)
+    out = zonal_stats(raster, polygons(10), level=9)
+    return out.select(
+        "poly_id",
+        "px_count",
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+        F.round("v_avg", 6).alias("v_avg"),
+        F.round("v_sum", 6).alias("v_sum"),
+    )
 
 
 @register("streaming_tile_counts", None)

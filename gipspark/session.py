@@ -19,6 +19,7 @@ def get_spark(
     app: str = "gipspark",
     parallelism: int | None = None,
     shuffle_partitions: int | None = None,
+    task_cpus: int | None = None,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for the gipspark engine.
@@ -29,6 +30,12 @@ def get_spark(
     """
     cores = int(parallelism or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
     shuffle = int(shuffle_partitions or 2 * cores)
+    # task_cpus=2 for pandas-UDF-heavy pipelines: each task runs a JVM
+    # thread AND a python worker concurrently, so a slot is really two
+    # cores — leaving this at 1 oversubscribes the box 2× and measured
+    # ~4× slower end-to-end at local[32] (BENCH.md). Same reasoning
+    # applies to executor sizing on a real cluster.
+    tcpus = int(task_cpus or os.environ.get("GIPSPARK_TASK_CPUS") or 1)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -43,6 +50,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("GIPSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.task.cpus", str(tcpus))
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

@@ -39,13 +39,13 @@ def test_pipeline_resume_mid_tiling(spark, tmp_path):
     polys = polygons(10)
     final, run = run_pipeline(spark, docs, polys, root, "runX")
     got = sorted(tuple(r) for r in final.select("url", "poly_id").collect())
-    assert run.executed == ["s1_extract", "s2_encode", "s3_pip", "s4_tiles"]
+    assert run.executed == ["s1_enrich", "s2_pip", "s3_cluster"]
 
     # kill "mid-tiling": later stages lost, earlier checkpoints intact
-    shutil.rmtree(f"{root}/runX/s3_pip")
-    shutil.rmtree(f"{root}/runX/s4_tiles")
+    shutil.rmtree(f"{root}/runX/s2_pip")
+    shutil.rmtree(f"{root}/runX/s3_cluster")
     final2, run2 = run_pipeline(spark, docs, polys, root, "runX")
-    assert run2.skipped == ["s1_extract", "s2_encode"]
-    assert run2.executed == ["s3_pip", "s4_tiles"]
+    assert run2.skipped == ["s1_enrich"]
+    assert run2.executed == ["s2_pip", "s3_cluster"]
     got2 = sorted(tuple(r) for r in final2.select("url", "poly_id").collect())
     assert got == got2 and len(got2) > 0
