@@ -74,6 +74,87 @@ def _bucket_col(vec_col: str, planes: np.ndarray):
     return bucket
 
 
+def _kmeans_centroids(
+    corpus: DataFrame, c_vec: str, n_centroids: int, sample: int = 4096, iters: int = 8, seed: int = 17
+) -> np.ndarray:
+    """Tiny driver-side k-means on a sample — the IVF coarse quantizer.
+
+    The sample is bounded (collect of ≤``sample`` rows), so this stays
+    O(sample·dim·iters) on the driver no matter the corpus size; the
+    expensive assignment step below is distributed."""
+    rows = corpus.select(c_vec).limit(sample).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer (driver-side on a
+    sample), corpus rows assigned to their nearest centroid via JVM
+    fold dot products (one narrow pass, centroids baked as literals),
+    queries probe their ``n_probe`` nearest lists, exact cosine reranks
+    the union. Recall tunes with n_probe; shuffle volume is bounded by
+    list occupancy — the scale path for 10^12-row corpora where bucket
+    lists live partitioned on centroid id."""
+    C = _kmeans_centroids(corpus, c_vec, n_centroids)
+
+    def dots(vec_col: str):
+        return [
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in C
+        ]
+
+    def top_idx(vec_col: str, n: int):
+        scored = F.array(
+            *[F.struct(d.alias("d"), F.lit(i).alias("i")) for i, d in enumerate(dots(vec_col))]
+        )
+        ordered = F.reverse(F.array_sort(scored))
+        return F.slice(F.transform(ordered, lambda s: s["i"]), 1, n)
+
+    c_assigned = corpus.select(
+        c_id, c_vec, F.element_at(top_idx(c_vec, 1), 1).alias("__list")
+    )
+    q_assigned = queries.select(
+        q_id, q_vec, F.explode(top_idx(q_vec, n_probe)).alias("__list")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id).asc())
+    return (
+        q_assigned.join(c_assigned, on="__list")
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("sim", cosine_sim(F.col(q_vec), F.col(c_vec)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "sim", "rank")
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

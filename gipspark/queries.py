@@ -874,6 +874,32 @@ def token_quality_langid(spark, sf_dir):
     )
 
 
+@register(
+    "rolling_fingerprint",
+    # Rabin–Karp-style rolling hash over the token stream:
+    #   h ← (h·131 + tok_hash mod 1000003) mod 1000000007
+    # pure int64 arithmetic, overflow-free (max ≈ 2^40), replayed
+    # exactly by the oracle's list_reduce fold
+    f"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(cast(0 as bigint), list_transform(w, s -> {D.MD5_LONG_SQL.format(x='s')} % 1000003)),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+FROM toks
+""",
+)
+def rolling_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, s: (acc * 131 + D.md5_long(s) % 1000003) % F.lit(1000000007).cast("long"),
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
 # --- embeddings ------------------------------------------------------------
 
 _COS_SQL = """
@@ -898,6 +924,51 @@ def cosine_topk_bruteforce(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return cosine_topk(q, emb, k=5)
+
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), i -> ({a})[i]::double * ({b})[i]::double), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "embedding_neardup_pairs",
+    # embedding-cosine near-duplicate detection: same fold cosine as
+    # the engine (sim computed identically → exact threshold parity)
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_DOT.format(a='a.embedding', b='b.embedding')}
+       / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+        * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+      / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+       * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) > 0.4
+""",
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    from gipspark.functions.vectors import cosine_sim
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_sim(F.col("ea"), F.col("eb")))
+        .filter(F.col("sim") > 0.4)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+@register("ivf_cosine_topk", None)
+def ivf_cosine_topk_q(spark, sf_dir):
+    from gipspark.operators.similarity import ivf_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_cosine_topk(q, emb, k=5, n_centroids=16, n_probe=4)
 
 
 # --- rows-only queries (non-SQL-expressible: vendored cell geometry) -------

@@ -199,3 +199,28 @@ def test_range_join_matches_brute(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_ivf_recall_on_clustered_vectors(spark):
+    from gipspark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((16, 64))
+    rows = []
+    vid = 0
+    for c in range(16):
+        for _ in range(12):
+            v = centers[c] + rng.standard_normal(64) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id % 12 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(q, df, k=5).collect()}
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_cosine_topk(q, df, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
