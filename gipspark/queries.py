@@ -284,6 +284,30 @@ def window_lag_events(spark, sf_dir):
 
 
 @register(
+    "window_framed_moving",
+    # framed aggregates: moving 3-row sum + running first/last per user
+    """
+SELECT event_id, user_id,
+       cast(sum(cast(value as decimal(18,2))) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double) AS moving_sum,
+       first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_event,
+       cast(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) as bigint) AS running_n
+FROM events WHERE user_id < 30
+""",
+)
+def window_framed_moving(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w.rowsBetween(-2, 0)).cast("double").alias("moving_sum"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint").alias("running_n"),
+    )
+
+
+@register(
     "set_ops_nations",
     """
 SELECT n_nationkey FROM (
@@ -597,6 +621,24 @@ SELECT c_custkey, poly_id FROM ({_pip_matches_sql('pts', 'c_custkey')})
 def pip_join_customers(spark, sf_dir):
     pts = _cust_pts(spark, sf_dir)
     return pip_join(pts, ORACLE_POLYGONS, level=7).select("c_custkey", "poly_id")
+
+
+@register(
+    "pip_left_join_coverage",
+    # left-join PIP semantics: every point kept, poly_id null outside
+    f"""
+WITH pts AS (SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+             FROM customer WHERE c_custkey < 400),
+m AS (SELECT c_custkey, poly_id FROM ({_pip_matches_sql('pts', 'c_custkey')}))
+SELECT p.c_custkey, m.poly_id
+FROM pts p LEFT JOIN m ON p.c_custkey = m.c_custkey
+""",
+)
+def pip_left_join_coverage(spark, sf_dir):
+    pts = _cust_pts(spark, sf_dir).filter(F.col("c_custkey") < 400)
+    return pip_join(pts, ORACLE_POLYGONS, level=7, keep_all_points=True).select(
+        "c_custkey", "poly_id"
+    )
 
 
 @register(
