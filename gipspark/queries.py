@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 from gipspark.functions import cells as C
 from gipspark.functions import text as T
 from gipspark.functions.vectors import cosine_sim
-from gipspark.geo.haversine import HAVERSINE_SQL, haversine_col
+from gipspark.geo.haversine import HAVERSINE_SQL
 from gipspark.operators import dedup as D
 from gipspark.operators.asof import asof_join, range_join
 from gipspark.operators.knn import knn_join
