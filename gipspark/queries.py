@@ -541,6 +541,34 @@ def inventory_rollup_q(spark, sf_dir):
     )
 
 
+# BPE-ish tokenizer pattern: contraction suffixes, letter runs, single
+# digits, punctuation runs. Deliberately lookaround-free so Java regex
+# (Spark) and RE2 (DuckDB) agree token-for-token.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]+"
+
+
+@register(
+    "bpe_token_counts",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, $${BPE_PATTERN}$$)) AS n_bpe,
+       len(list_distinct(regexp_extract_all(text, $${BPE_PATTERN}$$))) AS n_bpe_distinct,
+       {T.TOKEN_COUNT_SQL.format(t='text')} AS n_ws
+FROM documents WHERE doc_id < 300
+""",
+)
+def bpe_token_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # idx=0: whole-match extraction (Spark defaults to capture group 1)
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe"),
+        F.size(F.array_distinct(bpe)).alias("n_bpe_distinct"),
+        T.token_count(F.col("text")).alias("n_ws"),
+    )
+
+
 @register(
     "cube_order_matrix",
     """

@@ -102,3 +102,26 @@ def test_cover_is_superset_of_inside_cells():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_cover_superset_at_coarse_levels():
+    """Adaptive cover levels (6/9) must stay supersets of the cells of
+    interior points, exactly like the original level-12 property."""
+    import numpy as np
+    from gipspark.geo import pip, s2
+
+    rng = np.random.default_rng(31)
+    for level, radius in ((6, 20.0), (9, 3.0)):
+        cx, cy = rng.uniform(-120, 120), rng.uniform(-50, 50)
+        k = 9
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        ring = np.stack([cx + radius * np.cos(ang), cy + radius * 0.8 * np.sin(ang)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        cover = set(pip.polygon_cover([ring], level=level).tolist())
+        # random interior candidates via rejection sampling
+        lon = rng.uniform(ring[:, 0].min(), ring[:, 0].max(), 4000)
+        lat = rng.uniform(ring[:, 1].min(), ring[:, 1].max(), 4000)
+        edges = pip.rings_to_edges([ring])
+        inside = pip.points_in_polygon(lon, lat, edges)
+        cells = set(s2.latlng_to_cell(lat[inside], lon[inside], level).tolist())
+        assert cells <= cover, f"level {level}: {len(cells - cover)} cells escaped"
