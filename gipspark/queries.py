@@ -592,15 +592,57 @@ def cube_order_matrix(spark, sf_dir):
     )
 
 
-@register("approx_vs_exact_distinct", None)
+@register(
+    "approx_vs_exact_distinct",
+    """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+)
 def approx_vs_exact_distinct(spark, sf_dir):
-    """HLL approx-distinct next to exact — rows-only (approx sketches
-    are engine-specific by definition); the exact side is oracle-covered
-    by distinct_users_daily."""
+    """HLL++ approx-distinct vs exact. The raw sketch estimate is
+    engine-specific, so the oracle checks the CONTRACT instead: the
+    exact count bit-matches DuckDB and the approx estimate lands within
+    2.5× the configured rsd of it (``approx_ok``) — if Spark's HLL
+    drifts outside the bound the value-hash fails."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("approx_ok"),
+    )
+
+
+@register(
+    "grouping_sets_inventory",
+    """
+SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS src,
+       count(*) AS n_docs, sum(n_chars) AS chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), ())
+""",
+)
+def grouping_sets_inventory(spark, sf_dir):
+    """GROUPING SETS — the inventory-rollup shape GIPS's availability
+    matrix needs (per-lang totals, per-source totals, grand total) in
+    ONE pass: Catalyst plans a single Expand + partial/final aggregate
+    instead of three scans + union."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("gs_documents")
+    return spark.sql(
+        """
+        SELECT coalesce(lang, '(all)') AS lang, coalesce(source, '(all)') AS src,
+               count(*) AS n_docs, sum(n_chars) AS chars
+        FROM gs_documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
     )
 
 
