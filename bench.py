@@ -51,13 +51,13 @@ BENCH_QUERIES = [
 def make_spark(cores: int):
     from gipspark import get_spark
 
-    # task_cpus=2: pipeline tasks run a JVM thread + a python worker
-    # concurrently; without it local[32] oversubscribes and runs ~4×
-    # slower (see BENCH.md "python stage oversubscription")
+    # session defaults carry the tuned pipeline config: task_cpus=1 +
+    # 16k-row Arrow batches so each task's JVM thread and python worker
+    # pipeline instead of running in lockstep (BENCH.md "arrow batch
+    # pipelining"; measured 2.2× on the enrich stage at local[32])
     return get_spark(
         f"bench{cores}",
         parallelism=cores,
-        task_cpus=2,
         extra={"spark.ui.showConsoleProgress": "false"},
     )
 
@@ -109,8 +109,8 @@ def main() -> None:
     run_pipeline_once(spark, docs_path)
     walls = []
     rows = N_DOCS
-    for _ in range(2):
-        w, rows = run_pipeline_once(spark, docs_path)
+    for _ in range(3):  # best-of-3: the microVM host has bursty
+        w, rows = run_pipeline_once(spark, docs_path)  # co-tenant load
         walls.append(w)
     wall = min(walls)
     result["value"] = round(wall, 3)
@@ -139,15 +139,21 @@ def main() -> None:
     # buses with its cores; a single box does not). local[CPUS] is also
     # reported -- it shows the documented single-box ceiling (BENCH.md).
     if os.environ.get("GIPSPARK_BENCH_SCALING", "1") != "0" and CPUS >= 8:
+        # 4× the headline input for the scaling pair: after the arrow-
+        # pipelining fix the engine clears 1M docs in ~5 s at local[8],
+        # which is inside this host's noise floor (bimodal walls under
+        # microVM pressure, BENCH.md). Input is identical at every
+        # level — only wall times long enough to average over the noise.
+        scale_docs_path = ensure_docs(spark, 4 * N_DOCS)
         spark.stop()
         levels = [2, 8] + ([CPUS] if CPUS > 8 else [])
         thr = {}
         for cores in levels:
             s = make_spark(cores)
-            run_pipeline_once(s, docs_path)  # warmup: spawn workers, codegen
+            run_pipeline_once(s, scale_docs_path)  # warmup: workers, codegen
             ws = []
-            for _ in range(2):
-                w, n = run_pipeline_once(s, docs_path)
+            for _ in range(3):
+                w, n = run_pipeline_once(s, scale_docs_path)
                 ws.append(w)
             thr[cores] = n / min(ws)
             s.stop()

@@ -54,17 +54,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (JVM higher-order fns, no Python)."""
+    """Distinct word n-gram shingles (JVM higher-order fns, no Python).
+
+    The token array is bound ONCE as a lambda variable via
+    ``transform(array(toks), t -> …)[0]``: referencing the ``tokens()``
+    expression directly inside the per-gram lambda inlines the regex
+    split into every ``element_at`` call — measured 11× slower on the
+    sf0.1 documents table (BENCH.md "expression inlining").
+    """
     toks = tokens(text)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        gram = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+        )
+        return F.when(F.size(t) >= n, F.array_distinct(gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.transform(F.array(toks), build)[0]
 
 
 def shingles_sql(t: str, n: int = 3) -> str:
@@ -82,19 +93,38 @@ def shingles_sql(t: str, n: int = 3) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _hash_i(i: int):
-    # NB: a closure factory, NOT `lambda s, i=i: ...` — PySpark binds a
+# One md5 per shingle, then n_hashes cheap affine mixes in 30-bit
+# space: h_i(s) = (a_i·(md5_long(s) & M) + b_i) & M with odd a_i — a
+# bijection on [0, 2^30), the classic universal-hash MinHash family.
+# Replaces the old md5(s || '#i') scheme, which re-ran md5 n_hashes
+# times per shingle and dominated the LSH query wall (BENCH.md).
+# 30-bit operands keep a·h + b < 2^61: no overflow in Spark longs OR
+# DuckDB bigints, so the oracle replays it bit-for-bit.
+_MASK30 = (1 << 30) - 1
+
+
+def _mix_consts(i: int) -> tuple[int, int]:
+    a = ((0x9E3779B1 * (2 * i + 1)) & _MASK30) | 1
+    b = (0x85EBCA6B * (i + 1)) & _MASK30
+    return a, b
+
+
+def _mix_i(i: int):
+    # NB: a closure factory, NOT `lambda h, i=i: ...` — PySpark binds a
     # second lambda parameter to the array *index*, shadowing defaults.
-    return lambda s: md5_long(F.concat(s, F.lit(f"#{i}")))
+    a, b = _mix_consts(i)
+    return lambda h: (h * F.lit(a) + F.lit(b)).bitwiseAND(F.lit(_MASK30))
+
+
+def shingle_hashes(text: Column, shingle_n: int = 2) -> Column:
+    """30-bit base hashes of the distinct shingles (one md5 each)."""
+    return F.transform(shingles(text, shingle_n), lambda s: md5_long(s).bitwiseAND(F.lit(_MASK30)))
 
 
 def minhash_signature(text: Column, n_hashes: int = 16, shingle_n: int = 2) -> Column:
-    """Array of n_hashes minima over shingle hashes; hash_i(s) =
-    md5_long(s || '#i'). Oracle-replayable bit-for-bit."""
-    sh = shingles(text, shingle_n)
-    return F.array(
-        *[F.array_min(F.transform(sh, _hash_i(i))) for i in range(n_hashes)]
-    )
+    """Array of n_hashes minima over mixed shingle hashes."""
+    hs = shingle_hashes(text, shingle_n)
+    return F.array(*[F.array_min(F.transform(hs, _mix_i(i))) for i in range(n_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -113,15 +143,15 @@ def minhash_lsh_pairs(
     with id_a < id_b.
     """
     rows = n_hashes // bands
-    # materialize shingles once: the signature tree references a plain
-    # column instead of inlining the regex-split 8× (smaller codegen,
-    # one tokenization pass)
+    # materialize the base shingle hashes once: ONE md5 per shingle,
+    # one tokenization pass; the n_hashes signature lanes are cheap
+    # integer mixes over the same array
     sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), shingle_n).alias("__hs")
     )
     sig = sh.select(
         "id",
-        F.array(*[F.array_min(F.transform(F.col("__sh"), _hash_i(i))) for i in range(n_hashes)]).alias(
+        F.array(*[F.array_min(F.transform(F.col("__hs"), _mix_i(i))) for i in range(n_hashes)]).alias(
             "sig"
         ),
     )

@@ -925,13 +925,17 @@ def jaccard_top1_docs(spark, sf_dir):
 
 def _minhash_sig_sql(n_hashes: int, shingle_n: int) -> str:
     sh = D.shingles_sql("text", shingle_n)
+    m = D._MASK30
+    base_hash = "(" + D.MD5_LONG_SQL.format(x="s") + f") & {m}"
     mins = ",".join(
-        "list_min(list_transform(sh, s -> "
-        + D.MD5_LONG_SQL.format(x=f"s || '#{i}'")
-        + f")) AS h{i}"
-        for i in range(n_hashes)
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) & {m})) AS h{i}"
+        for i, (a, b) in ((j, D._mix_consts(j)) for j in range(n_hashes))
     )
-    return f"WITH base AS (SELECT doc_id, {sh} AS sh FROM documents), sig AS (SELECT doc_id, {mins} FROM base)"
+    return (
+        f"WITH base AS (SELECT doc_id, {sh} AS sh FROM documents), "
+        f"hashed AS (SELECT doc_id, list_transform(sh, s -> {base_hash}) AS hs FROM base), "
+        f"sig AS (SELECT doc_id, {mins} FROM hashed)"
+    )
 
 
 @register(

@@ -30,11 +30,13 @@ def get_spark(
     """
     cores = int(parallelism or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4)
     shuffle = int(shuffle_partitions or 2 * cores)
-    # task_cpus=2 for pandas-UDF-heavy pipelines: each task runs a JVM
-    # thread AND a python worker concurrently, so a slot is really two
-    # cores — leaving this at 1 oversubscribes the box 2× and measured
-    # ~4× slower end-to-end at local[32] (BENCH.md). Same reasoning
-    # applies to executor sizing on a real cluster.
+    # task_cpus=1 even for pandas-UDF stages: with the fused single
+    # python pass + small Arrow batches (below), the JVM thread and the
+    # python worker of one task PIPELINE (JVM serializes batch k+1 /
+    # drains k-1 while python crunches k), so a slot genuinely keeps
+    # ~one core busy on each side in alternation, not two at once.
+    # task_cpus=2 halves the slot count and measured 2.2× slower on the
+    # enrich stage at local[32] (BENCH.md "arrow batch pipelining").
     tcpus = int(task_cpus or os.environ.get("GIPSPARK_TASK_CPUS") or 1)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
@@ -46,7 +48,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # 16k rows/batch, not the 65k default-ish sizing: html rows are
+        # ~1 KB, so 64k-row batches are ~64 MB units that serialize the
+        # JVM↔python pipeline into lockstep (python idles while the JVM
+        # marshals one giant batch and vice versa). 8–16k batches keep
+        # both sides streaming; measured 2.2× on the enrich stage
+        # (BENCH.md "arrow batch pipelining").
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         .config("spark.driver.memory", os.environ.get("GIPSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
