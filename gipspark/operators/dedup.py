@@ -187,7 +187,12 @@ def minhash_lsh_pairs(
 
 def simhash64(text: Column, shingle_n: int = 1, bits: int = 32) -> Column:
     """SimHash over shingle hashes: bit b of the fingerprint is the sign
-    of Σ_tokens (±1 per token's hash bit b). JVM-only via aggregate."""
+    of Σ_tokens (±1 per token's hash bit b). JVM-only via aggregate.
+
+    The hash array is lambda-bound once (same inlining hazard as
+    :func:`shingles` — 32 per-bit aggregates would otherwise each
+    re-run the tokenize+md5 chain, BENCH.md "expression inlining").
+    """
     sh = shingles(text, shingle_n)
     hashes = F.transform(sh, lambda s: md5_long(s))
 
@@ -196,11 +201,16 @@ def simhash64(text: Column, shingle_n: int = 1, bits: int = 32) -> Column:
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote(b))
-        out = out + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    def build(hs: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            vote = F.aggregate(hs, F.lit(0).cast("long"), _vote(b))
+            out = out + F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    return F.transform(F.array(hashes), build)[0]
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -224,3 +224,30 @@ def test_ivf_recall_on_clustered_vectors(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_simhash_identical_and_near_duplicate(spark):
+    from gipspark.operators.dedup import hamming64, simhash64, simhash_dup_pairs
+
+    # long doc: one changed word shifts each bit-vote by ±2 out of ~70,
+    # so only near-zero-margin bits can flip and hamming stays small
+    base = " ".join(f"stableword{i}" for i in range(70)) + " today"
+    near = base.replace("today", "tonight")
+    rows = [(0, base), (1, base), (2, near)] + [
+        (i, f"totally different document {i} " + " ".join(f"tok{i}_{j}" for j in range(12)))
+        for i in range(10, 25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r.doc_id: r.sig
+        for r in df.select("doc_id", simhash64(F.col("text")).alias("sig")).collect()
+    }
+    assert sigs[0] == sigs[1]  # identical text -> identical fingerprint
+    ham = df.sparkSession.range(1).select(
+        hamming64(F.lit(sigs[0]), F.lit(sigs[2])).alias("h")
+    ).first().h
+    assert ham <= 3  # one-word change stays within the dup threshold
+
+    pairs = {(r.id_a, r.id_b) for r in simhash_dup_pairs(df).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert all(a < 10 and b < 10 for a, b in pairs)  # no cross-planted false pair
