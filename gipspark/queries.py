@@ -198,6 +198,62 @@ def q3(spark, sf_dir):
 
 
 @register(
+    "q5_local_supplier_volume",
+    # same exact-integer revenue units as q3; the c_nationkey =
+    # s_nationkey predicate is TPC-H Q5's "local supplier" condition
+    """
+SELECT n.n_name,
+       count(*) AS n_items,
+       cast(sum(cast(round(l.l_extendedprice * 100) as bigint) * (100 - cast(round(l.l_discount * 100) as bigint))) as double) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join, facts joined fact↔fact on their
+    keys, dims broadcast. The plan Catalyst should pick (and
+    explain_audit asserts): lineitem⋈orders⋈customer as shuffled joins
+    on the big sides, supplier/nation/region folded in as broadcasts —
+    the region filter prunes before any fact shuffle."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    dim = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+            F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+        )
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            dim,
+            (F.col("l_suppkey") == dim.s_suppkey)
+            & (F.col("c_nationkey") == dim.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(cents).cast("double") / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+
+@register(
     "broadcast_dim_join",
     """
 SELECT r.r_name, count(*) AS n_customers,
@@ -1176,6 +1232,25 @@ def streaming_tile_counts(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .select(F.unix_timestamp(F.col("win.start")).cast("bigint").alias("win_start_s"), "tile_id", "n")
     )
+
+
+@register("multimodal_image_features", None)
+def multimodal_image_features(spark, sf_dir):
+    """Image-histogram features over the synthetic media table —
+    rows-only (the decode kernel is the documented deterministic fake;
+    the Spark plumbing under test — mapInPandas schema, Arrow batch
+    shape, narrow no-shuffle plan — is real). Deterministic across
+    partitionings: media_df is partition-pure, features are per-row."""
+    from gipspark.functions.multimodal import image_features, synthetic_media_df
+
+    media = synthetic_media_df(spark, 120)
+    feats = image_features(media, bins=8)
+    return feats.select(
+        "media_id",
+        F.round(F.col("mean_px").cast("double"), 6).alias("mean_px"),
+        F.round(F.col("edge_density").cast("double"), 6).alias("edge_density"),
+        F.size("histogram").alias("n_bins"),
+    ).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -27,6 +27,7 @@ RULES = {
     # "no ArrowEvalPython/PythonMapInArrow" + Batched parquet scans.
     "q1_pricing_summary": ([r"PushedFilters: \[IsNotNull\(l_shipdate\)", r"partial_"], [r"CartesianProduct", r"ArrowEvalPython"]),
     "q3_top_orders": ([r"BroadcastHashJoin|broadcast", r"TakeOrderedAndProject"], [r"CartesianProduct"]),
+    "q5_local_supplier_volume": ([r"BroadcastHashJoin", r"PushedFilters: \[IsNotNull\(r_name\), EqualTo\(r_name,ASIA\)"], [r"CartesianProduct", r"ArrowEvalPython"]),
     "broadcast_dim_join": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"CartesianProduct"]),
     "pip_join_customers": ([r"BroadcastHashJoin"], [r"SortMergeJoin", r"CartesianProduct"]),
     "tile_assign_customers": ([r"HashAggregate", r"ReadSchema: struct<c_custkey:bigint>", r"partial_count"], [r"ArrowEvalPython", r"CartesianProduct"]),
