@@ -5,7 +5,7 @@ multi-executor clusters" (BASELINE.json:6). Package and launch:
 
     cd /root/repo && zip -qr /tmp/gipspark.zip gipspark
     spark-submit --py-files /tmp/gipspark.zip \
-        --conf spark.task.cpus=2 \
+        --conf spark.sql.execution.arrow.maxRecordsPerBatch=16384 \
         jobs/run_tiling.py \
         --input  /path/to/docs_parquet_or_iceberg_table \
         --ckpt   /path/to/checkpoints --run-id crawl42 \
@@ -46,7 +46,7 @@ def main(argv: list[str] | None = None) -> int:
         # bare `python jobs/run_tiling.py` gets the tuned local session
         from gipspark.session import get_spark
 
-        spark = get_spark("gipspark-tiling", parallelism=args.local_cores, task_cpus=2)
+        spark = get_spark("gipspark-tiling", parallelism=args.local_cores)
 
     from gipspark.plans.pipeline import run_pipeline
     from gipspark.sources.catalog import read_table
