@@ -1234,6 +1234,34 @@ def streaming_tile_counts(spark, sf_dir):
     )
 
 
+@register(
+    "pivot_lang_by_source",
+    """
+SELECT source,
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+       sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
+       sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
+       sum(CASE WHEN lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END) AS other
+FROM documents GROUP BY source
+""",
+)
+def pivot_lang_by_source(spark, sf_dir):
+    """Pivoted inventory calendar view (GIPS DataInventory renders
+    tile×date availability as a matrix; same shape here as
+    source×lang). Explicit value list => one pass, no distinct-values
+    pre-query; the oracle mirrors pivot as conditional aggregation."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "lang_g",
+        F.when(F.col("lang").isin("en", "de", "fr"), F.col("lang")).otherwise("other"),
+    )
+    return (
+        d.groupBy("source")
+        .pivot("lang_g", ["en", "de", "fr", "other"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["en", "de", "fr", "other"])
+    )
+
+
 @register("multimodal_image_features", None)
 def multimodal_image_features(spark, sf_dir):
     """Image-histogram features over the synthetic media table —
