@@ -1262,6 +1262,68 @@ def pivot_lang_by_source(spark, sf_dir):
     )
 
 
+@register(
+    "percentile_order_value",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def percentile_order_value(spark, sf_dir):
+    """Exact percentiles (linear interpolation — Spark `percentile` and
+    DuckDB `quantile_cont` implement the same rule; rounded to 4dp to
+    absorb last-ulp summation differences). At 10^12 rows the exact
+    sort-based percentile is the wrong tool — approx_percentile's
+    KLL/GK sketch is the scale path — but the exact one anchors the
+    oracle, mirroring the approx_vs_exact_distinct pattern."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "gapfill_daily_events",
+    """
+WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+cal AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+ty AS (SELECT DISTINCT event_type FROM ev),
+pd AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY day, event_type)
+SELECT c.day, t.event_type, coalesce(pd.n, 0) AS n
+FROM cal c CROSS JOIN ty t
+LEFT JOIN pd ON pd.day = c.day AND pd.event_type = t.event_type
+""",
+)
+def gapfill_daily_events(spark, sf_dir):
+    """Dense calendar gap-fill: every (day, event_type) slot in the data
+    span, zero-filled where no events landed — GIPS's inventory
+    semantics need explicit no-coverage rows, not absent ones.
+    sequence()+explode builds the calendar from the data's own bounds
+    (one tiny agg), the type dim is broadcast, and only the per-day agg
+    touches the fact table."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    per_day = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    cal = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        cal.crossJoin(F.broadcast(types))
+        .join(per_day, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+
+
 @register("multimodal_image_features", None)
 def multimodal_image_features(spark, sf_dir):
     """Image-histogram features over the synthetic media table —
