@@ -1324,6 +1324,73 @@ def gapfill_daily_events(spark, sf_dir):
     )
 
 
+@register(
+    "near_dedup_decision",
+    _minhash_sig_sql(8, 2)
+    + """,
+banded AS (
+  SELECT doc_id, b.band, b.bucket FROM sig, LATERAL (
+    SELECT * FROM (VALUES
+      (0, """
+    + D.MD5_LONG_SQL.format(x="cast(h0 as varchar) || ',' || cast(h1 as varchar)")
+    + """),
+      (1, """
+    + D.MD5_LONG_SQL.format(x="cast(h2 as varchar) || ',' || cast(h3 as varchar)")
+    + """),
+      (2, """
+    + D.MD5_LONG_SQL.format(x="cast(h4 as varchar) || ',' || cast(h5 as varchar)")
+    + """),
+      (3, """
+    + D.MD5_LONG_SQL.format(x="cast(h6 as varchar) || ',' || cast(h7 as varchar)")
+    + """)) AS t(band, bucket)) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+  FROM banded a JOIN banded bb
+    ON a.band = bb.band AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id),
+sz AS (SELECT doc_id, sh, len(sh) AS sz FROM base),
+ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sz a ON a.doc_id = c.id_a JOIN sz b ON b.doc_id = c.id_b
+  WHERE 2 * len(list_intersect(a.sh, b.sh)) >= a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+SELECT id_b AS doc_id, min(id_a) AS canonical_id, count(*) AS n_partners
+FROM ver GROUP BY id_b
+""",
+)
+def near_dedup_decision(spark, sf_dir):
+    """End-to-end near-dup dedup decision, the composed training-data
+    flow: MinHash-LSH candidates → exact shingle-Jaccard verify
+    (integer form 2·common ≥ union, i.e. J ≥ 0.5 — no float compare)
+    → keep-min-id (each dup points at its smallest verified partner).
+    One LSH pass bounds candidates, the verify join touches candidates
+    only. Single-round canonicalization: transitive chains resolve one
+    hop (c→b even if b→a) — full closure is iterative connected
+    components, out of scope for the SQL-expressible surface."""
+    docs = load(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=2).select("id_a", "id_b")
+    sh = docs.select(
+        F.col("doc_id").alias("sid"), D.shingles(F.col("text"), 2).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    p = (
+        cand.join(
+            sh.select(
+                F.col("sid").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("sid").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
+            ),
+            "id_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+    )
+    ver = p.filter(2 * F.col("common") >= F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return ver.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("canonical_id"), F.count(F.lit(1)).alias("n_partners")
+    )
+
+
 @register("multimodal_image_features", None)
 def multimodal_image_features(spark, sf_dir):
     """Image-histogram features over the synthetic media table —
