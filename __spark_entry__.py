@@ -7,8 +7,8 @@
   tile assignment → per-(tile, poly) counts.
 - ``queries()`` / ``oracle_sql()``: the full operator registry lives in
   gipspark/queries.py — one entry per SURVEY.md §2 operator, DuckDB
-  oracle SQL for every SQL-expressible one (31 oracle-checked + 8
-  rows-only as of round 1; parity verified by tools/check_oracle.py).
+  oracle SQL for every SQL-expressible one (43 oracle-checked + 9
+  rows-only at round-1 close; parity verified by tools/check_oracle.py).
 """
 
 from __future__ import annotations

@@ -251,3 +251,36 @@ def test_simhash_identical_and_near_duplicate(spark):
     pairs = {(r.id_a, r.id_b) for r in simhash_dup_pairs(df).collect()}
     assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
     assert all(a < 10 and b < 10 for a, b in pairs)  # no cross-planted false pair
+
+
+def test_dedup_decision_invariant_to_partitioning(spark, sf_dir):
+    """The near-dup decision (LSH -> verify -> keep-min-id) must be a
+    pure function of the data, not of its physical layout — at cluster
+    scale partition counts change run to run."""
+    from gipspark.queries import REGISTRY
+
+    fn, _ = REGISTRY["near_dedup_decision"]
+    base = {tuple(r) for r in fn(spark, sf_dir).collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for parts in (1, 13):
+        from gipspark.operators import dedup as D
+
+        cand = D.minhash_lsh_pairs(docs.repartition(parts), n_hashes=8, bands=4, shingle_n=2)
+        sh = docs.repartition(parts).select(
+            F.col("doc_id").alias("sid"), D.shingles(F.col("text"), 2).alias("sh")
+        ).withColumn("sz", F.size("sh"))
+        p = (
+            cand.select("id_a", "id_b")
+            .join(sh.select(F.col("sid").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sh.select(F.col("sid").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")), "id_b")
+            .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        )
+        ver = p.filter(2 * F.col("common") >= F.col("sz_a") + F.col("sz_b") - F.col("common"))
+        got = {
+            tuple(r)
+            for r in ver.groupBy(F.col("id_b").alias("doc_id"))
+            .agg(F.min("id_a").alias("canonical_id"), F.count(F.lit(1)).alias("n_partners"))
+            .collect()
+        }
+        assert got == base
