@@ -96,6 +96,7 @@ def pip_join(
     cell_col: str | None = None,
     cell_level: int = 12,
     keep_all_points: bool = False,
+    refine: str = "jvm",
 ) -> DataFrame:
     """points ⋈ polygons → points' columns + ``poly_id``.
 
@@ -106,6 +107,12 @@ def pip_join(
     ``cell_col``/``cell_level``: reuse an existing S2 cell column for
     the group at that level (encode-once pipelines).
     ``keep_all_points``: left join semantics (unmatched → poly_id null).
+    ``refine``: "jvm" (default) runs the even-odd ray cast as a
+    whole-stage-codegen `aggregate` over a broadcast edges array — the
+    pipeline then has ONE python stage (the enrich pass) instead of
+    two; "pandas" keeps the NumPy kernel (identical rule; equality
+    property-tested), useful as an oracle and for polygons so large
+    that per-row edge arrays stop fitting a broadcast row.
     """
     spark = points.sparkSession
     if len({p["poly_id"] for p in polys}) != len(polys):
@@ -155,18 +162,54 @@ def pip_join(
         F.broadcast(cover.withColumnRenamed("__cell", "__pcell")), on="__pcell", how="inner"
     ).select(*points.columns, "poly_id")
 
-    @pandas_udf(BooleanType())
-    def _refine(lon: pd.Series, lat: pd.Series, pid: pd.Series) -> pd.Series:
-        out = np.zeros(len(lon), dtype=bool)
-        lo = lon.to_numpy(np.float64)
-        la = lat.to_numpy(np.float64)
-        pids = pid.to_numpy(np.int64)
-        for p in np.unique(pids):
-            m = pids == p
-            out[m] = pipgeo.points_in_polygon_batched(lo[m], la[m], edges[int(p)])
-        return pd.Series(out)
+    if refine == "jvm":
+        # edges ride as a broadcast (poly_id → array<struct>) dim; the
+        # crossing rule below is the VERBATIM pipgeo.points_in_polygon
+        # rule (and the DuckDB oracle's): straddle test first, so the
+        # xcross division only matters when y2 != y1 (double /0 yields
+        # ±inf/nan under IEEE, and `false AND nan` is false — same as
+        # the NumPy kernel's masked semantics)
+        edges_rows = [
+            (
+                int(pid),
+                [(float(x1), float(y1), float(x2), float(y2)) for x1, y1, x2, y2 in arr],
+            )
+            for pid, arr in edges.items()
+        ]
+        edges_df = spark.createDataFrame(
+            edges_rows,
+            "poly_id long, __edges array<struct<x1:double,y1:double,x2:double,y2:double>>",
+        )
+        lon_c, lat_c = F.col(lon_col), F.col(lat_col)
+        crossings = F.aggregate(
+            F.col("__edges"),
+            F.lit(0),
+            lambda acc, e: acc
+            + F.when(
+                ((e.y1 > lat_c) != (e.y2 > lat_c))
+                & (lon_c < (e.x2 - e.x1) * (lat_c - e.y1) / (e.y2 - e.y1) + e.x1),
+                1,
+            ).otherwise(0),
+        )
+        matched = (
+            cand.join(F.broadcast(edges_df), "poly_id")
+            .filter(crossings % 2 == 1)
+            .select(*points.columns, "poly_id")
+        )
+    else:
 
-    matched = cand.filter(_refine(F.col(lon_col), F.col(lat_col), F.col("poly_id")))
+        @pandas_udf(BooleanType())
+        def _refine(lon: pd.Series, lat: pd.Series, pid: pd.Series) -> pd.Series:
+            out = np.zeros(len(lon), dtype=bool)
+            lo = lon.to_numpy(np.float64)
+            la = lat.to_numpy(np.float64)
+            pids = pid.to_numpy(np.int64)
+            for p in np.unique(pids):
+                m = pids == p
+                out[m] = pipgeo.points_in_polygon_batched(lo[m], la[m], edges[int(p)])
+            return pd.Series(out)
+
+        matched = cand.filter(_refine(F.col(lon_col), F.col(lat_col), F.col("poly_id")))
     if not keep_all_points:
         return matched
     return points.join(
