@@ -93,8 +93,16 @@ def enrich_docs(docs: DataFrame, fused: bool = True, keep_html: bool = False) ->
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            geo = geotag_frame(b["html"])
-            text = extract_text_series(b["html"])
+            # decode once: geotag and extract both need str, and the
+            # ("utf-8", "replace") decode is ~15% of the kernel — the
+            # frozen-spec bytes→str rule lives HERE now, shared
+            html_s = b["html"].map(
+                lambda v: v.decode("utf-8", "replace")
+                if isinstance(v, (bytes, bytearray))
+                else v
+            )
+            geo = geotag_frame(html_s)
+            text = extract_text_series(html_s)
             if not keep_html:
                 b = b.drop(columns=["html"])
             b = b.assign(
