@@ -67,13 +67,22 @@ def knn_join(
     p_lat: str = "p_lat",
     p_lon: str = "p_lon",
     max_rounds: int = 3,
+    n_points_hint: int | None = None,
 ) -> DataFrame:
     """Exact k nearest ``points`` per query row.
 
     Returns (q_id, p_id, dist_m, rank) with rank 1..k ordered by
     (dist_m, p_id) — the tie-break makes results deterministic and
-    oracle-comparable.
+    oracle-comparable. ``n_points_hint`` skips the ``points.count()``
+    the density-adaptive level pick otherwise needs — at 10^12 rows
+    pass the table's known row count (catalog/manifest metadata)
+    instead of paying a full scan before the join starts.
     """
+    if level is None and n_points_hint is not None:
+        import math
+
+        target_cells = max(6, n_points_hint * 9 // (8 * k))
+        level = max(1, min(14, int(math.log(max(target_cells / 6, 1), 4))))
     if level is None:
         # density-adaptive: pick the level whose ring-1 disk (9 cells)
         # is expected to hold ~8k points, so most queries settle in the
