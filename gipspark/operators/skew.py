@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 def hot_keys(df: DataFrame, key: str, hot_threshold: float = 0.01, sample: float | None = None) -> list:
     """Keys covering ≥ hot_threshold of rows (optionally on a sample)."""
-    src = df.sample(sample) if sample else df
+    src = df.sample(fraction=sample, seed=7) if sample else df
     total = src.count()
     if total == 0:
         return []

@@ -846,7 +846,12 @@ def skew_salted_join(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderstatus")
     )
-    joined = salted_hybrid_join(li, o, key="l_orderkey", n_salt=8, hot_threshold=0.001)
+    # histogram on a 5% seeded sample: which keys land in the "hot"
+    # slice changes only the physical split (broadcast vs salted
+    # shuffle), never the join result — equality is property-tested
+    joined = salted_hybrid_join(
+        li, o, key="l_orderkey", n_salt=8, hot_threshold=0.001, sample=0.05
+    )
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("price_sum"),
