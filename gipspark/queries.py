@@ -1368,8 +1368,16 @@ def near_dedup_decision(spark, sf_dir):
     → keep-min-id (each dup points at its smallest verified partner).
     One LSH pass bounds candidates, the verify join touches candidates
     only. Single-round canonicalization: transitive chains resolve one
-    hop (c→b even if b→a) — full closure is iterative connected
-    components, out of scope for the SQL-expressible surface."""
+    hop (c→b even if b→a) — the full closure is near_dedup_clusters."""
+    ver = _verified_neardup_pairs(spark, sf_dir)
+    return ver.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.min("id_a").alias("canonical_id"), F.count(F.lit(1)).alias("n_partners")
+    )
+
+
+def _verified_neardup_pairs(spark, sf_dir):
+    """Shared by near_dedup_decision (one-hop, oracle) and
+    near_dedup_clusters (transitive, iterative)."""
     docs = load(spark, sf_dir, "documents")
     cand = D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=2).select("id_a", "id_b")
     sh = docs.select(
@@ -1390,9 +1398,51 @@ def near_dedup_decision(spark, sf_dir):
         )
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
     )
-    ver = p.filter(2 * F.col("common") >= F.col("sz_a") + F.col("sz_b") - F.col("common"))
-    return ver.groupBy(F.col("id_b").alias("doc_id")).agg(
-        F.min("id_a").alias("canonical_id"), F.count(F.lit(1)).alias("n_partners")
+    return p.filter(2 * F.col("common") >= F.col("sz_a") + F.col("sz_b") - F.col("common"))
+
+
+@register("near_dedup_clusters", None)
+def near_dedup_clusters(spark, sf_dir):
+    """Transitive closure of the verified near-dup graph: every doc in
+    a dup cluster labeled with the cluster's minimum doc_id (iterative
+    min-label propagation, operators/components.py — iterative, hence
+    rows-only; the one-hop base is oracle-checked by
+    near_dedup_decision and the closure vs union-find by pytest)."""
+    from gipspark.operators.components import connected_components
+
+    ver = _verified_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(ver)
+    return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "approx_percentile_contract",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       TRUE AS approx_ok
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def approx_percentile_contract(spark, sf_dir):
+    """approx_percentile (KLL/GK sketch — the 10^12-row scale path)
+    checked the same way as approx_vs_exact_distinct: the exact median
+    bit-matches DuckDB, and the sketch estimate must land within 2% of
+    the group's value span of it or the value-hash fails."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("span"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round(F.col("p50"), 4).alias("p50_exact"),
+        (F.abs(F.col("p50_approx") - F.col("p50")) <= F.lit(0.02) * F.col("span")).alias(
+            "approx_ok"
+        ),
     )
 
 

@@ -97,6 +97,26 @@ def streaming_cell_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_polygon_counts(stream: DataFrame, polys: list[dict]) -> DataFrame:
+    """Streaming PIP: events → derived coords → point-in-polygon
+    (broadcast cell-prefilter + JVM ray-cast refine — the SAME
+    gipspark.operators.pip operator the batch engine runs; its plan is
+    narrow joins + filters, so Structured Streaming accepts it
+    unchanged) → per-(window, poly) counts with a watermark."""
+    from gipspark.operators.pip import pip_join
+
+    tagged = stream.withColumn("lat", derived_lat(F.col("event_id") + F.lit(1))).withColumn(
+        "lon", derived_lon(F.col("event_id") + F.lit(1))
+    )
+    matched = pip_join(tagged, polys, level=7)
+    return (
+        matched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("win"), "poly_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "poly_id", "n")
+    )
+
+
 def run_to_table(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"
 ) -> None:

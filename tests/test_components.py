@@ -1,0 +1,59 @@
+"""Connected components vs a python union-find oracle."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from gipspark.operators.components import connected_components
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min node of the component
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return comp
+
+
+def test_components_match_union_find_random_graph(spark):
+    rng = random.Random(17)
+    edges = set()
+    # 30 chains/stars/cliques mixed, 400 nodes
+    for c in range(30):
+        base = c * 13
+        kind = c % 3
+        if kind == 0:  # chain — worst case for propagation depth
+            for i in range(6):
+                edges.add((base + i, base + i + 1))
+        elif kind == 1:  # star
+            for i in range(1, 7):
+                edges.add((base, base + i))
+        else:  # random clique-ish
+            nodes = [base + rng.randrange(8) for _ in range(6)]
+            for a, b in zip(nodes, nodes[1:]):
+                if a != b:
+                    edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    want = _union_find(sorted(edges))
+    assert got == want
+
+
+def test_components_close_near_dup_chain(spark):
+    # a~b and b~c but never a~c directly: closure must unify all three
+    df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -84,3 +84,40 @@ def test_streaming_tile_counts_match_batch_plan(spark, sf_dir, tmp_path):
     # tail windows, so emitted counts are a prefix of the batch total
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got is None or got <= total
+
+
+def test_streaming_polygon_counts_subset_of_batch(spark, sf_dir, tmp_path):
+    """Streaming PIP emits a subset of the batch aggregate's windows
+    (watermark holds back open/late windows) with identical values."""
+    from pyspark.sql import functions as F
+
+    from gipspark.functions.cells import derived_lat, derived_lon
+    from gipspark.operators.pip import pip_join
+    from gipspark.queries import ORACLE_POLYGONS
+    from gipspark.streaming.events import (
+        read_events_stream,
+        run_to_table,
+        stage_stream_chunks,
+        streaming_polygon_counts,
+    )
+
+    chunks = str(tmp_path / "chunks")
+    stage_stream_chunks(spark, sf_dir, chunks, n_chunks=3)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = read_events_stream(spark, chunks)
+    run_to_table(streaming_polygon_counts(stream, ORACLE_POLYGONS), out, ck)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    ev = spark.read.parquet(chunks)
+    tagged = ev.withColumn("lat", derived_lat(F.col("event_id") + F.lit(1))).withColumn(
+        "lon", derived_lon(F.col("event_id") + F.lit(1))
+    )
+    batch = (
+        pip_join(tagged, ORACLE_POLYGONS, level=7)
+        .groupBy(F.window("ts", "15 minutes").alias("win"), "poly_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "poly_id", "n")
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got <= want and len(got) > 0
