@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "jaccard_top1_docs",
     "cosine_topk_bruteforce",
+    "q5_local_supplier_volume",
+    "near_dedup_decision",
+    "grouping_sets_inventory",
 ]
 
 

@@ -43,6 +43,8 @@ RULES = {
     "token_quality_langid": ([r"PushedFilters: \[IsNotNull\(doc_id\), LessThan\(doc_id"], [r"ArrowEvalPython"]),
     "range_join_windows": ([r"Generate"], [r"CartesianProduct", r"BroadcastNestedLoopJoin"]),
     "asof_purchase_click": ([r"Window"], [r"CartesianProduct"]),
+    "near_dedup_decision": ([r"HashAggregate"], [r"ArrowEvalPython", r"CartesianProduct"]),
+    "grouping_sets_inventory": ([r"Expand"], [r"ArrowEvalPython", r"CartesianProduct"]),
 }
 
 
