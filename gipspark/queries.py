@@ -1446,6 +1446,33 @@ def approx_percentile_contract(spark, sf_dir):
     )
 
 
+@register("compact_cell_cover", None)
+def compact_cell_cover(spark, sf_dir):
+    """compact/uncompact round-trip over the customers' h3x res-6 cell
+    set (rows-only: the aperture-7 hierarchy is non-SQL, like kring;
+    minimality + round-trip proven by tests/test_compact.py). Output:
+    per-resolution cell counts of the compacted cover + a roundtrip_ok
+    flag that fails the rowcheck if uncompact(compact(S)) != S."""
+    from gipspark.operators.compact import compact_cells, uncompact_cells
+
+    pts = _cust_pts(spark, sf_dir)
+    cells = pts.select(
+        C.h3_cell(F.col("lat"), F.col("lon"), 4).alias("cell")
+    ).distinct()
+    compacted = compact_cells(cells, 4)
+    restored = uncompact_cells(compacted, 4).select(F.col("cell").alias("rcell"))
+    n_in = cells.count()
+    n_round = cells.join(restored, cells.cell == F.col("rcell"), "inner").count()
+    per_res = (
+        compacted.groupBy(
+            F.shiftright(F.col("cell"), 52).bitwiseAND(F.lit(0xF)).alias("res")
+        )
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .withColumn("roundtrip_ok", F.lit(n_round == n_in))
+    )
+    return per_res.orderBy("res")
+
+
 @register("multimodal_image_features", None)
 def multimodal_image_features(spark, sf_dir):
     """Image-histogram features over the synthetic media table —
