@@ -7,7 +7,7 @@
   tile assignment → per-(tile, poly) counts.
 - ``queries()`` / ``oracle_sql()``: the full operator registry lives in
   gipspark/queries.py — one entry per SURVEY.md §2 operator, DuckDB
-  oracle SQL for every SQL-expressible one (43 oracle-checked + 9
+  oracle SQL for every SQL-expressible one (44 oracle-checked + 11
   rows-only at round-1 close; parity verified by tools/check_oracle.py).
 """
 
