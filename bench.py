@@ -154,11 +154,12 @@ def main() -> None:
         for cores in levels:
             s = make_spark(cores)
             run_pipeline_once(s, scale_docs_path)  # warmup: workers, codegen
-            # reps scale with wall shortness: a host-load burst inside a
-            # 15 s local[8] rep skews best-of-2 badly but best-of-5
-            # almost surely catches a clean window; the ~60 s local[2]
-            # walls integrate over bursts by themselves
-            reps = 2 if cores <= 2 else 5
+            # SYMMETRIC protocol: same rep count and same estimator
+            # (min) at every level — min over unequal sample sizes
+            # biases the ratio toward the level with more reps
+            # (ADVICE r1). 3 reps ≈ 3 min wall at local[2], enough to
+            # catch one clean window between host-load bursts.
+            reps = 3
             ws = []
             for _ in range(reps):
                 w, n = run_pipeline_once(s, scale_docs_path)

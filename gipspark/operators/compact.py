@@ -64,7 +64,9 @@ def compact_cells(df: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
     # and without caching the final union re-derives round k's input
     # k times over (including any python encode upstream) — measured
     # O(rounds²) blowup on a 1.5k-cell cover
+    frontiers: list[DataFrame] = []
     remaining = df.select(F.col(cell_col).alias("cell")).persist()
+    frontiers.append(remaining)
     kept_parts: list[DataFrame] = []
     for r in range(res, 0, -1):
         with_parent = remaining.withColumn("__p", _parent_col(F.col("cell"), r))
@@ -74,6 +76,7 @@ def compact_cells(df: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
             with_parent.join(F.broadcast(full), "__p", "left_anti").select("cell")
         )
         remaining = full.select(F.col("__p").alias("cell")).persist()
+        frontiers.append(remaining)
         # NB: broadcast(full) is correct while promoted sets are
         # dim-sized; for planet-scale covers drop the hint and let AQE
         # choose (the join key is already the shuffle key)
@@ -81,6 +84,13 @@ def compact_cells(df: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
     out = kept_parts[0]
     for p in kept_parts[1:]:
         out = out.unionByName(p)
+    # materialize once while the frontier caches are live, then release
+    # them — otherwise every call leaks `res`+1 cached blocks for the
+    # session lifetime (components.py-style bounded-memory discipline)
+    out = out.persist()
+    out.count()
+    for f in frontiers:
+        f.unpersist()
     return out
 
 

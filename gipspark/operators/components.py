@@ -9,12 +9,18 @@ rounds, each one a join + two min-aggregates, all JVM:
     label(v) ← min(label(v), min over neighbors u of label(u))
 
 Labels are node ids, only ever decrease, and the component minimum is
-a fixpoint — convergence in ≤ diameter rounds (dedup graphs are
-star-ish: 2–4 rounds in practice). Scale shape: edges shuffle on src
-per round; labels persist per round and unpersist after the next round
-materializes (bounded memory, truncated lineage). Convergence is
-detected by the strictly-decreasing label sum — one cheap agg per
-round instead of a changed-rows join.
+a fixpoint. Each round does (a) one hop of neighbor-min propagation and
+(b) a pointer-jump (comp(v) ← comp(comp(v)) — comp values are node ids,
+so they are themselves labeled rows): the known distance a label can
+travel per round therefore *doubles*, giving convergence in O(log
+diameter) rounds instead of O(diameter) — max_iter=25 covers any
+component with diameter up to ~2^25 hops. Scale shape: edges shuffle on
+src per round; labels persist per round and unpersist after the next
+round materializes (bounded memory, truncated lineage). Convergence is
+detected by the strictly-decreasing label sum — one cheap agg per round
+instead of a changed-rows join; exhausting max_iter without the sum
+stabilizing raises (silently-wrong labels are worse than a retry with a
+higher cap).
 """
 
 from __future__ import annotations
@@ -30,7 +36,12 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(node, comp) for every node in ``pairs``; comp = min node id of
-    the node's connected component."""
+    the node's connected component.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without the
+    label assignment reaching its fixpoint (never silently returns
+    unconverged labels).
+    """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -42,6 +53,7 @@ def connected_components(
     ).persist()
     prev_sum = labels.agg(F.sum("comp")).first()[0]
 
+    converged = False
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges.src == labels.node)
@@ -49,17 +61,41 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
+        hop = labels.unionByName(prop).groupBy("node").agg(F.min("comp").alias("comp"))
+        # pointer-jump: follow the label one more step (comp is a node
+        # id, so it has its own row in `hop`). Doubles the effective
+        # propagation distance per round → O(log diameter) convergence.
         new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            hop.alias("h")
+            .join(
+                hop.select(
+                    F.col("node").alias("__cnode"), F.col("comp").alias("__ccomp")
+                ),
+                F.col("h.comp") == F.col("__cnode"),
+                "left",
+            )
+            .select(
+                F.col("h.node").alias("node"),
+                F.least(F.col("h.comp"), F.coalesce(F.col("__ccomp"), F.col("h.comp"))).alias(
+                    "comp"
+                ),
+            )
             .persist()
         )
         new_sum = new_labels.agg(F.sum("comp")).first()[0]
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(label sum still decreasing) — raise max_iter; with "
+            "pointer-jumping each round doubles reach, so this indicates "
+            "a component of diameter > ~2^max_iter or a non-terminating input"
+        )
     return labels

@@ -166,9 +166,13 @@ def pip_join(
         # edges ride as a broadcast (poly_id → array<struct>) dim; the
         # crossing rule below is the VERBATIM pipgeo.points_in_polygon
         # rule (and the DuckDB oracle's): straddle test first, so the
-        # xcross division only matters when y2 != y1 (double /0 yields
-        # ±inf/nan under IEEE, and `false AND nan` is false — same as
-        # the NumPy kernel's masked semantics)
+        # xcross division only matters when y2 != y1. Spark's non-ANSI
+        # Divide returns NULL on a zero divisor (not IEEE inf/nan), and
+        # three-valued AND short-circuits `false AND NULL` to false —
+        # the straddle gate is false exactly when y1 == y2, so the NULL
+        # never escapes. NB: under spark.sql.ansi.enabled=true the
+        # division would raise instead; gate horizontal edges explicitly
+        # before enabling ANSI mode.
         edges_rows = [
             (
                 int(pid),

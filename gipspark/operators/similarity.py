@@ -75,14 +75,30 @@ def _bucket_col(vec_col: str, planes: np.ndarray):
 
 
 def _kmeans_centroids(
-    corpus: DataFrame, c_vec: str, n_centroids: int, sample: int = 4096, iters: int = 8, seed: int = 17
+    corpus: DataFrame,
+    c_vec: str,
+    n_centroids: int,
+    c_id: str | None = None,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 17,
 ) -> np.ndarray:
     """Tiny driver-side k-means on a sample — the IVF coarse quantizer.
 
     The sample is bounded (collect of ≤``sample`` rows), so this stays
     O(sample·dim·iters) on the driver no matter the corpus size; the
-    expensive assignment step below is distributed."""
-    rows = corpus.select(c_vec).limit(sample).collect()
+    expensive assignment step below is distributed. When ``c_id`` is
+    given the sample is the ``sample`` rows with the smallest
+    xxhash64(id) — a deterministic reservoir that is invariant to
+    partitioning/parallelism (bare ``limit`` is partition-order-
+    dependent) and runs as TakeOrderedAndProject (per-partition top-k,
+    no full sort)."""
+    sel = corpus.select(c_vec) if c_id is None else (
+        corpus.select(c_vec, F.xxhash64(F.col(c_id)).alias("__h"))
+        .orderBy("__h")
+        .select(c_vec)
+    )
+    rows = sel.limit(sample).collect()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -115,7 +131,7 @@ def ivf_cosine_topk(
     the union. Recall tunes with n_probe; shuffle volume is bounded by
     list occupancy — the scale path for 10^12-row corpora where bucket
     lists live partitioned on centroid id."""
-    C = _kmeans_centroids(corpus, c_vec, n_centroids)
+    C = _kmeans_centroids(corpus, c_vec, n_centroids, c_id=c_id)
 
     def dots(vec_col: str):
         return [
