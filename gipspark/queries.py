@@ -71,14 +71,18 @@ ORACLE_POLYGONS: list[dict] = [
 ]
 
 
-def _edges_values_sql() -> str:
-    """All polygon edges as a VALUES table (poly_id, x1, y1, x2, y2)."""
+def _poly_edges_values_sql(polys: list[dict]) -> str:
+    """Polygon edges as a VALUES table (poly_id, x1, y1, x2, y2)."""
     rows = []
-    for p in ORACLE_POLYGONS:
+    for p in polys:
         for ring in p["rings"]:
             for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
                 rows.append(f"({p['poly_id']},{x1!r},{y1!r},{x2!r},{y2!r})")
     return "(VALUES " + ",".join(rows) + ") AS e(poly_id, x1, y1, x2, y2)"
+
+
+def _edges_values_sql() -> str:
+    return _poly_edges_values_sql(ORACLE_POLYGONS)
 
 
 # Even-odd ray cast in SQL — textually the same crossing rule as
@@ -1199,23 +1203,84 @@ def lsh_cosine_topk_q(spark, sf_dir):
     return lsh_cosine_topk(q, emb, k=5)
 
 
-@register("simhash_signatures", None)
+def _simhash_oracle_sql(bits: int = 32, shingle_n: int = 1) -> str:
+    """Textual DuckDB mirror of dedup.simhash64: md5-derived shingle
+    hashes, per-bit ±1 votes, sign bits packed little-endian."""
+    sh = D.shingles_sql("text", shingle_n)
+    h = D.MD5_LONG_SQL.format(x="s")
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform(hs, h -> "
+            f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END)")
+    sig = "\n     + ".join(terms)
+    return f"""
+WITH base AS (SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id < 100),
+hashed AS (SELECT doc_id, list_transform(sh, s -> ({h})) AS hs FROM base)
+SELECT doc_id, cast({sig} AS BIGINT) AS sig FROM hashed
+"""
+
+
+@register("simhash_signatures", _simhash_oracle_sql())
 def simhash_signatures(spark, sf_dir):
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return d.select("doc_id", D.simhash64(F.col("text"), bits=32).alias("sig"))
 
 
-@register("zonal_raster_stats", None)
+_RASTER_TILES = ["h36v08", "h37v08", "h36v09"]  # megacity neighborhood
+_RASTER_PX = 32
+
+
+def _zonal_raster_oracle_sql() -> str:
+    """Bake the deterministic raster pixels and fixture-polygon edges as
+    VALUES tables (both sides derive from the same pure generators —
+    fixtures.raster_tile_pdf / fixtures.polygons — so the doubles are
+    bit-identical), then run the house even-odd ray-cast rule + stats.
+    This verifies the Spark zonal operator (cover prefilter + exact
+    refine + agg) against a prefilter-free SQL PIP."""
+    from gipspark.sources.fixtures import polygons as fixture_polygons
+    from gipspark.sources.fixtures import raster_tile_pdf
+
+    rows = []
+    pid = 0
+    for t in _RASTER_TILES:
+        pdf = raster_tile_pdf(t, _RASTER_PX)
+        for lat, lon, val in zip(pdf["lat"], pdf["lon"], pdf["value"]):
+            # ::DOUBLE keeps DuckDB from binding the literals as
+            # DECIMAL (sum overflow + wrong type tags)
+            rows.append(f"({pid},{lat!r}::DOUBLE,{lon!r}::DOUBLE,{val!r}::DOUBLE)")
+            pid += 1
+    px_values = "(VALUES " + ",".join(rows) + ") AS t(pid, lat, lon, value)"
+    edges = _poly_edges_values_sql(fixture_polygons(10))
+    return f"""
+WITH px AS (SELECT * FROM {px_values}),
+m AS (
+  SELECT p.pid, e.poly_id
+  FROM px p CROSS JOIN {edges}
+  WHERE ((e.y1 > p.lat) != (e.y2 > p.lat))
+    AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+  GROUP BY p.pid, e.poly_id
+  HAVING count(*) % 2 = 1)
+SELECT m.poly_id, count(*) AS px_count,
+       round(min(p.value), 6) AS v_min, round(max(p.value), 6) AS v_max,
+       round(avg(p.value), 6) AS v_avg, round(sum(p.value), 6) AS v_sum
+FROM m JOIN px p ON p.pid = m.pid
+GROUP BY m.poly_id
+"""
+
+
+@register("zonal_raster_stats", _zonal_raster_oracle_sql())
 def zonal_raster_stats(spark, sf_dir):
-    """Raster↔vector zonal aggregation over the engine's raster fixture
-    (gips_stats semantics — no driver table carries a raster, so this is
-    a rows-only check; exactness is covered by test_operators.py's
-    PIP-vs-brute-force equality on the same kernels)."""
+    """Raster↔vector zonal aggregation (gips_stats semantics). No driver
+    table carries a raster, so the oracle bakes the same deterministic
+    pixel/polygon fixtures as VALUES and replays the house PIP rule
+    without the cell prefilter — checking cover+refine+agg end to end."""
     from gipspark.operators.zonal import zonal_stats
     from gipspark.sources.fixtures import polygons, raster_cells_df
 
-    tiles = ["h36v08", "h37v08", "h36v09"]  # megacity neighborhood
-    raster = raster_cells_df(spark, tiles, px=32)
+    raster = raster_cells_df(spark, _RASTER_TILES, px=_RASTER_PX)
     out = zonal_stats(raster, polygons(10), level=9)
     return out.select(
         "poly_id",
@@ -1227,10 +1292,23 @@ def zonal_raster_stats(spark, sf_dir):
     )
 
 
-@register("streaming_tile_counts", None)
+@register(
+    "streaming_tile_counts",
+    f"""
+WITH ev AS (SELECT ts, {_LAT.format(k='user_id + 1')} AS lat,
+                   {_LON.format(k='user_id + 1')} AS lon FROM events)
+SELECT cast(floor(epoch(ts) / 900) * 900 as bigint) AS win_start_s,
+       {C.TILE_SQL.format(lat='lat', lon='lon')} AS tile_id,
+       count(*) AS n
+FROM ev GROUP BY win_start_s, tile_id
+""",
+)
 def streaming_tile_counts(spark, sf_dir):
     """Batch-mode execution of the streaming per-tile rollup plan
-    (same DataFrame ops Structured Streaming runs incrementally)."""
+    (same DataFrame ops Structured Streaming runs incrementally).
+    Oracle: tumbling window == epoch floored to 900 s, tile via the
+    TILE_SQL textual mirror — the same batch-shape trick as
+    tumbling_window_counts."""
     ev = load(spark, sf_dir, "events")
     lat = C.derived_lat(F.col("user_id") + F.lit(1))
     lon = C.derived_lon(F.col("user_id") + F.lit(1))
@@ -1332,25 +1410,28 @@ def gapfill_daily_events(spark, sf_dir):
     )
 
 
-@register(
-    "near_dedup_decision",
-    _minhash_sig_sql(8, 2)
-    + """,
+def _neardup_ver_sql() -> str:
+    """CTE chain ending in ver(id_a, id_b) — the verified near-dup pair
+    set (textual mirror of _verified_neardup_pairs); shared by the
+    near_dedup_decision and near_dedup_clusters oracles."""
+    return (
+        _minhash_sig_sql(8, 2)
+        + """,
 banded AS (
   SELECT doc_id, b.band, b.bucket FROM sig, LATERAL (
     SELECT * FROM (VALUES
       (0, """
-    + D.MD5_LONG_SQL.format(x="cast(h0 as varchar) || ',' || cast(h1 as varchar)")
-    + """),
+        + D.MD5_LONG_SQL.format(x="cast(h0 as varchar) || ',' || cast(h1 as varchar)")
+        + """),
       (1, """
-    + D.MD5_LONG_SQL.format(x="cast(h2 as varchar) || ',' || cast(h3 as varchar)")
-    + """),
+        + D.MD5_LONG_SQL.format(x="cast(h2 as varchar) || ',' || cast(h3 as varchar)")
+        + """),
       (2, """
-    + D.MD5_LONG_SQL.format(x="cast(h4 as varchar) || ',' || cast(h5 as varchar)")
-    + """),
+        + D.MD5_LONG_SQL.format(x="cast(h4 as varchar) || ',' || cast(h5 as varchar)")
+        + """),
       (3, """
-    + D.MD5_LONG_SQL.format(x="cast(h6 as varchar) || ',' || cast(h7 as varchar)")
-    + """)) AS t(band, bucket)) b),
+        + D.MD5_LONG_SQL.format(x="cast(h6 as varchar) || ',' || cast(h7 as varchar)")
+        + """)) AS t(band, bucket)) b),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
   FROM banded a JOIN banded bb
@@ -1359,7 +1440,14 @@ sz AS (SELECT doc_id, sh, len(sh) AS sz FROM base),
 ver AS (
   SELECT c.id_a, c.id_b
   FROM cand c JOIN sz a ON a.doc_id = c.id_a JOIN sz b ON b.doc_id = c.id_b
-  WHERE 2 * len(list_intersect(a.sh, b.sh)) >= a.sz + b.sz - len(list_intersect(a.sh, b.sh)))
+  WHERE 2 * len(list_intersect(a.sh, b.sh)) >= a.sz + b.sz - len(list_intersect(a.sh, b.sh)))"""
+    )
+
+
+@register(
+    "near_dedup_decision",
+    _neardup_ver_sql()
+    + """
 SELECT id_b AS doc_id, min(id_a) AS canonical_id, count(*) AS n_partners
 FROM ver GROUP BY id_b
 """,
@@ -1404,13 +1492,30 @@ def _verified_neardup_pairs(spark, sf_dir):
     return p.filter(2 * F.col("common") >= F.col("sz_a") + F.col("sz_b") - F.col("common"))
 
 
-@register("near_dedup_clusters", None)
+@register(
+    "near_dedup_clusters",
+    "WITH RECURSIVE "
+    + _neardup_ver_sql()[len("WITH ") :]
+    + """,
+edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+          UNION SELECT id_b AS src, id_a AS dst FROM ver),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+  WHERE e.dst <> re.node
+)
+SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+FROM reach GROUP BY node
+""",
+)
 def near_dedup_clusters(spark, sf_dir):
     """Transitive closure of the verified near-dup graph: every doc in
     a dup cluster labeled with the cluster's minimum doc_id (iterative
-    min-label propagation, operators/components.py — iterative, hence
-    rows-only; the one-hop base is oracle-checked by
-    near_dedup_decision and the closure vs union-find by pytest)."""
+    min-label propagation with pointer-jumping,
+    operators/components.py). Oracle: DuckDB WITH RECURSIVE transitive
+    reachability over the same verified pair set — min reachable id ==
+    component min (plus the closure-vs-union-find pytest)."""
     from gipspark.operators.components import connected_components
 
     ver = _verified_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
@@ -1449,19 +1554,79 @@ def approx_percentile_contract(spark, sf_dir):
     )
 
 
-@register("compact_cell_cover", None)
+_COMPACT_CELL_SQL_DUCK = (
+    "(((1::BIGINT << 59) | (4::BIGINT << 52)"
+    " | ((((cast(c_custkey as bigint) // 2401) % 20)) << 45)"
+    " | ((((cast(c_custkey as bigint) // 343) % 7)) << 42)"
+    " | ((((cast(c_custkey as bigint) // 49) % 7)) << 39)"
+    " | ((((cast(c_custkey as bigint) // 7) % 7)) << 36)"
+    " | (((cast(c_custkey as bigint) % 7)) << 33)"
+    " | 8589934591))"
+)
+_COMPACT_CELL_SQL_SPARK = (
+    "shiftleft(1L, 59) | shiftleft(4L, 52)"
+    " | shiftleft((cast(c_custkey as bigint) div 2401) % 20, 45)"
+    " | shiftleft((cast(c_custkey as bigint) div 343) % 7, 42)"
+    " | shiftleft((cast(c_custkey as bigint) div 49) % 7, 39)"
+    " | shiftleft((cast(c_custkey as bigint) div 7) % 7, 36)"
+    " | shiftleft(cast(c_custkey as bigint) % 7, 33)"
+    " | 8589934591L"
+)
+
+
+def _compact_oracle_sql(res: int = 4) -> str:
+    """Unrolled DuckDB replay of operators/compact.compact_cells: the
+    round count is bounded by ``res``, so the iterative promotion loop
+    becomes a fixed CTE chain — parent via the same signed bit
+    constants, full-sibling detection via GROUP BY HAVING count = 7."""
+    from gipspark.operators.compact import _RES_MASK_CLEAR
+
+    parts = [f"cells AS (SELECT DISTINCT {_COMPACT_CELL_SQL_DUCK} AS cell FROM customer)"]
+    cur = "cells"
+    kept = []
+    for r in range(res, 0, -1):
+        shift = 3 * (15 - r)
+        parent = f"((cell & ({_RES_MASK_CLEAR})) | ({(r - 1) << 52}) | ({7 << shift}))"
+        parts.append(f"r{r} AS (SELECT cell, {parent} AS p FROM {cur})")
+        parts.append(f"f{r} AS (SELECT p FROM r{r} GROUP BY p HAVING count(*) = 7)")
+        parts.append(f"k{r} AS (SELECT cell FROM r{r} WHERE p NOT IN (SELECT p FROM f{r}))")
+        parts.append(f"c{r - 1} AS (SELECT p AS cell FROM f{r})")
+        kept.append(f"SELECT cell FROM k{r}")
+        cur = f"c{r - 1}"
+    kept.append(f"SELECT cell FROM {cur}")
+    union = " UNION ALL ".join(kept)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+final AS ({union})
+SELECT cast((cell >> 52) & 15 AS BIGINT) AS res, count(*) AS n_cells,
+       TRUE AS roundtrip_ok
+FROM final GROUP BY res
+"""
+    )
+
+
+@register("compact_cell_cover", _compact_oracle_sql())
 def compact_cell_cover(spark, sf_dir):
-    """compact/uncompact round-trip over the customers' h3x res-6 cell
-    set (rows-only: the aperture-7 hierarchy is non-SQL, like kring;
-    minimality + round-trip proven by tests/test_compact.py). Output:
-    per-resolution cell counts of the compacted cover + a roundtrip_ok
-    flag that fails the rowcheck if uncompact(compact(S)) != S."""
+    """compact/uncompact round-trip over a deterministic res-4 h3x cell
+    set derived bit-arithmetically from c_custkey (digit 4 fastest —
+    contiguous keys fill sibling septets, so the cover genuinely
+    promotes across several resolutions). The synthetic derivation is
+    SQL-expressible on both sides, which upgrades this from rows-only
+    to a full oracle: DuckDB replays the promotion rounds as an
+    unrolled CTE chain over the same ids. Geographic (polygon-cover)
+    compaction stays covered by tests/test_compact.py. Output:
+    per-resolution cell counts + a roundtrip_ok flag that fails the
+    check if uncompact(compact(S)) != S (oracle asserts TRUE — the
+    approx_ok contract pattern)."""
     from gipspark.operators.compact import compact_cells, uncompact_cells
 
-    pts = _cust_pts(spark, sf_dir)
-    cells = pts.select(
-        C.h3_cell(F.col("lat"), F.col("lon"), 4).alias("cell")
-    ).distinct()
+    cells = (
+        load(spark, sf_dir, "customer")
+        .select(F.expr(_COMPACT_CELL_SQL_SPARK).alias("cell"))
+        .distinct()
+    )
     compacted = compact_cells(cells, 4)
     restored = uncompact_cells(compacted, 4).select(F.col("cell").alias("rcell"))
     n_in = cells.count()

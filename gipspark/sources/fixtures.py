@@ -227,6 +227,32 @@ def tile_grid_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def raster_tile_pdf(tile_id: str, px: int) -> pd.DataFrame:
+    """One tile's pixel rows — pure, deterministic, shared by the Spark
+    fixture (mapInPandas kernel below) and the DuckDB oracle builder
+    (queries._raster_px_values_sql), so both sides see bit-identical
+    doubles."""
+    from gipspark.functions.cells import tile_bounds
+
+    min_lon, min_lat, max_lon, max_lat = tile_bounds(tile_id)
+    ix, iy = np.meshgrid(np.arange(px), np.arange(px), indexing="ij")
+    ix, iy = ix.ravel(), iy.ravel()
+    lon = min_lon + (ix + 0.5) * (max_lon - min_lon) / px
+    lat = max_lat - (iy + 0.5) * (max_lat - min_lat) / px
+    base = np.sin(np.radians(lon) * 3.0) * np.cos(np.radians(lat) * 2.0) * 10.0
+    noise = (_unit((ix * 7919 + iy).astype(np.int64), 99) - 0.5) * 0.5
+    return pd.DataFrame(
+        {
+            "tile_id": tile_id,
+            "ix": ix.astype(np.int32),
+            "iy": iy.astype(np.int32),
+            "lon": lon,
+            "lat": lat,
+            "value": base + noise,
+        }
+    )
+
+
 def raster_cells_df(
     spark: SparkSession, tiles: list[str], px: int = 64, partitions: int | None = None
 ) -> DataFrame:
@@ -248,30 +274,8 @@ def raster_cells_df(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from gipspark.functions.cells import tile_bounds
-
         for b in batches:
-            frames = []
-            for t in b["tile_id"]:
-                min_lon, min_lat, max_lon, max_lat = tile_bounds(t)
-                ix, iy = np.meshgrid(np.arange(px), np.arange(px), indexing="ij")
-                ix, iy = ix.ravel(), iy.ravel()
-                lon = min_lon + (ix + 0.5) * (max_lon - min_lon) / px
-                lat = max_lat - (iy + 0.5) * (max_lat - min_lat) / px
-                base = np.sin(np.radians(lon) * 3.0) * np.cos(np.radians(lat) * 2.0) * 10.0
-                noise = (_unit((ix * 7919 + iy).astype(np.int64), 99) - 0.5) * 0.5
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "tile_id": t,
-                            "ix": ix.astype(np.int32),
-                            "iy": iy.astype(np.int32),
-                            "lon": lon,
-                            "lat": lat,
-                            "value": base + noise,
-                        }
-                    )
-                )
+            frames = [raster_tile_pdf(t, px) for t in b["tile_id"]]
             yield pd.concat(frames) if frames else pd.DataFrame(
                 {f.name: pd.Series(dtype="object") for f in schema.fields}
             )
