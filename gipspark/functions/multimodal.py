@@ -93,33 +93,78 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def _group_images(b: pd.DataFrame):
+    """Decode a batch's image rows and stack them by (w, h) — decode is
+    per-row (each payload is an independent codec call, the real seam),
+    but everything downstream gets a dense (n, h, w) array so the
+    feature/resize math vectorizes ACROSS images, not just within one."""
+    groups: dict[tuple[int, int], tuple[list, list]] = {}
+    for r in b.itertuples():
+        if r.kind != "image":
+            continue
+        w = int(r.meta["width"]) if r.meta["width"] else 32
+        h = int(r.meta["height"]) if r.meta["height"] else 32
+        ids, imgs = groups.setdefault((w, h), ([], []))
+        ids.append(r.media_id)
+        imgs.append(_fake_decode_image(r.payload, w, h))
+    for (w, h), (ids, imgs) in groups.items():
+        yield w, h, np.asarray(ids, dtype=np.int64), np.stack(imgs)
+
+
 def image_features(media: DataFrame, bins: int = 16) -> DataFrame:
     """Decode → per-image features (mean/std/edges/histogram), one Arrow
-    batch at a time; narrow op, no shuffle."""
+    batch at a time; narrow op, no shuffle. Feature math runs batched
+    over the (n, h, w) stack per shape group — no per-pixel or
+    per-image Python in the hot loop."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
-            for r in b.itertuples():
-                if r.kind != "image":
-                    continue
-                w = int(r.meta["width"]) if r.meta["width"] else 32
-                h = int(r.meta["height"]) if r.meta["height"] else 32
-                img = _fake_decode_image(r.payload, w, h).astype(np.float32)
-                gx = np.abs(np.diff(img, axis=1)).mean() if w > 1 else 0.0
-                gy = np.abs(np.diff(img, axis=0)).mean() if h > 1 else 0.0
-                hist = np.histogram(img, bins=bins, range=(0, 255))[0]
-                out.append(
-                    (
-                        r.media_id,
-                        float(img.mean()),
-                        float(img.std()),
-                        float(gx + gy),
-                        hist.astype(np.int32).tolist(),
+            frames = []
+            for w, h, ids, stack in _group_images(b):
+                imgs = stack.astype(np.float32)
+                n = len(ids)
+                mean = imgs.mean(axis=(1, 2))
+                std = imgs.std(axis=(1, 2))
+                gx = (
+                    np.abs(np.diff(imgs, axis=2)).mean(axis=(1, 2))
+                    if w > 1
+                    else np.zeros(n, dtype=np.float32)
+                )
+                gy = (
+                    np.abs(np.diff(imgs, axis=1)).mean(axis=(1, 2))
+                    if h > 1
+                    else np.zeros(n, dtype=np.float32)
+                )
+                # all-images histogram in one bincount: bin index per
+                # pixel + image-offset, minlength n*bins. Matches
+                # np.histogram(range=(0,255)): for integer-valued px,
+                # floor(px*bins/255) only hits a bin edge at 0 and 255
+                # (gcd(bins,255) arguments), so edge semantics agree.
+                idx = np.floor(stack.astype(np.float64) * bins / 255).astype(np.int64)
+                np.clip(idx, 0, bins - 1, out=idx)
+                offs = (np.arange(n, dtype=np.int64) * bins)[:, None, None]
+                hist = np.bincount(
+                    (idx + offs).ravel(), minlength=n * bins
+                ).reshape(n, bins).astype(np.int32)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": ids,
+                            "mean_px": mean.astype(np.float32),
+                            "std_px": std.astype(np.float32),
+                            "edge_density": (gx + gy).astype(np.float32),
+                            "histogram": list(hist),
+                        }
                     )
                 )
-            yield pd.DataFrame(
-                out, columns=["media_id", "mean_px", "std_px", "edge_density", "histogram"]
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {
+                    "media_id": pd.Series(dtype=np.int64),
+                    "mean_px": pd.Series(dtype=np.float32),
+                    "std_px": pd.Series(dtype=np.float32),
+                    "edge_density": pd.Series(dtype=np.float32),
+                    "histogram": pd.Series(dtype=object),
+                }
             )
 
     return media.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
@@ -140,21 +185,39 @@ def image_resize(media: DataFrame, target: int = 8) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
-            for r in b.itertuples():
-                if r.kind != "image":
-                    continue
-                w = int(r.meta["width"]) if r.meta["width"] else 32
-                h = int(r.meta["height"]) if r.meta["height"] else 32
-                img = _fake_decode_image(r.payload, w, h)
+            frames = []
+            for w, h, ids, stack in _group_images(b):
                 ys = np.linspace(0, h, target + 1).astype(int)
                 xs = np.linspace(0, w, target + 1).astype(int)
-                thumb = np.zeros((target, target), dtype=np.uint8)
-                for i in range(target):
-                    for j in range(target):
-                        thumb[i, j] = img[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-                out.append((r.media_id, thumb.tobytes(), target, target))
-            yield pd.DataFrame(out, columns=["media_id", "thumb", "t_width", "t_height"])
+                # box filter as two reduceat passes over the whole
+                # (n, h, w) stack — replaces the per-pixel python
+                # double loop. reduceat with idx[i] >= idx[i+1] returns
+                # the single row a[idx[i]], matching the old
+                # max(lo+1, hi) guard for upscale (empty) blocks.
+                f = stack.astype(np.float64)
+                sums = np.add.reduceat(np.add.reduceat(f, ys[:-1], axis=1), xs[:-1], axis=2)
+                rc = np.maximum(np.diff(ys), 1)
+                cc = np.maximum(np.diff(xs), 1)
+                counts = rc[:, None] * cc[None, :]
+                thumbs = (sums / counts).astype(np.uint8)  # same C-truncation
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": ids,
+                            "thumb": [t.tobytes() for t in thumbs],
+                            "t_width": np.int32(target),
+                            "t_height": np.int32(target),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {
+                    "media_id": pd.Series(dtype=np.int64),
+                    "thumb": pd.Series(dtype=object),
+                    "t_width": pd.Series(dtype=np.int32),
+                    "t_height": pd.Series(dtype=np.int32),
+                }
+            )
 
     return media.mapInPandas(run, RESIZE_SCHEMA)
 
@@ -170,24 +233,38 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 
 def audio_features(media: DataFrame, n_samples: int = 4096) -> DataFrame:
+    """Decode per row (codec seam), then one batched rfft/rms/zcr pass
+    over the (n, n_samples) stack."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
+            ids, sigs = [], []
             for r in b.itertuples():
                 if r.kind != "audio":
                     continue
-                sig = _fake_decode_audio(r.payload, n_samples)
-                spec = np.abs(np.fft.rfft(sig))
-                out.append(
-                    (
-                        r.media_id,
-                        float(np.sqrt((sig**2).mean())),
-                        int((np.diff(np.sign(sig)) != 0).sum()),
-                        int(spec.argmax()),
-                    )
+                ids.append(r.media_id)
+                sigs.append(_fake_decode_audio(r.payload, n_samples))
+            if not ids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(dtype=np.int64),
+                        "rms": pd.Series(dtype=np.float32),
+                        "zero_crossings": pd.Series(dtype=np.int32),
+                        "dominant_band": pd.Series(dtype=np.int32),
+                    }
                 )
+                continue
+            stack = np.stack(sigs)
+            spec = np.abs(np.fft.rfft(stack, axis=1))
             yield pd.DataFrame(
-                out, columns=["media_id", "rms", "zero_crossings", "dominant_band"]
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "rms": np.sqrt((stack**2).mean(axis=1)).astype(np.float32),
+                    "zero_crossings": (np.diff(np.sign(stack), axis=1) != 0)
+                    .sum(axis=1)
+                    .astype(np.int32),
+                    "dominant_band": spec.argmax(axis=1).astype(np.int32),
+                }
             )
 
     return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

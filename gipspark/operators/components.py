@@ -15,8 +15,9 @@ so they are themselves labeled rows): the known distance a label can
 travel per round therefore *doubles*, giving convergence in O(log
 diameter) rounds instead of O(diameter) — max_iter=25 covers any
 component with diameter up to ~2^25 hops. Scale shape: edges shuffle on
-src per round; labels persist per round and unpersist after the next
-round materializes (bounded memory, truncated lineage). Convergence is
+src per round; each round's labels are localCheckpoint-ed — constant-size
+plans (a lazy persist would let the self-join double the logical plan
+every round), superseded blocks freed by the ContextCleaner. Convergence is
 detected by the strictly-decreasing label sum — one cheap agg per round
 instead of a changed-rows join; exhausting max_iter without the sum
 stabilizing raises (silently-wrong labels are worse than a retry with a
@@ -48,9 +49,15 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint (not persist) per round: persist caches blocks but
+    # the LOGICAL plan keeps nesting — with the self-join below the plan
+    # tree doubles per round and the driver OOMs just building plan
+    # strings by round ~8. localCheckpoint cuts lineage to a LogicalRDD
+    # (constant-size plans); superseded rounds' blocks are freed by the
+    # ContextCleaner when the DataFrame refs drop.
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).persist()
+    ).localCheckpoint()
     prev_sum = labels.agg(F.sum("comp")).first()[0]
 
     converged = False
@@ -61,29 +68,28 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        hop = labels.unionByName(prop).groupBy("node").agg(F.min("comp").alias("comp"))
+        hop = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
         # pointer-jump: follow the label one more step (comp is a node
         # id, so it has its own row in `hop`). Doubles the effective
         # propagation distance per round → O(log diameter) convergence.
         new_labels = (
-            hop.alias("h")
-            .join(
-                hop.select(
-                    F.col("node").alias("__cnode"), F.col("comp").alias("__ccomp")
-                ),
-                F.col("h.comp") == F.col("__cnode"),
+            hop.join(
+                hop.select(F.col("node").alias("__cnode"), F.col("comp").alias("__ccomp")),
+                hop.comp == F.col("__cnode"),
                 "left",
             )
             .select(
-                F.col("h.node").alias("node"),
-                F.least(F.col("h.comp"), F.coalesce(F.col("__ccomp"), F.col("h.comp"))).alias(
-                    "comp"
-                ),
+                hop.node.alias("node"),
+                F.least(hop.comp, F.coalesce(F.col("__ccomp"), hop.comp)).alias("comp"),
             )
-            .persist()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("comp")).first()[0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
@@ -91,7 +97,6 @@ def connected_components(
         prev_sum = new_sum
     edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(label sum still decreasing) — raise max_iter; with "

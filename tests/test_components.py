@@ -57,3 +57,24 @@ def test_components_close_near_dup_chain(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
     got = {r.node: r.comp for r in connected_components(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_converges_fast(spark):
+    # diameter 60 ≫ the old per-round hop limit; pointer-jumping must
+    # close it well inside max_iter (2^10 > 60 → ~7 rounds)
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(df, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_components_raises_when_not_converged(spark):
+    # max_iter=1 cannot close a 6-chain even with jumping; must raise,
+    # never silently return partial labels
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    try:
+        connected_components(df, max_iter=1)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "converge" in str(e)

@@ -49,3 +49,57 @@ def test_stub_seam_raises_without_fake_codecs(monkeypatch):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def _scalar_image_reference(media_rows, bins=16):
+    """Per-row NumPy reference for the batched feature kernels."""
+    out = {}
+    for r in media_rows:
+        if r["kind"] != "image":
+            continue
+        w, h = int(r["meta"]["width"]), int(r["meta"]["height"])
+        img = M._fake_decode_image(r["payload"], w, h).astype(np.float32)
+        gx = np.abs(np.diff(img, axis=1)).mean() if w > 1 else 0.0
+        gy = np.abs(np.diff(img, axis=0)).mean() if h > 1 else 0.0
+        hist = np.histogram(img, bins=bins, range=(0, 255))[0]
+        out[r["media_id"]] = (
+            float(img.mean()),
+            float(img.std()),
+            float(gx + gy),
+            hist.astype(np.int32).tolist(),
+        )
+    return out
+
+
+def test_image_features_match_scalar_reference(spark):
+    media = M.synthetic_media_df(spark, 30)
+    ref = _scalar_image_reference([r.asDict() for r in media.collect()])
+    got = {
+        r.media_id: (r.mean_px, r.std_px, r.edge_density, list(r.histogram))
+        for r in M.image_features(media).collect()
+    }
+    assert set(got) == set(ref)
+    for mid, (m, s, e, hist) in ref.items():
+        gm, gs, ge, gh = got[mid]
+        assert abs(gm - m) < 1e-4 and abs(gs - s) < 1e-4 and abs(ge - e) < 1e-4
+        assert gh == hist
+
+
+def test_image_resize_matches_scalar_reference(spark):
+    media = M.synthetic_media_df(spark, 9)
+    target = 8
+    got = {r.media_id: bytes(r.thumb) for r in M.image_resize(media, target=target).collect()}
+    for r in media.collect():
+        if r.kind != "image":
+            continue
+        w, h = int(r.meta["width"]), int(r.meta["height"])
+        img = M._fake_decode_image(bytes(r.payload), w, h)
+        ys = np.linspace(0, h, target + 1).astype(int)
+        xs = np.linspace(0, w, target + 1).astype(int)
+        thumb = np.zeros((target, target), dtype=np.uint8)
+        for i in range(target):
+            for j in range(target):
+                thumb[i, j] = img[
+                    ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
+                ].mean()
+        assert got[r.media_id] == thumb.tobytes()
