@@ -1660,6 +1660,104 @@ def multimodal_image_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def _overlay_sets() -> tuple[list[dict], list[dict]]:
+    """A = seeded fixture polygons; B = the same shapes shifted by
+    (+0.08°, +0.05°) — every pair (a_i, b_i) overlaps partially (edge
+    crossings) and the megacity cluster adds cross-id containment and
+    crossing pairs. Deterministic, derivable at oracle-build time."""
+    from gipspark.sources.fixtures import polygons
+
+    a = polygons(15)
+    b = [
+        {
+            "poly_id": p["poly_id"],
+            "rings": [[[x + 0.08, y + 0.05] for x, y in ring] for ring in p["rings"]],
+        }
+        for p in a
+    ]
+    return a, b
+
+
+def _overlay_values(polys: list[dict], edge_alias: str) -> tuple[str, str]:
+    """(edges_values, vertex_values) SQL fragments with ::DOUBLE casts
+    (the orientation products would otherwise multiply DECIMALs and
+    overflow, as the raster oracle did)."""
+    erows, vrows = [], []
+    for p in polys:
+        for ring in p["rings"]:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                erows.append(
+                    f"({p['poly_id']},{x1!r}::DOUBLE,{y1!r}::DOUBLE,"
+                    f"{x2!r}::DOUBLE,{y2!r}::DOUBLE)"
+                )
+        vx, vy = p["rings"][0][0]
+        vrows.append(f"({p['poly_id']},{vx!r}::DOUBLE,{vy!r}::DOUBLE)")
+    edges = (
+        "(VALUES "
+        + ",".join(erows)
+        + f") AS {edge_alias}(poly_id, x1, y1, x2, y2)"
+    )
+    verts = "(VALUES " + ",".join(vrows) + ") AS v(poly_id, vx, vy)"
+    return edges, verts
+
+
+def _overlay_oracle_sql() -> str:
+    """Prefilter-free replay of operators/overlay.overlay_join: all
+    |A|×|B| pairs scored with the textually-identical strict
+    orientation-cross + even-odd containment predicates — independently
+    checks that the cover prefilter dropped no true pair."""
+    a, b = _overlay_sets()
+    ea_vals, va_vals = _overlay_values(a, "e")
+    eb_vals, vb_vals = _overlay_values(b, "e")
+    return f"""
+WITH ea AS (SELECT * FROM {ea_vals}),
+eb AS (SELECT * FROM {eb_vals}),
+va AS (SELECT * FROM {va_vals}),
+vb AS (SELECT * FROM {vb_vals}),
+pairs AS (SELECT a.poly_id AS a_id, b.poly_id AS b_id
+          FROM (SELECT DISTINCT poly_id FROM ea) a
+          CROSS JOIN (SELECT DISTINCT poly_id FROM eb) b),
+crossx AS (
+  SELECT DISTINCT a.poly_id AS a_id, b.poly_id AS b_id
+  FROM ea a JOIN eb b ON
+    (((b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1))
+     * ((b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)) < 0)
+    AND (((a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1))
+     * ((a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)) < 0)),
+ain AS (
+  SELECT v.poly_id AS a_id, e.poly_id AS b_id FROM va v CROSS JOIN eb e
+  WHERE ((e.y1 > v.vy) != (e.y2 > v.vy))
+    AND (v.vx < (e.x2 - e.x1) * (v.vy - e.y1) / (e.y2 - e.y1) + e.x1)
+  GROUP BY 1, 2 HAVING count(*) % 2 = 1),
+binb AS (
+  SELECT e.poly_id AS a_id, v.poly_id AS b_id FROM vb v CROSS JOIN ea e
+  WHERE ((e.y1 > v.vy) != (e.y2 > v.vy))
+    AND (v.vx < (e.x2 - e.x1) * (v.vy - e.y1) / (e.y2 - e.y1) + e.x1)
+  GROUP BY 1, 2 HAVING count(*) % 2 = 1)
+SELECT p.a_id, p.b_id,
+       (c.a_id IS NOT NULL) AS edge_cross,
+       (ai.a_id IS NOT NULL) AS a_in_b,
+       (bi.a_id IS NOT NULL) AS b_in_a
+FROM pairs p
+LEFT JOIN crossx c ON c.a_id = p.a_id AND c.b_id = p.b_id
+LEFT JOIN ain ai ON ai.a_id = p.a_id AND ai.b_id = p.b_id
+LEFT JOIN binb bi ON bi.a_id = p.a_id AND bi.b_id = p.b_id
+WHERE (c.a_id IS NOT NULL) OR (ai.a_id IS NOT NULL) OR (bi.a_id IS NOT NULL)
+"""
+
+
+@register("overlay_polygon_join", _overlay_oracle_sql())
+def overlay_polygon_join(spark, sf_dir):
+    """Polygon–polygon overlay join (operators/overlay.py): cover-cell
+    prefilter + strict edge-cross / even-odd containment refine, all
+    JVM. The oracle replays the predicate over ALL pairs with no
+    prefilter, so a cover false-negative fails the row count."""
+    from gipspark.operators.overlay import overlay_join
+
+    a, b = _overlay_sets()
+    return overlay_join(spark, a, b)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
