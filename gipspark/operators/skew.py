@@ -27,18 +27,22 @@ from pyspark.sql import functions as F
 
 
 def hot_keys(df: DataFrame, key: str, hot_threshold: float = 0.01, sample: float | None = None) -> list:
-    """Keys covering ≥ hot_threshold of rows (optionally on a sample)."""
+    """Keys covering ≥ hot_threshold of rows (optionally on a sample).
+
+    One pass over ``df``: the per-key histogram is persisted and both
+    the total and the threshold filter run over it (the r1 version paid
+    a separate full count() scan of the big side first)."""
     src = df.sample(fraction=sample, seed=7) if sample else df
-    total = src.count()
-    if total == 0:
-        return []
-    rows = (
-        src.groupBy(key)
-        .count()
-        .filter(F.col("count") >= total * hot_threshold)
-        .select(key)
-        .collect()
-    )
+    counts = src.groupBy(key).agg(F.count(F.lit(1)).alias("__cnt")).persist()
+    try:
+        total = counts.agg(F.sum("__cnt")).first()[0] or 0
+        if total == 0:
+            return []
+        rows = (
+            counts.filter(F.col("__cnt") >= total * hot_threshold).select(key).collect()
+        )
+    finally:
+        counts.unpersist()
     return [r[0] for r in rows]
 
 
