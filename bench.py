@@ -112,13 +112,16 @@ def main() -> None:
     run_pipeline_once(spark, docs_path)
     walls = []
     rows = N_DOCS
-    for _ in range(3):  # best-of-3: the microVM host has bursty
-        w, rows = run_pipeline_once(spark, docs_path)  # co-tenant load
-        walls.append(w)
+    for _ in range(4):  # best-of-4: the microVM host is bimodal —
+        w, rows = run_pipeline_once(spark, docs_path)  # multi-minute
+        walls.append(w)  # throttled windows alternate with clean ones
     wall = min(walls)
     result["value"] = round(wall, 3)
     result["docs"] = rows
     result["docs_per_sec"] = round(rows / wall, 1)
+    # every wall, not just the min: lets a reader see whether this run
+    # landed in a throttled host window (BENCH.md "environment ceiling")
+    result["headline_walls"] = [round(w, 2) for w in walls]
 
     # per-query timings at the driver sf dir
     from gipspark.queries import REGISTRY
@@ -151,22 +154,35 @@ def main() -> None:
         spark.stop()
         levels = [2, 8] + ([CPUS] if CPUS > 8 else [])
         thr = {}
+        all_walls: dict[int, list[float]] = {}
         for cores in levels:
-            s = make_spark(cores)
-            run_pipeline_once(s, scale_docs_path)  # warmup: workers, codegen
-            # SYMMETRIC protocol: same rep count and same estimator
-            # (min) at every level — min over unequal sample sizes
-            # biases the ratio toward the level with more reps
-            # (ADVICE r1). 3 reps ≈ 3 min wall at local[2], enough to
-            # catch one clean window between host-load bursts.
-            reps = 3
-            ws = []
-            for _ in range(reps):
-                w, n = run_pipeline_once(s, scale_docs_path)
-                ws.append(w)
+            time.sleep(10)  # cooldown: decouple this level from the
+            # previous level's sustained load (host throttle hysteresis)
+            # Each level runs in a FRESH SUBPROCESS pinned to exactly
+            # `cores` physical cores BEFORE the JVM spawns (the gateway
+            # JVM outlives spark.stop(), so in-process affinity changes
+            # never reach it). In local mode python workers run outside
+            # the slot count, so an unpinned local[2] silently uses
+            # ~4+ cores of the box — inflating the small-N baseline and
+            # depressing the N→4N ratio. Pinning makes local[N] a true
+            # N-core machine (the faithful surrogate for an N-core
+            # executor) and collapses wall variance from ±20% to ±3%
+            # (idle cores no longer absorb host noise asymmetrically).
+            import subprocess
+
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-level", str(cores), scale_docs_path],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            child = json.loads(line)
+            ws, n = child["walls"], child["n"]
             thr[cores] = n / min(ws)
-            s.stop()
+            all_walls[cores] = ws
         scaling = {f"docs_per_sec_local{c}": round(thr[c], 1) for c in levels}
+        scaling["walls"] = {f"local{c}": all_walls[c] for c in levels}
         scaling["cores_ratio"] = 4
         scaling["efficiency"] = round((thr[8] / thr[2]) / 4, 3)
         if CPUS in thr and CPUS > 8:
@@ -176,5 +192,29 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _scale_level_child(cores: int, docs_path: str) -> None:
+    """One pinned scaling-level measurement (subprocess entry).
+
+    Affinity is set BEFORE any JVM exists, so the gateway JVM and every
+    python worker it forks inherit the N-core restriction. SYMMETRIC
+    protocol across levels: 1 warmup + best-of-2, min estimator
+    (ADVICE r1); pinned walls vary ±3%, so 2 reps suffice and keep the
+    ~85 s-per-pass local[2] block short. Prints one JSON line.
+    """
+    os.sched_setaffinity(0, set(sorted(os.sched_getaffinity(0))[:cores]))
+    s = make_spark(cores)
+    run_pipeline_once(s, docs_path)  # warmup: workers, codegen, covers
+    ws = []
+    n = 0
+    for _ in range(2):
+        w, n = run_pipeline_once(s, docs_path)
+        ws.append(round(w, 2))
+    s.stop()
+    print(json.dumps({"walls": ws, "n": n}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scale-level":
+        _scale_level_child(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

@@ -48,3 +48,48 @@ def test_overlay_hole_island_not_intersecting(spark):
     b2 = [_sq(1, 4.0, 0.0, 1.0)]
     got = _pairs(overlay_join(spark, a, b2))
     assert got[(0, 1)][0]
+
+
+def test_overlay_detects_all_sampled_intersections(spark):
+    # one-directional property vs an independent kernel: if a dense
+    # grid sample finds a point inside BOTH polygons (fat
+    # intersection), the operator must report the pair. Uses the
+    # NumPy PIP kernel (itself property-tested vs brute force).
+    import numpy as np
+
+    from gipspark.geo import pip as pipgeo
+
+    rng = np.random.default_rng(41)
+    def rand_poly(pid):
+        cx, cy = rng.uniform(-60, 60), rng.uniform(-40, 40)
+        k = int(rng.integers(5, 10))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        r = rng.uniform(0.5, 3.0)
+        ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        return {"poly_id": pid, "rings": [ring.tolist()]}
+
+    a = [rand_poly(i) for i in range(12)]
+    b = [rand_poly(i) for i in range(12)]
+    got = {(r.a_id, r.b_id) for r in overlay_join(spark, a, b).collect()}
+
+    for pa in a:
+        ra = [np.asarray(r) for r in pa["rings"]]
+        for pb in b:
+            rb = [np.asarray(r) for r in pb["rings"]]
+            ax0, ay0, ax1, ay1 = pipgeo.polygon_bbox(ra)
+            bx0, by0, bx1, by1 = pipgeo.polygon_bbox(rb)
+            x0, x1 = max(ax0, bx0), min(ax1, bx1)
+            y0, y1 = max(ay0, by0), min(ay1, by1)
+            if x0 >= x1 or y0 >= y1:
+                continue
+            xs = np.linspace(x0, x1, 25)
+            ys = np.linspace(y0, y1, 25)
+            gx, gy = np.meshgrid(xs, ys)
+            lon, lat = gx.ravel(), gy.ravel()
+            in_a = pipgeo.points_in_polygon(lon, lat, pipgeo.rings_to_edges(ra))
+            in_b = pipgeo.points_in_polygon(lon, lat, pipgeo.rings_to_edges(rb))
+            if (in_a & in_b).any():
+                assert (pa["poly_id"], pb["poly_id"]) in got, (
+                    f"sampled intersection missed: {pa['poly_id']},{pb['poly_id']}"
+                )

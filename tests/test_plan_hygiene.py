@@ -1,0 +1,54 @@
+"""Scale-hygiene sweep over the whole query registry.
+
+Builds every registry query's physical plan at sf0.001 and asserts the
+plan-level invariants the 100 TB story depends on:
+
+- no CartesianProduct / BroadcastNestedLoopJoin outside the explicit
+  brute-force oracles (their cross joins are bounded by construction);
+- no row-at-a-time Python (BatchEvalPython) anywhere — Python enters
+  plans only as ArrowEvalPython (pandas UDFs) or MapInPandas;
+- filters on scan columns reach the parquet reader (PushedFilters).
+
+Building a plan is cheap; some operators (kNN expansion loop, compact
+promotion rounds) legitimately run bounded driver actions while
+constructing their DataFrame — sf0.001 keeps that in milliseconds.
+"""
+
+import pytest
+
+from gipspark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# bounded-by-construction cross joins (brute-force oracles / straggler
+# fallbacks / tiny dim×dim grids) — everything else must be
+# hash/broadcast/sort-merge only
+CROSS_OK = {
+    "cosine_topk_bruteforce",
+    "knn_join_nations",  # straggler fallback branch plans a bounded NL join
+    "embedding_neardup_pairs",
+    "gapfill_daily_events",  # tiny calendar × type-dim cross, broadcast
+}
+
+
+def _plan(spark, name: str) -> str:
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_DIR)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_hygiene(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    if name not in CROSS_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+
+
+def test_scan_pushdown_representative(spark):
+    # a filter on a scan column must reach the parquet reader
+    plan = _plan(spark, "simhash_signatures")  # filter(doc_id < 100)
+    pushed = plan.split("PushedFilters: [", 1)
+    assert len(pushed) == 2, "no PushedFilters section in scan"
+    assert "doc_id" in pushed[1][:120], "doc_id filter not pushed to scan"
