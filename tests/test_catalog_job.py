@@ -45,3 +45,48 @@ def test_tiling_job_cli(spark, tmp_path):
         ["--input", str(tmp_path / "docs"), "--ckpt", str(tmp_path / "ckpt"), "--run-id", "t1"]
     )
     assert rc == 0
+
+
+def test_spark_submit_pyfiles_deploy(spark, tmp_path):
+    """The north_rule deployment contract, actually executed: package
+    gipspark as a zip, spark-submit with --py-files from a neutral cwd
+    (repo root NOT on the path — the import must resolve from the zip),
+    then re-submit and assert checkpoint resume skipped every stage."""
+    import os
+    import shutil
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    zpath = str(tmp_path / "gipspark.zip")
+    subprocess.run(["zip", "-qr", zpath, "gipspark"], cwd=repo, check=True)
+
+    from gipspark.sources.fixtures import docs_df
+
+    docs_df(spark, 400).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    args = [
+        spark_submit,
+        "--master", "local[4]",
+        "--py-files", zpath,
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(repo, "jobs", "run_tiling.py"),
+        "--input", str(tmp_path / "docs"),
+        "--ckpt", str(tmp_path / "ckpt"),
+        "--run-id", "sub1",
+        "--output", str(tmp_path / "out"),
+        "--polygons", "10",
+    ]
+    p = subprocess.run(args, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads([ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1])
+    assert summary["rows"] > 0 and summary["executed"], summary
+    assert spark.read.parquet(str(tmp_path / "out")).count() == summary["rows"]
+
+    p2 = subprocess.run(args[:-2], cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=420)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    s2 = json.loads([ln for ln in p2.stdout.splitlines() if ln.startswith("{")][-1])
+    assert s2["executed"] == [] and len(s2["skipped"]) >= 3, s2
+    assert s2["rows"] == summary["rows"]
