@@ -120,6 +120,90 @@ def _point_in_edges(vx, vy, edges):
     return crossings % 2 == 1
 
 
+_EDGES_FROM_RINGS = (
+    "flatten(transform({col}, r -> zip_with("
+    "slice(r, 1, size(r) - 1), slice(r, 2, size(r) - 1), "
+    "(p, q) -> struct(p[0] as x1, p[1] as y1, q[0] as x2, q[1] as y2))))"
+)
+
+
+def _poly_shape_cols(df: DataFrame, prefix: str) -> DataFrame:
+    """(id, edges, vx, vy) from a (poly_id, rings) DataFrame — edge
+    construction is pure JVM array HOFs (rings must be closed: first
+    point repeated last, the fixture/POLY_SCHEMA convention)."""
+    return df.select(
+        F.col("poly_id").alias(f"{prefix}_id"),
+        F.expr(_EDGES_FROM_RINGS.format(col="rings")).alias(f"{prefix}_edges"),
+        F.expr("rings[0][0][0]").alias(f"{prefix}_vx"),
+        F.expr("rings[0][0][1]").alias(f"{prefix}_vy"),
+    )
+
+
+def _poly_cover_df(df: DataFrame, prefix: str) -> DataFrame:
+    """Distributed cover computation: one Arrow batch of (poly_id,
+    rings) rows per task → (cell, id) rows at each polygon's adaptive
+    quantized level. This is the scale path for polygon sides too big
+    to enumerate driver-side (the list-of-dicts overlay_join builds the
+    same table on the driver)."""
+    import pandas as pd
+
+    def gen(batches):
+        for b in batches:
+            ids, cells = [], []
+            for pid, rings in zip(b["poly_id"], b["rings"]):
+                # Arrow hands nested lists back as object arrays of
+                # arrays — stack point-wise for a clean (n, 2) float64
+                rr = [
+                    np.stack([np.asarray(p, dtype=np.float64) for p in r])
+                    for r in rings
+                ]
+                cs = pipgeo.polygon_cover(rr, level=choose_cover_level(rr))
+                ids.append(np.full(len(cs), pid, dtype=np.int64))
+                cells.append(cs)
+            if ids:
+                yield pd.DataFrame(
+                    {"cell": np.concatenate(cells), "pid": np.concatenate(ids)}
+                )
+            else:
+                yield pd.DataFrame({"cell": pd.Series(dtype=np.int64), "pid": pd.Series(dtype=np.int64)})
+
+    return df.select("poly_id", "rings").mapInPandas(gen, "cell long, pid long").select(
+        "cell", F.col("pid").alias(f"{prefix}_id")
+    )
+
+
+def overlay_join_df(a_polys_df: DataFrame, b_polys_df: DataFrame) -> DataFrame:
+    """DataFrame-native overlay join: both polygon sides are tables of
+    (poly_id, rings) — the parcels×zones shape where neither side fits
+    on the driver. Covers are computed distributed (mapInPandas, narrow),
+    candidates shuffle on the normalized cover cell (bounded by cover
+    occupancy), and the refine joins shapes back on poly_id — no
+    broadcast anywhere, so both sides scale horizontally. Predicates
+    are identical to :func:`overlay_join` (same oracle applies)."""
+    a_norm = _poly_cover_df(a_polys_df, "a").select(
+        F.explode(_ancestors(F.col("cell"))).alias("cell"), "a_id"
+    )
+    b_norm = _poly_cover_df(b_polys_df, "b").select(
+        F.explode(_ancestors(F.col("cell"))).alias("cell"), "b_id"
+    )
+    cand = a_norm.join(b_norm, "cell").select("a_id", "b_id").distinct()
+    scored = (
+        cand.join(_poly_shape_cols(a_polys_df, "a"), "a_id")
+        .join(_poly_shape_cols(b_polys_df, "b"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.exists(
+                F.col("a_edges"),
+                lambda ea: F.exists(F.col("b_edges"), lambda eb: _proper_cross(ea, eb)),
+            ).alias("edge_cross"),
+            _point_in_edges(F.col("a_vx"), F.col("a_vy"), F.col("b_edges")).alias("a_in_b"),
+            _point_in_edges(F.col("b_vx"), F.col("b_vy"), F.col("a_edges")).alias("b_in_a"),
+        )
+    )
+    return scored.filter(F.col("edge_cross") | F.col("a_in_b") | F.col("b_in_a"))
+
+
 def overlay_join(
     spark: SparkSession, a_polys: list[dict], b_polys: list[dict]
 ) -> DataFrame:

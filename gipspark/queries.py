@@ -1758,6 +1758,23 @@ def overlay_polygon_join(spark, sf_dir):
     return overlay_join(spark, a, b)
 
 
+@register("overlay_polygon_join_df", _overlay_oracle_sql())
+def overlay_polygon_join_df(spark, sf_dir):
+    """DataFrame-native overlay (operators/overlay.overlay_join_df):
+    same polygon sets as overlay_polygon_join but both sides enter as
+    (poly_id, rings) tables — covers computed distributed via
+    mapInPandas, candidates shuffled on cell, shapes joined on poly_id,
+    no broadcast. Same all-pairs oracle: the two operators must agree
+    with each other AND with DuckDB."""
+    from gipspark.operators.overlay import overlay_join_df
+
+    a, b = _overlay_sets()
+    ring_t = "poly_id long, rings array<array<array<double>>>"
+    a_df = spark.createDataFrame([(p["poly_id"], p["rings"]) for p in a], ring_t)
+    b_df = spark.createDataFrame([(p["poly_id"], p["rings"]) for p in b], ring_t)
+    return overlay_join_df(a_df, b_df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

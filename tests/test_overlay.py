@@ -93,3 +93,30 @@ def test_overlay_detects_all_sampled_intersections(spark):
                 assert (pa["poly_id"], pb["poly_id"]) in got, (
                     f"sampled intersection missed: {pa['poly_id']},{pb['poly_id']}"
                 )
+
+
+def test_overlay_df_variant_matches_list_variant(spark):
+    # the distributed (DataFrame-native) overlay must agree exactly
+    # with the driver-dim variant on the same random sets
+    import numpy as np
+
+    from gipspark.operators.overlay import overlay_join_df
+
+    rng = np.random.default_rng(7)
+    def rand_poly(pid):
+        cx, cy = rng.uniform(-12, 12), rng.uniform(-9, 9)
+        k = int(rng.integers(5, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        r = rng.uniform(1.5, 5.0)
+        ring = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        return {"poly_id": pid, "rings": [ring.tolist()]}
+
+    a = [rand_poly(i) for i in range(10)]
+    b = [rand_poly(i) for i in range(10)]
+    ring_t = "poly_id long, rings array<array<array<double>>>"
+    a_df = spark.createDataFrame([(p["poly_id"], p["rings"]) for p in a], ring_t)
+    b_df = spark.createDataFrame([(p["poly_id"], p["rings"]) for p in b], ring_t)
+    lst = sorted(tuple(r) for r in overlay_join(spark, a, b).collect())
+    dfv = sorted(tuple(r) for r in overlay_join_df(a_df, b_df).collect())
+    assert lst == dfv and len(lst) > 0
