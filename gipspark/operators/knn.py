@@ -159,6 +159,72 @@ def knn_join(
     return out.select(q_id, p_id, "dist_m", "rank")
 
 
+def within_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    level: int | None = None,
+    l_id: str = "l_id",
+    r_id: str = "r_id",
+    l_lat: str = "l_lat",
+    l_lon: str = "l_lon",
+    r_lat: str = "r_lat",
+    r_lon: str = "r_lon",
+) -> DataFrame:
+    """Exact distance-within join: every (left, right) pair whose
+    haversine distance is ≤ ``radius_m`` meters.
+
+    Scale shape (north_star spatial-join family, BASELINE.json:6): both
+    sides are S2-encoded at ``level``; the left side explodes the
+    lattice disk of radius ``r`` cells and equi-joins the right side on
+    cell — one shuffle on cell ids, candidate volume bounded by disk
+    occupancy, never a cross join. Exactness: a point outside the
+    radius-``r`` disk is separated from the query cell by ≥ r
+    conservative cell widths (see :func:`_min_cell_width_m`), so with
+    r·min_width > radius_m no qualifying pair can escape the prefilter.
+    The haversine refine runs JVM-side (whole-stage codegen).
+
+    Each right row has exactly one cell and the per-query disk is
+    deduped, so no distinct() is needed — pairs appear once.
+    Returns (l_id, r_id, dist_m).
+    """
+    import math
+
+    if level is None:
+        # finest level whose disk stays ≤2 rings wide for this radius —
+        # small disks keep the explode factor O(10) while fine cells
+        # keep per-cell candidate lists short in dense data
+        level = 14
+        while level > 1 and _min_cell_width_m(level) * 2.0 < radius_m:
+            level -= 1
+    # strict inequality: r·min_width must EXCEED the radius so the
+    # boundary case (dist exactly r·min_width) cannot sit outside the disk
+    r = int(math.floor(radius_m / _min_cell_width_m(level))) + 1
+
+    rt = right.select(
+        F.col(r_id),
+        F.col(r_lat),
+        F.col(r_lon),
+        s2_cell(F.col(r_lat), F.col(r_lon), level).alias("__cell"),
+    )
+    lt = left.select(
+        F.col(l_id),
+        F.col(l_lat),
+        F.col(l_lon),
+        s2_cell(F.col(l_lat), F.col(l_lon), level).alias("__lcell"),
+    )
+    return (
+        lt.withColumn("__ring", kring(F.col("__lcell"), level, r))
+        .select(l_id, l_lat, l_lon, F.explode("__ring").alias("__cell"))
+        .join(rt, on="__cell")
+        .withColumn(
+            "dist_m", haversine_col(F.col(l_lat), F.col(l_lon), F.col(r_lat), F.col(r_lon))
+        )
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+        .select(l_id, r_id, "dist_m")
+    )
+
+
 def knn_join_brute(
     queries: DataFrame,
     points: DataFrame,

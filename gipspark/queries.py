@@ -36,11 +36,12 @@ from pyspark.sql.window import Window
 
 from gipspark.functions import cells as C
 from gipspark.functions import text as T
+from gipspark.functions.geohash import geohash_col, geohash_sql
 from gipspark.functions.vectors import cosine_sim
 from gipspark.geo.haversine import HAVERSINE_SQL
 from gipspark.operators import dedup as D
 from gipspark.operators.asof import asof_join, range_join
-from gipspark.operators.knn import knn_join
+from gipspark.operators.knn import knn_join, within_join
 from gipspark.operators.pip import pip_join
 from gipspark.operators.similarity import cosine_topk, lsh_cosine_topk
 from gipspark.operators.skew import salted_hybrid_join
@@ -837,6 +838,69 @@ def knn_join_nations(spark, sf_dir):
     )
 
 
+_GEOHASH_ORACLE = f"""
+WITH ghx AS ({geohash_sql(
+    lat_expr='lat', lon_expr='lon', key_expr='c_custkey',
+    table_sql=f"SELECT c_custkey, {C.DERIVED_LAT_SQL.format(k='c_custkey')} AS lat, "
+    f"{C.DERIVED_LON_SQL.format(k='c_custkey')} AS lon FROM customer",
+    precision=8,
+)})
+SELECT key AS c_custkey, gh AS gh8, substr(gh, 1, 4) AS gh4 FROM ghx
+"""
+
+
+@register("geohash_encode_customers", _GEOHASH_ORACLE)
+def geohash_encode_customers(spark, sf_dir):
+    """Canonical base32 geohash per customer point — the interop encode
+    (functions/geohash.geohash_col): Morton interleave entirely inside
+    whole-stage codegen, oracle = the same magic-number pipeline
+    mirrored as a DuckDB CTE chain (functions/geohash.geohash_sql)."""
+    c = load(spark, sf_dir, "customer")
+    out = c.select(
+        "c_custkey",
+        geohash_col(
+            C.derived_lat(F.col("c_custkey")), C.derived_lon(F.col("c_custkey")), 8
+        ).alias("gh8"),
+    )
+    return out.select("c_custkey", "gh8", F.substring("gh8", 1, 4).alias("gh4"))
+
+
+@register(
+    "within_radius_join",
+    f"""
+WITH q AS (SELECT n_nationkey AS l_id,
+                  {_LAT.format(k='n_nationkey * 101 + 13')} AS l_lat,
+                  {_LON.format(k='n_nationkey * 101 + 13')} AS l_lon FROM nation),
+p AS (SELECT c_custkey AS r_id, {_LAT.format(k='c_custkey')} AS r_lat, {_LON.format(k='c_custkey')} AS r_lon FROM customer)
+SELECT l_id, r_id,
+       cast(round({HAVERSINE_SQL.format(lat1='l_lat', lon1='l_lon', lat2='r_lat', lon2='r_lon')}, 0) as double) AS dist_m0
+FROM q CROSS JOIN p
+WHERE {HAVERSINE_SQL.format(lat1='l_lat', lon1='l_lon', lat2='r_lat', lon2='r_lon')} <= 1500000.0
+""",
+)
+def within_radius_join(spark, sf_dir):
+    """Distance-within join (operators/knn.within_join): nation-derived
+    anchors × customer-derived points within 1,500 km — cell-disk
+    prefilter + JVM haversine refine; the oracle is the all-pairs
+    definition the operator must reproduce exactly."""
+    n = load(spark, sf_dir, "nation")
+    qk = F.col("n_nationkey") * 101 + 13
+    anchors = n.select(
+        F.col("n_nationkey").alias("l_id"),
+        C.derived_lat(qk).alias("l_lat"),
+        C.derived_lon(qk).alias("l_lon"),
+    )
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("r_id"),
+        C.derived_lat(F.col("c_custkey")).alias("r_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("r_lon"),
+    )
+    out = within_join(anchors, pts, radius_m=1_500_000.0)
+    return out.select(
+        "l_id", "r_id", F.round("dist_m", 0).cast("double").alias("dist_m0")
+    )
+
+
 @register(
     "skew_salted_join",
     f"""
@@ -1317,6 +1381,47 @@ def streaming_tile_counts(spark, sf_dir):
         .groupBy(F.window("ts", "15 minutes").alias("win"), "tile_id")
         .agg(F.count("*").alias("n"))
         .select(F.unix_timestamp(F.col("win.start")).cast("bigint").alias("win_start_s"), "tile_id", "n")
+    )
+
+
+@register(
+    "stream_join_attribution",
+    """
+WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id FROM events
+      WHERE event_type = 'purchase')
+SELECT p.purchase_id, c.click_id, p.user_id,
+       cast((epoch_us(p.purchase_ts) - epoch_us(c.click_ts)) // 1000000 as bigint) AS gap_s
+FROM p JOIN c ON p.user_id = c.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 24 HOUR
+""",
+)
+def stream_join_attribution(spark, sf_dir):
+    """Batch-mode execution of the stream-stream attribution join's
+    logical plan (streaming/events.stream_stream_attribution runs the
+    identical condition incrementally with watermark-bounded state;
+    exact stream==batch equality is pytested with time-ordered
+    arrival). gap_s uses integer microsecond arithmetic so both
+    engines floor identically."""
+    from gipspark.streaming.events import stream_stream_attribution
+
+    ev = load(spark, sf_dir, "events")
+    out = stream_stream_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        # NTZ ts → timestamp is exact here: session tz is pinned UTC
+        # (gipspark/session.py) so the reinterpretation is offset-free
+        F.expr(
+            "cast((unix_micros(cast(purchase_ts as timestamp))"
+            " - unix_micros(cast(click_ts as timestamp))) div 1000000 as bigint)"
+        ).alias("gap_s"),
     )
 
 

@@ -49,3 +49,34 @@ def test_k_exceeds_cluster_and_forced_fine_level(spark):
     qs = _df(spark, [0], [0.0], [0.0], "q")
     # forced too-fine level: every round under-fills → brute fallback path
     _assert_equal(spark, qs, pts, k=10, level=12)
+
+
+def _within_brute(spark, lt, rt, radius):
+    from gipspark.geo.haversine import haversine_col
+
+    d = (
+        lt.crossJoin(rt)
+        .withColumn("dist_m", haversine_col(F.col("l_lat"), F.col("l_lon"), F.col("r_lat"), F.col("r_lon")))
+        .filter(F.col("dist_m") <= radius)
+    )
+    return {(r.l_id, r.r_id) for r in d.collect()}
+
+
+@pytest.mark.parametrize("radius_km,level", [(50, None), (1500, None), (200, 10)])
+def test_within_join_equals_brute(spark, radius_km, level):
+    from gipspark.operators.knn import within_join
+
+    rng = np.random.default_rng(radius_km)
+    n = 250
+    lat = np.concatenate([rng.uniform(-70, 70, n), [89.0, 0.0, 0.0]])
+    lon = np.concatenate([rng.uniform(-180, 180, n), [0.0, 179.9, -179.9]])
+    rt = _df(spark, np.arange(len(lat)), lat, lon, "r")
+    qlat = np.concatenate([rng.uniform(-70, 70, 12), [88.5, 0.0]])
+    qlon = np.concatenate([rng.uniform(-180, 180, 12), [120.0, 179.95]])
+    lt = _df(spark, np.arange(len(qlat)), qlat, qlon, "l")
+    radius = radius_km * 1000.0
+    fast = {
+        (r.l_id, r.r_id)
+        for r in within_join(lt, rt, radius_m=radius, level=level).collect()
+    }
+    assert fast == _within_brute(spark, lt, rt, radius)

@@ -121,3 +121,46 @@ def test_streaming_polygon_counts_subset_of_batch(spark, sf_dir, tmp_path):
     )
     want = {tuple(r) for r in batch.collect()}
     assert got <= want and len(got) > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    # time-ordered chunks: with arrival in event-time order nothing is
+    # ever late, so the watermarked stream-stream join must EQUAL the
+    # batch interval join (not just a subset)
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = str(tmp_path / "ts_chunks")
+    chunked = ev.withColumn("__c", F.ntile(4).over(Window.orderBy("ts")))
+    for c in range(1, 5):
+        chunked.filter(F.col("__c") == c).drop("__c").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    clicks = sev.read_events_stream(spark, d).filter(F.col("event_type") == "click")
+    purchases = sev.read_events_stream(spark, d).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = str(tmp_path / "ss_out")
+    ck = str(tmp_path / "ss_ck")
+    sev.run_to_table(sev.stream_stream_attribution(clicks, purchases), out, ck)
+    got = {
+        (r.purchase_id, r.click_id) for r in spark.read.parquet(out).collect()
+    }
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    exp = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 24 hours")),
+        ).collect()
+    }
+    assert got == exp and len(exp) > 0
