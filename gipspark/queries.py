@@ -1880,6 +1880,240 @@ def overlay_polygon_join_df(spark, sf_dir):
     return overlay_join_df(a_df, b_df)
 
 
+# --- training-data curation / mixing surface --------------------------------
+
+# Frozen per-language mixing rates in basis points (out of 10 000): the
+# data-mixing op a training pipeline runs to rebalance a web crawl.
+# Membership is decided by a deterministic md5-derived bucket — never
+# rand() — so the sample is reproducible across engines, partitionings,
+# task retries, and reruns (same property the near-dup keep-min-id
+# decision relies on).
+MIX_RATES_BP: dict[str, int] = {"en": 5000, "de": 8000, "fr": 3000, "es": 6000, "zh": 10000}
+_MIX_DEFAULT_BP = 2500
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(f"WHEN '{lang}' THEN {bp}" for lang, bp in MIX_RATES_BP.items())
+    return f"CASE lang {whens} ELSE {_MIX_DEFAULT_BP} END"
+
+
+@register(
+    "stratified_sample_docs",
+    f"""
+WITH buckets AS (
+  SELECT doc_id, lang,
+         {D.MD5_LONG_SQL.format(x="cast(doc_id as varchar)")} % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, cast(bucket as bigint) AS bucket
+FROM buckets
+WHERE bucket < {_mix_case_sql()}
+""",
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling (per-language mixing rates).
+
+    Pure narrow plan: one scan, a codegen hash + filter, no shuffle and
+    no driver state — at 100 TB this is exactly one pass over the corpus
+    with the filter running inside the parquet scan stage. Hash-based
+    membership (md5(doc_id) bucket) makes the mix reproducible under
+    AQE re-planning and task retries, unlike rand()-based sampling."""
+    d = load(spark, sf_dir, "documents")
+    bucket = D.md5_long(F.col("doc_id").cast("string")) % 10000
+    rate = F.lit(_MIX_DEFAULT_BP)
+    for lang, bp in reversed(list(MIX_RATES_BP.items())):
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+@register(
+    "quality_cap_per_source",
+    f"""
+WITH scored AS (
+  SELECT doc_id, source, {T.quality_score_sql('text')} AS q FROM documents
+), ranked AS (
+  SELECT doc_id, source, q,
+         cast(row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) as int) AS qrank
+  FROM scored
+)
+SELECT doc_id, source, q, qrank FROM ranked WHERE qrank <= 10
+""",
+)
+def quality_cap_per_source(spark, sf_dir):
+    """Per-source quality cap: keep the top-10 docs per source by the
+    deterministic quality score (tie-break doc_id). The domain-cap op
+    every crawl-curation pipeline needs — one shuffle on source, then a
+    per-partition sort; skewed mega-domains are exactly what
+    operators/skew.salted_hybrid_join handles if a single source
+    outgrows a partition (at that point cap via the two-pass
+    approx-threshold variant instead of a full sort)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", T.quality_score(F.col("text")).alias("q"))
+        .withColumn("qrank", F.row_number().over(w).cast("int"))
+        .filter(F.col("qrank") <= 10)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), filt AS (
+  SELECT doc_id, source, term FROM toks WHERE regexp_full_match(term, '[a-z]{{3,}}')
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM filt GROUP BY term
+), tf AS (
+  SELECT source, term, count(*) AS tf FROM filt GROUP BY source, term
+), scored AS (
+  SELECT tf.source, tf.term, tf.tf, df.df,
+         cast(tf.tf as double) * (SELECT count(*) FROM documents) / df.df AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT source, term, tf, df, score, rnk FROM (
+  SELECT source, term, tf, df, score,
+         cast(row_number() OVER (PARTITION BY source ORDER BY score DESC, term) as int) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-5 terms per source. idf is the exact rational
+    n_docs/df (no log: ln() differs across libm implementations in the
+    last ulp; tf*n/df is two exact IEEE ops, bit-identical both
+    engines, and order-preserving for ranking within a fixed corpus).
+    Shape at scale: explode → two hash aggregates (term df, per-source
+    tf) → broadcast-joinable df side only if the vocabulary is small;
+    here it's a plain shuffle join on term, then a per-source top-k
+    window. The 1-row corpus count rides in as a broadcast cross join,
+    not a driver-side collect."""
+    d = load(spark, sf_dir, "documents")
+    filt = (
+        d.select("doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").rlike("^[a-z]{3,}$"))
+    )
+    df_side = filt.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tf_side = filt.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf_side.join(df_side, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "source", "term", "tf", "df",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", "tf", "df", "score", "rnk")
+    )
+
+
+def _polygon_metrics_oracle_sql() -> str:
+    """Exact-integer shoelace in micro-degrees: vertices are frozen at
+    6 dp, so round(x*1e6) is an exact integer; cross products and their
+    sums stay in HUGEINT (DuckDB) / DECIMAL(38,0) (Spark) — no
+    float-sum order dependence. Only the final divisions and the
+    per-edge whole-meter haversine rounding touch doubles, both
+    textually identical across engines."""
+    hav = HAVERSINE_SQL.format(lat1="y1", lon1="x1", lat2="y2", lon2="x2")
+    return f"""
+WITH e AS (SELECT * FROM {_edges_values_sql()}),
+i AS (
+  SELECT poly_id, x1, y1, x2, y2,
+         cast(round(x1*1000000) as hugeint) AS x1u, cast(round(y1*1000000) as hugeint) AS y1u,
+         cast(round(x2*1000000) as hugeint) AS x2u, cast(round(y2*1000000) as hugeint) AS y2u
+  FROM e
+), c AS (
+  SELECT poly_id, (x1u*y2u - x2u*y1u) AS cr, (x1u+x2u) AS sx, (y1u+y2u) AS sy,
+         cast(round({hav}, 0) as bigint) AS elen
+  FROM i
+), agg AS (
+  SELECT poly_id, cast(sum(cr) as double) AS a2, cast(sum(sx*cr) as double) AS nx,
+         cast(sum(sy*cr) as double) AS ny, cast(sum(elen) as bigint) AS perimeter_m,
+         count(*) AS n_edges
+  FROM c GROUP BY poly_id
+)
+SELECT poly_id, abs(a2) / 2000000000000.0 AS area_deg2,
+       nx / (3.0 * a2) / 1000000.0 AS cx,
+       ny / (3.0 * a2) / 1000000.0 AS cy,
+       perimeter_m, n_edges
+FROM agg
+"""
+
+
+@register("polygon_metrics", _polygon_metrics_oracle_sql())
+def polygon_metrics(spark, sf_dir):
+    """Per-polygon shoelace area, area centroid, and perimeter over the
+    (poly_id, rings) table shape — the polygon-side profiling pass an
+    overlay/zonal pipeline runs before choosing cover resolutions.
+
+    Edges are built WITHOUT a driver loop (transform over the ring
+    array, then explode) so an arbitrarily large polygon table stays
+    distributed; the math is exact integer micro-degree arithmetic in
+    DECIMAL(38,0) (holes subtract automatically via ring orientation),
+    mirrored bit-for-bit by the oracle's HUGEINT. Perimeter sums
+    per-edge whole-meter haversine (coarse-tick rounding per the module
+    convention, so libm ulp drift can't flip the hash)."""
+    from gipspark.geo.haversine import haversine_col
+
+    rows = [(p["poly_id"], p["rings"]) for p in ORACLE_POLYGONS]
+    polys = spark.createDataFrame(rows, "poly_id int, rings array<array<array<double>>>")
+    edges = (
+        polys.select("poly_id", F.explode("rings").alias("ring"))
+        .select(
+            "poly_id",
+            F.expr(
+                "transform(slice(ring, 1, size(ring)-1), (v, i) -> "
+                "struct(v[0] as x1, v[1] as y1, ring[i+1][0] as x2, ring[i+1][1] as y2))"
+            ).alias("es"),
+        )
+        .select("poly_id", F.explode("es").alias("e"))
+        .select("poly_id", "e.*")
+    )
+    d20, d38 = "decimal(20,0)", "decimal(38,0)"
+    x1u = F.round(F.col("x1") * 1e6).cast(d20)
+    y1u = F.round(F.col("y1") * 1e6).cast(d20)
+    x2u = F.round(F.col("x2") * 1e6).cast(d20)
+    y2u = F.round(F.col("y2") * 1e6).cast(d20)
+    cr = (x1u * y2u - x2u * y1u).cast(d38)
+    elen = F.round(haversine_col(F.col("y1"), F.col("x1"), F.col("y2"), F.col("x2")), 0).cast("long")
+    agg = (
+        edges.select(
+            "poly_id",
+            cr.alias("cr"),
+            ((x1u + x2u).cast(d38) * cr).cast(d38).alias("nxe"),
+            ((y1u + y2u).cast(d38) * cr).cast(d38).alias("nye"),
+            elen.alias("elen"),
+        )
+        .groupBy("poly_id")
+        .agg(
+            F.sum("cr").cast("double").alias("a2"),
+            F.sum("nxe").cast("double").alias("nx"),
+            F.sum("nye").cast("double").alias("ny"),
+            F.sum("elen").alias("perimeter_m"),
+            F.count("*").alias("n_edges"),
+        )
+    )
+    return agg.select(
+        "poly_id",
+        (F.abs(F.col("a2")) / F.lit(2000000000000.0)).alias("area_deg2"),
+        (F.col("nx") / (F.lit(3.0) * F.col("a2")) / F.lit(1000000.0)).alias("cx"),
+        (F.col("ny") / (F.lit(3.0) * F.col("a2")) / F.lit(1000000.0)).alias("cy"),
+        "perimeter_m",
+        "n_edges",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1,0 +1,165 @@
+"""Property tests for the training-data curation / mixing queries.
+
+The DuckDB oracle already checks bit-exactness end-to-end; these tests
+pin the *semantics* independently of SQL: sampling membership is
+re-derived with hashlib, TF-IDF with collections.Counter, polygon
+metrics with exact Python-int shoelace — three implementations that
+share no code with either engine.
+"""
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+from gipspark.queries import (
+    MIX_RATES_BP,
+    ORACLE_POLYGONS,
+    _MIX_DEFAULT_BP,
+    REGISTRY,
+)
+
+
+def _run(spark, sf_dir, name):
+    fn, _ = REGISTRY[name]
+    return fn(spark, sf_dir)
+
+
+def _md5_bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 10000
+
+
+def test_stratified_sample_matches_hashlib(spark, sf_dir):
+    docs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang").collect()
+    }
+    expected = {
+        (did, lang, _md5_bucket(did))
+        for did, lang in docs.items()
+        if _md5_bucket(did) < MIX_RATES_BP.get(lang, _MIX_DEFAULT_BP)
+    }
+    got = {(r.doc_id, r.lang, r.bucket) for r in _run(spark, sf_dir, "stratified_sample_docs").collect()}
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stratified_sample_rate_is_exactly_mix_table(spark, sf_dir):
+    # every kept bucket respects its language's rate; no lang exceeds it
+    for r in _run(spark, sf_dir, "stratified_sample_docs").collect():
+        assert r.bucket < MIX_RATES_BP.get(r.lang, _MIX_DEFAULT_BP)
+
+
+def test_quality_cap_structure(spark, sf_dir):
+    rows = _run(spark, sf_dir, "quality_cap_per_source").collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    n_docs_by_src = Counter(
+        r.source for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("source").collect()
+    )
+    for src, grp in per_src.items():
+        grp.sort(key=lambda r: r.qrank)
+        assert len(grp) == min(10, n_docs_by_src[src])
+        assert [r.qrank for r in grp] == list(range(1, len(grp) + 1))
+        # descending quality with doc_id tie-break
+        for a, b in zip(grp, grp[1:]):
+            assert (a.q, -a.doc_id) >= (b.q, -b.doc_id)
+    assert set(per_src) == set(n_docs_by_src)
+
+
+def test_tfidf_matches_counter_reference(spark, sf_dir):
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).collect()
+    word = re.compile(r"^[a-z]{3,}$")
+    df_c: Counter = Counter()
+    tf_c: Counter = Counter()
+    for r in docs:
+        toks = [t for t in r.text.strip().lower().split() if word.match(t)]
+        for t in set(toks):
+            df_c[t] += 1
+        for t in toks:
+            tf_c[(r.source, t)] += 1
+    n = len(docs)
+    best = {}
+    for (src, term), tf in tf_c.items():
+        score = float(tf) * n / df_c[term]
+        best.setdefault(src, []).append((-score, term, tf, df_c[term]))
+    expected = set()
+    for src, lst in best.items():
+        for rnk, (neg, term, tf, df) in enumerate(sorted(lst)[:5], start=1):
+            expected.add((src, term, tf, df, -neg, rnk))
+    got = {
+        (r.source, r.term, r.tf, r.df, r.score, r.rnk)
+        for r in _run(spark, sf_dir, "tfidf_top_terms").collect()
+    }
+    assert got == expected
+
+
+def _exact_shoelace(poly):
+    a2 = nx = ny = 0
+    n_edges = 0
+    for ring in poly["rings"]:
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            x1u, y1u, x2u, y2u = (round(v * 1e6) for v in (x1, y1, x2, y2))
+            cr = x1u * y2u - x2u * y1u
+            a2 += cr
+            nx += (x1u + x2u) * cr
+            ny += (y1u + y2u) * cr
+            n_edges += 1
+    return a2, nx, ny, n_edges
+
+
+def test_polygon_metrics_exact_reference(spark, sf_dir):
+    got = {r.poly_id: r for r in _run(spark, sf_dir, "polygon_metrics").collect()}
+    assert set(got) == {p["poly_id"] for p in ORACLE_POLYGONS}
+    for p in ORACLE_POLYGONS:
+        a2, nx, ny, n_edges = _exact_shoelace(p)
+        r = got[p["poly_id"]]
+        assert r.n_edges == n_edges
+        # identical final-op replay: double(a2)/2e12 etc.
+        assert r.area_deg2 == abs(float(a2)) / 2e12
+        assert r.cx == float(nx) / (3.0 * float(a2)) / 1e6
+        assert r.cy == float(ny) / (3.0 * float(a2)) / 1e6
+        assert r.perimeter_m > 0
+        # centroid must sit inside the polygon's bounding box
+        xs = [v[0] for ring in p["rings"] for v in ring]
+        ys = [v[1] for ring in p["rings"] for v in ring]
+        assert min(xs) <= r.cx <= max(xs)
+        assert min(ys) <= r.cy <= max(ys)
+
+
+def test_polygon_metrics_hole_subtracts(spark, sf_dir):
+    # poly 3 has a hole: its area must be strictly less than the outer
+    # ring's area alone
+    outer_only = {"poly_id": 3, "rings": [ORACLE_POLYGONS[3]["rings"][0]]}
+    a2_outer, *_ = _exact_shoelace(outer_only)
+    got = {r.poly_id: r for r in _run(spark, sf_dir, "polygon_metrics").collect()}
+    assert got[3].area_deg2 < abs(a2_outer) / 2e12
+    # and the perimeter includes both rings (longer than outer alone)
+    hav = _ring_perimeter(outer_only["rings"][0])
+    assert got[3].perimeter_m > hav
+
+
+def _ring_perimeter(ring):
+    total = 0
+    R = 6371000.0
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        p1, l1, p2, l2 = (math.radians(v) for v in (y1, x1, y2, x2))
+        a = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin((l2 - l1) / 2) ** 2
+        total += round(2 * R * math.asin(math.sqrt(a)))
+    return total
+
+
+def test_sampling_is_partitioning_invariant(spark, sf_dir):
+    # same rows regardless of input partitioning (hash-membership, no rand())
+    df1 = _run(spark, sf_dir, "stratified_sample_docs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(13)
+    docs.createOrReplaceTempView("_tmp_unused")  # keep lineage distinct
+    got1 = sorted((r.doc_id, r.lang, r.bucket) for r in df1.collect())
+    got2 = sorted((r.doc_id, r.lang, r.bucket) for r in df1.repartition(7).collect())
+    assert got1 == got2

@@ -28,6 +28,7 @@ CROSS_OK = {
     "knn_join_nations",  # straggler fallback branch plans a bounded NL join
     "embedding_neardup_pairs",
     "gapfill_daily_events",  # tiny calendar × type-dim cross, broadcast
+    "tfidf_top_terms",  # 1-row corpus-count aggregate broadcast into scored
 }
 
 
