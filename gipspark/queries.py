@@ -2114,6 +2114,156 @@ def polygon_metrics(spark, sf_dir):
     )
 
 
+# Deterministic benchmark set for the decontamination op: the leading
+# 8-gram of each doc_id < 10 document. Derived inside BOTH engines from
+# the corpus itself (no driver-side collect) — at scale the benchmark
+# side is a small broadcast dim, the corpus side a single explode pass.
+_DECON_N = 8
+_DECON_BENCH_DOCS = 10
+
+
+@register(
+    "ngram_decontaminate",
+    f"""
+WITH bench AS (
+  SELECT DISTINCT array_to_string(
+           list_slice(regexp_split_to_array(lower(trim(text)), '\\s+'), 1, {_DECON_N}), ' ') AS ng
+  FROM documents
+  WHERE doc_id < {_DECON_BENCH_DOCS}
+    AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= {_DECON_N}
+), grams AS (
+  SELECT doc_id, unnest({D.shingles_sql('text', _DECON_N)}) AS ng FROM documents
+)
+SELECT g.doc_id, count(*) AS n_hits
+FROM grams g JOIN bench b ON g.ng = b.ng
+GROUP BY g.doc_id
+""",
+)
+def ngram_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any 8-gram
+    with the benchmark set (here: the leading 8-gram of the first ten
+    docs — self-hits included by construction, which pins correctness).
+
+    Scale shape: benchmark n-grams are a tiny broadcast dim; the corpus
+    side is one explode over distinct shingles and a hash aggregate —
+    shuffle bounded by the HIT count, not the corpus, because the
+    broadcast hash join filters before the aggregate."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    bench = (
+        d.filter(F.col("doc_id") < _DECON_BENCH_DOCS)
+        .select(F.concat_ws(" ", F.slice(toks, 1, _DECON_N)).alias("ng"), F.size(toks).alias("nt"))
+        .filter(F.col("nt") >= _DECON_N)
+        .select("ng")
+        .distinct()
+    )
+    grams = d.select("doc_id", F.explode(D.shingles(F.col("text"), _DECON_N)).alias("ng"))
+    return (
+        grams.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# Per-language repetition factors for deterministic upsampling (the
+# "epochs per mixture component" op): each doc appears factor(lang)
+# times with an explicit copy index, so downstream shuffles can treat
+# copies as distinct rows while lineage stays reconstructible.
+UPSAMPLE_FACTORS: dict[str, int] = {"fr": 3, "es": 2}
+
+
+def _upsample_case_sql() -> str:
+    whens = " ".join(f"WHEN '{lang}' THEN {k}" for lang, k in UPSAMPLE_FACTORS.items())
+    return f"CASE lang {whens} ELSE 1 END"
+
+
+@register(
+    "mixture_upsample_docs",
+    f"""
+SELECT doc_id, lang,
+       cast(unnest(generate_series(1, {_upsample_case_sql()})) as int) AS copy
+FROM documents
+""",
+)
+def mixture_upsample_docs(spark, sf_dir):
+    """Deterministic mixture upsampling: explode(sequence(1, k(lang)))
+    gives each document k copies with a stable copy index — a narrow
+    per-row generate, no shuffle, no rand(); the inverse op of
+    stratified_sample_docs in a mixing pipeline."""
+    d = load(spark, sf_dir, "documents")
+    k = F.lit(1)
+    for lang, f_ in UPSAMPLE_FACTORS.items():
+        k = F.when(F.col("lang") == lang, F.lit(f_)).otherwise(k)
+    return d.select(
+        "doc_id", "lang", F.explode(F.sequence(F.lit(1), k)).alias("copy0")
+    ).select("doc_id", "lang", F.col("copy0").cast("int").alias("copy"))
+
+
+@register(
+    "embedding_norm_stats",
+    """
+WITH norms AS (
+  SELECT label,
+         cast(round(list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+                                (a, b) -> a + b) * 1000000) as bigint) AS n2t
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       cast(sum(n2t) as bigint) AS sum_norm2_ticks,
+       min(n2t) AS min_norm2_ticks, max(n2t) AS max_norm2_ticks
+FROM norms GROUP BY label
+""",
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Per-label embedding norm profile — the sanity pass an ANN
+    pipeline runs before choosing index parameters. Norm² is a
+    sequential JVM fold over the array (deterministic order, identical
+    to DuckDB's list_reduce), then quantized to 1e-6 ticks so the
+    per-label SUM is exact integer arithmetic — no float-sum order
+    dependence anywhere. One scan + one hash aggregate."""
+    e = load(spark, sf_dir, "embeddings")
+    # norm² as the raw fold (no sqrt — sqrt(x)² would reintroduce a ulp)
+    norm2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("label", F.round(norm2 * 1000000).cast("long").alias("n2t"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("n2t").alias("sum_norm2_ticks"),
+            F.min("n2t").alias("min_norm2_ticks"),
+            F.max("n2t").alias("max_norm2_ticks"),
+        )
+    )
+
+
+@register(
+    "value_histogram_events",
+    """
+SELECT cast(floor(value / 25.0) as bigint) AS bin,
+       count(*) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents
+FROM events
+GROUP BY bin
+""",
+)
+def value_histogram_events(spark, sf_dir):
+    """Fixed-width value histogram with exact per-bin totals: bin ids
+    from floor-division (exact IEEE), totals in integer cents (no
+    parallel float-sum drift). Single map-side-combinable aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("bigint").alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

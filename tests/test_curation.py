@@ -163,3 +163,66 @@ def test_sampling_is_partitioning_invariant(spark, sf_dir):
     got1 = sorted((r.doc_id, r.lang, r.bucket) for r in df1.collect())
     got2 = sorted((r.doc_id, r.lang, r.bucket) for r in df1.repartition(7).collect())
     assert got1 == got2
+
+
+def test_ngram_decontaminate_reference(spark, sf_dir):
+    from gipspark.queries import _DECON_BENCH_DOCS, _DECON_N
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.strip().lower().split() for r in docs}
+    bench = {
+        " ".join(t[:_DECON_N])
+        for did, t in toks.items()
+        if did < _DECON_BENCH_DOCS and len(t) >= _DECON_N
+    }
+    expected = {}
+    for did, t in toks.items():
+        grams = {" ".join(t[i : i + _DECON_N]) for i in range(len(t) - _DECON_N + 1)}
+        hits = len(grams & bench)
+        if hits:
+            expected[did] = hits
+    got = {r.doc_id: r.n_hits for r in _run(spark, sf_dir, "ngram_decontaminate").collect()}
+    assert got == expected
+    # benchmark docs with enough tokens must self-hit
+    for did in range(_DECON_BENCH_DOCS):
+        if len(toks.get(did, [])) >= _DECON_N:
+            assert did in got
+
+
+def test_mixture_upsample_counts(spark, sf_dir):
+    from gipspark.queries import UPSAMPLE_FACTORS
+
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang").collect()
+    }
+    rows = _run(spark, sf_dir, "mixture_upsample_docs").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy)
+    assert set(per_doc) == set(langs)
+    for did, copies in per_doc.items():
+        k = UPSAMPLE_FACTORS.get(langs[did], 1)
+        assert sorted(copies) == list(range(1, k + 1))
+
+
+def test_embedding_norm_stats_fold_reference(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("label", "embedding").collect()
+    agg = {}
+    for r in embs:
+        acc = 0.0
+        for x in r.embedding:
+            acc = acc + float(x) * float(x)  # same sequential fold order
+        t = round(acc * 1000000)
+        n, s, lo, hi = agg.get(r.label, (0, 0, None, None))
+        agg[r.label] = (
+            n + 1,
+            s + t,
+            t if lo is None else min(lo, t),
+            t if hi is None else max(hi, t),
+        )
+    got = {
+        r.label: (r.n_vecs, r.sum_norm2_ticks, r.min_norm2_ticks, r.max_norm2_ticks)
+        for r in _run(spark, sf_dir, "embedding_norm_stats").collect()
+    }
+    assert got == agg
