@@ -7,7 +7,7 @@
   tile assignment → per-(tile, poly) counts.
 - ``queries()`` / ``oracle_sql()``: the full operator registry lives in
   gipspark/queries.py — one entry per SURVEY.md §2 operator, DuckDB
-  oracle SQL for every SQL-expressible one (62 oracle-checked + 6
+  oracle SQL for every SQL-expressible one (64 oracle-checked + 6
   rows-only — ANN-approx, geo golden-vector, codec mapInPandas — at
   round-2; parity verified by tools/check_oracle.py).
 """

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "near_dedup_decision",
     "grouping_sets_inventory",
+    "stratified_sample_docs",
+    "tfidf_top_terms",
 ]
 
 

@@ -1945,11 +1945,13 @@ SELECT doc_id, source, q, qrank FROM ranked WHERE qrank <= 10
 def quality_cap_per_source(spark, sf_dir):
     """Per-source quality cap: keep the top-10 docs per source by the
     deterministic quality score (tie-break doc_id). The domain-cap op
-    every crawl-curation pipeline needs — one shuffle on source, then a
-    per-partition sort; skewed mega-domains are exactly what
-    operators/skew.salted_hybrid_join handles if a single source
-    outgrows a partition (at that point cap via the two-pass
-    approx-threshold variant instead of a full sort)."""
+    every crawl-curation pipeline needs. Because the rank filter is a
+    plain ``row_number() <= k`` over the window, Catalyst plans a
+    two-phase WindowGroupLimit: each map task keeps only its local
+    top-k per source BEFORE the shuffle, so a mega-domain ships
+    k·num_partitions candidate rows, not its whole population — the
+    skew-safe scale path with no custom operator
+    (tests/test_plan_hygiene.py pins the optimization)."""
     d = load(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(F.col("q").desc(), F.col("doc_id"))
     return (
@@ -2262,6 +2264,119 @@ def value_histogram_events(spark, sf_dir):
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
         )
     )
+
+
+@register(
+    "trajectory_user_stats",
+    f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), steps0 AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+  FROM pts
+), steps AS (
+  SELECT user_id,
+         cast(round({HAVERSINE_SQL.format(lat1='plat', lon1='plon', lat2='lat', lon2='lon')}, 0) as bigint) AS step_m
+  FROM steps0
+)
+SELECT user_id, count(*) AS n_events,
+       cast(coalesce(sum(step_m), 0) as bigint) AS path_m,
+       cast(coalesce(max(step_m), 0) as bigint) AS max_step_m
+FROM steps GROUP BY user_id
+""",
+)
+def trajectory_user_stats(spark, sf_dir):
+    """Per-user trajectory profile (GPS-telemetry shape): order each
+    user's events by time, lag to the previous fix, per-step haversine
+    rounded to whole meters (coarse tick per module convention), then
+    exact integer sums. One shuffle on user_id shared by the window and
+    the aggregate — Catalyst reuses the partitioning, so the plan is
+    sort → window → partial/final agg with no second exchange."""
+    from gipspark.geo.haversine import haversine_col
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = pts.select(
+        "user_id",
+        F.round(
+            haversine_col(
+                F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+            ),
+            0,
+        ).cast("long").alias("step_m"),
+    )
+    return steps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.coalesce(F.sum("step_m"), F.lit(0)).cast("long").alias("path_m"),
+        F.coalesce(F.max("step_m"), F.lit(0)).cast("long").alias("max_step_m"),
+    )
+
+
+# Grid density clustering: 2.5° integer cells, dense = >= 3 points,
+# clusters = connected components over 8-neighbor adjacency of dense
+# cells. cell_id = gx*100 + gy (gy < 100 by construction). No
+# antimeridian wrap at this demo grid — the production path for
+# spherical adjacency is the S2 k-ring (operators/knn.py).
+_GRID_DENSE_MIN = 3
+
+
+@register(
+    "grid_cluster_events",
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT event_id, {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), cells AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) * 100
+         + cast(floor((90.0 - lat) / 2.5) as int) AS cell_id,
+         count(*) AS n_points
+  FROM pts GROUP BY cell_id HAVING count(*) >= {_GRID_DENSE_MIN}
+), edges AS (
+  SELECT a.cell_id AS src, b.cell_id AS dst
+  FROM cells a JOIN cells b
+    ON abs((a.cell_id // 100) - (b.cell_id // 100)) <= 1
+   AND abs((a.cell_id % 100) - (b.cell_id % 100)) <= 1
+   AND a.cell_id <> b.cell_id
+), reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+  WHERE e.dst <> re.node
+)
+SELECT c.cell_id, cast(coalesce(least(c.cell_id, m.mr), c.cell_id) as int) AS cluster_id,
+       c.n_points
+FROM cells c LEFT JOIN (SELECT node, min(r) AS mr FROM reach GROUP BY node) m
+  ON m.node = c.cell_id
+""",
+)
+def grid_cluster_events(spark, sf_dir):
+    """Grid-based density clustering (DBSCAN-on-a-grid): bucket points
+    into 2.5° integer cells, keep cells with >= 3 points, connect
+    8-neighbor dense cells, label clusters by component minimum.
+
+    Scale shape: points collapse to dense cells in ONE hash aggregate
+    (map-side combinable — the 100 TB point table never shuffles raw
+    rows); adjacency is an 8-offset explode + equi-join on cell coords
+    (hash join, no inequality scan); components run pointer-jumping
+    (operators/components.py, O(log d) rounds). Oracle: recursive
+    reachability over the same dense-cell graph."""
+    from gipspark.operators.gridcluster import grid_cluster
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    return grid_cluster(pts, cell_deg=2.5, min_points=_GRID_DENSE_MIN)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -226,3 +226,36 @@ def test_embedding_norm_stats_fold_reference(spark, sf_dir):
         for r in _run(spark, sf_dir, "embedding_norm_stats").collect()
     }
     assert got == agg
+
+
+def test_trajectory_stats_reference(spark, sf_dir):
+    from gipspark.functions.cells import LAT_MOD, LAT_MUL, LON_MOD, LON_MUL
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "event_id").collect()
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    expected = {}
+    for uid, fixes in per_user.items():
+        fixes.sort()
+        steps = []
+        prev = None
+        for ts, eid in fixes:
+            lat = ((eid * LAT_MUL) % LAT_MOD) / 1000.0 - 60.0
+            lon = ((eid * LON_MUL) % LON_MOD) / 1000.0 - 180.0
+            if prev is not None:
+                steps.append(round(_hav_m(prev[0], prev[1], lat, lon)))
+            prev = (lat, lon)
+        expected[uid] = (len(fixes), sum(steps), max(steps) if steps else 0)
+    got = {
+        r.user_id: (r.n_events, r.path_m, r.max_step_m)
+        for r in _run(spark, sf_dir, "trajectory_user_stats").collect()
+    }
+    assert got == expected
+
+
+def _hav_m(lat1, lon1, lat2, lon2):
+    R = 6371000.0
+    p1, l1, p2, l2 = (math.radians(v) for v in (lat1, lon1, lat2, lon2))
+    a = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin((l2 - l1) / 2) ** 2
+    return 2 * R * math.asin(math.sqrt(a))

@@ -47,6 +47,17 @@ def test_plan_hygiene(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
 
 
+@pytest.mark.parametrize("name", ["quality_cap_per_source", "tfidf_top_terms"])
+def test_topk_windows_use_group_limit(spark, name):
+    # row_number() <= k filters must plan the two-phase WindowGroupLimit
+    # (map-side partial top-k before the shuffle, final after) — the
+    # property that makes per-key caps skew-safe at scale. Rewriting the
+    # filter in a way Catalyst can't see (e.g. filtering a derived
+    # column) would silently lose it; this pins the plan shape.
+    plan = _plan(spark, name)
+    assert plan.count("WindowGroupLimit") >= 2, f"{name}: no two-phase window group limit"
+
+
 def test_scan_pushdown_representative(spark):
     # a filter on a scan column must reach the parquet reader
     plan = _plan(spark, "simhash_signatures")  # filter(doc_id < 100)
