@@ -2379,6 +2379,117 @@ def grid_cluster_events(spark, sf_dir):
     return grid_cluster(pts, cell_deg=2.5, min_points=_GRID_DENSE_MIN)
 
 
+@register(
+    "funnel_view_click_purchase",
+    """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS v
+  FROM events
+), w2 AS (
+  SELECT user_id, ts, event_type, v,
+         min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END) OVER (PARTITION BY user_id) AS c
+  FROM w1
+), w3 AS (
+  SELECT user_id, v, c,
+         min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END) OVER (PARTITION BY user_id) AS p
+  FROM w2
+), per_user AS (
+  SELECT user_id, min(v) AS v, min(c) AS c, min(p) AS p FROM w3 GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(v) AS n_viewed, count(c) AS n_clicked, count(p) AS n_purchased,
+       cast(coalesce(sum(epoch_us(c) - epoch_us(v)), 0) as bigint) AS click_lag_us,
+       cast(coalesce(sum(epoch_us(p) - epoch_us(c)), 0) as bigint) AS purchase_lag_us
+FROM per_user
+""",
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel (view → first click after the view →
+    first purchase after that click), the standard web-analytics op.
+
+    Three window passes over the SAME user_id partitioning — Catalyst
+    plans one exchange + one sort for all of them, then a partial/final
+    aggregate; no self-joins, no driver state. Lags are exact integer
+    micros (epoch_us == unix_micros convention)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    ev1 = ev.select("user_id", "ts", "event_type", v.alias("v"))
+    c = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("v")), F.col("ts"))
+    ).over(w)
+    ev2 = ev1.select("user_id", "ts", "event_type", "v", c.alias("c"))
+    p = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c")), F.col("ts"))
+    ).over(w)
+    per_user = (
+        ev2.select("user_id", "v", "c", p.alias("p"))
+        .groupBy("user_id")
+        .agg(F.min("v").alias("v"), F.min("c").alias("c"), F.min("p").alias("p"))
+    )
+
+    def us(col):
+        return F.unix_micros(col.cast("timestamp")).cast("long")
+
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("v").alias("n_viewed"),
+        F.count("c").alias("n_clicked"),
+        F.count("p").alias("n_purchased"),
+        F.coalesce(F.sum(us(F.col("c")) - us(F.col("v"))), F.lit(0)).cast("long").alias("click_lag_us"),
+        F.coalesce(F.sum(us(F.col("p")) - us(F.col("c"))), F.lit(0)).cast("long").alias("purchase_lag_us"),
+    )
+
+
+@register(
+    "concurrent_sessions_daily",
+    """
+WITH iv AS (
+  SELECT cast(ts as date) AS day, ts AS start_ts,
+         ts + INTERVAL 15 MINUTE AS end_ts
+  FROM events
+), marks AS (
+  SELECT day, start_ts AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, end_ts AS t, -1 AS delta FROM iv
+), sweep AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM marks
+)
+SELECT day, cast(max(conc) as bigint) AS max_concurrent
+FROM sweep GROUP BY day
+""",
+)
+def concurrent_sessions_daily(spark, sf_dir):
+    """Peak concurrency per day via the sweep-line trick: each event
+    opens a 15-minute presence interval; +1/-1 marks, running sum
+    ordered by (t, delta) — delta first so an interval ending exactly
+    when another starts never counts as overlap, and duplicate marks
+    are interchangeable, keeping the running max deterministic.
+    Partitioned by day (the interval's start day), so the sort is
+    per-day, never global — the sweep scales with the widest single
+    day, not the table."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end_ts"),
+    )
+    marks = iv.select("day", F.col("start_ts").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("day", F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = marks.select("day", F.sum("delta").over(w).alias("conc"))
+    return sweep.groupBy("day").agg(F.max("conc").cast("long").alias("max_concurrent"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -259,3 +259,54 @@ def _hav_m(lat1, lon1, lat2, lon2):
     p1, l1, p2, l2 = (math.radians(v) for v in (lat1, lon1, lat2, lon2))
     a = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin((l2 - l1) / 2) ** 2
     return 2 * R * math.asin(math.sqrt(a))
+
+
+def test_funnel_reference(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "event_type").collect()
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    n_users = len(per_user)
+    nv = nc = np_ = 0
+    click_lag = purchase_lag = 0
+    for uid, evs in per_user.items():
+        views = [t for t, ty in evs if ty == "view"]
+        v = min(views) if views else None
+        c = p = None
+        if v is not None:
+            nv += 1
+            clicks = [t for t, ty in evs if ty == "click" and t >= v]
+            c = min(clicks) if clicks else None
+        if c is not None:
+            nc += 1
+            click_lag += int((c - v).total_seconds() * 1_000_000)
+            purchases = [t for t, ty in evs if ty == "purchase" and t >= c]
+            p = min(purchases) if purchases else None
+        if p is not None:
+            np_ += 1
+            purchase_lag += int((p - c).total_seconds() * 1_000_000)
+    row = _run(spark, sf_dir, "funnel_view_click_purchase").collect()[0]
+    assert (row.n_users, row.n_viewed, row.n_clicked, row.n_purchased) == (n_users, nv, nc, np_)
+    assert (row.click_lag_us, row.purchase_lag_us) == (click_lag, purchase_lag)
+    assert n_users >= nv >= nc >= np_ > 0  # the fixture exercises every stage
+
+
+def test_concurrency_sweep_reference(spark, sf_dir):
+    import datetime
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts").collect()
+    marks = {}
+    for r in ev:
+        day = r.ts.date()
+        marks.setdefault(day, []).append((r.ts, 1))
+        marks[day].append((r.ts + datetime.timedelta(minutes=15), -1))
+    expected = {}
+    for day, ms in marks.items():
+        ms.sort(key=lambda m: (m[0], m[1]))
+        acc = best = 0
+        for _, d in ms:
+            acc += d
+            best = max(best, acc)
+        expected[day] = best
+    got = {r.day: r.max_concurrent for r in _run(spark, sf_dir, "concurrent_sessions_daily").collect()}
+    assert got == expected
