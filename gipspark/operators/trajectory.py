@@ -1,0 +1,155 @@
+"""Polyline simplification over per-entity trajectories (ST_Simplify).
+
+The geospatial engines this rebuild mirrors all ship Douglas-Peucker
+polyline simplification (PostGIS ``ST_Simplify``, the GIPS trajectory
+tooling per SURVEY.md §1) — keep the endpoints, recursively keep the
+vertex farthest from the current chord while that distance exceeds a
+tolerance. Spark has no built-in, so this is the documented custom-op
+path (SURVEY.md §2.6): ``applyInPandas`` per entity.
+
+Scale shape at 10^12 rows: the only shuffle is the groupBy on the
+entity key — exactly the partitioning every other per-user op here
+already uses. Each group is one user's trajectory (bounded by the
+per-user event cap, thousands not billions), and the kernel is
+NumPy-vectorized per chord split, so the Python stage is Arrow-batched
+with no per-row Python beyond the O(kept) recursion stack. Entity skew
+is the same story as sessionization: the hottest user bounds the task,
+not the table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def rdp_keep_mask(x: np.ndarray, y: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask for an ordered polyline (planar coords).
+
+    Iterative stack form (no Python recursion limit); the distance of
+    every interior point to the current chord is computed vectorized.
+    Degenerate chords (coincident endpoints) fall back to point
+    distance from the shared endpoint. Endpoints are always kept.
+    """
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        xs = x[a + 1 : b]
+        ys = y[a + 1 : b]
+        dx = x[b] - x[a]
+        dy = y[b] - y[a]
+        norm = np.hypot(dx, dy)
+        if norm == 0.0:
+            d = np.hypot(xs - x[a], ys - y[a])
+        else:
+            d = np.abs(dx * (ys - y[a]) - dy * (xs - x[a])) / norm
+        i = int(np.argmax(d))
+        if d[i] > eps:
+            split = a + 1 + i
+            keep[split] = True
+            stack.append((a, split))
+            stack.append((split, b))
+    return keep
+
+
+def simplify_trajectories(
+    points: DataFrame,
+    eps: float,
+    entity_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Per-entity Douglas-Peucker summary: each entity's points ordered
+    by ``order_cols`` form a polyline; returns one row per entity with
+    the retained-vertex count. ``eps`` is in coordinate degrees (the
+    planar approximation every ST_Simplify default uses; callers
+    needing metric tolerance pre-project).
+
+    Output: (entity, n_points, n_kept, endpoints_kept).
+    """
+    schema = StructType(
+        [
+            StructField(entity_col, LongType()),
+            StructField("n_points", LongType()),
+            StructField("n_kept", LongType()),
+            StructField("endpoints_kept", BooleanType()),
+        ]
+    )
+
+    cols = [entity_col, *order_cols, lat_col, lon_col]
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        x = pdf[lon_col].to_numpy(np.float64)
+        y = pdf[lat_col].to_numpy(np.float64)
+        keep = rdp_keep_mask(x, y, eps)
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                entity_col: [int(pdf[entity_col].iloc[0])],
+                "n_points": [n],
+                "n_kept": [int(keep.sum())],
+                "endpoints_kept": [bool(n == 0 or (keep[0] and keep[-1]))],
+            }
+        )
+
+    return points.select(*cols).groupBy(entity_col).applyInPandas(_one, schema)
+
+
+def simplify_trajectory_points(
+    points: DataFrame,
+    eps: float,
+    entity_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Row-level variant: the retained vertices themselves, with their
+    0-based position in the entity's ordered polyline. Same plan shape
+    (one shuffle on the entity key); use when the simplified lines are
+    the product rather than the reduction stats."""
+    schema = StructType(
+        [
+            StructField(entity_col, LongType()),
+            StructField("seq", LongType()),
+            StructField(lat_col, DoubleType()),
+            StructField(lon_col, DoubleType()),
+        ]
+    )
+
+    cols = [entity_col, *order_cols, lat_col, lon_col]
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort").reset_index(drop=True)
+        x = pdf[lon_col].to_numpy(np.float64)
+        y = pdf[lat_col].to_numpy(np.float64)
+        keep = rdp_keep_mask(x, y, eps)
+        idx = np.flatnonzero(keep)
+        return pd.DataFrame(
+            {
+                entity_col: pdf[entity_col].to_numpy(np.int64)[idx],
+                "seq": idx.astype(np.int64),
+                lat_col: y[idx],
+                lon_col: x[idx],
+            }
+        )
+
+    return points.select(*cols).groupBy(entity_col).applyInPandas(_one, schema)

@@ -2490,6 +2490,193 @@ def concurrent_sessions_daily(spark, sf_dir):
     return sweep.groupBy("day").agg(F.max("conc").cast("long").alias("max_concurrent"))
 
 
+# S2 hierarchy rollup over synthetic-but-VALID level-16 cells derived
+# bit-arithmetically from c_custkey (face limited to 0-3 so face<<61
+# stays positive BIGINT in both engines; 14-bit LCG pos prefix at the
+# level-16 position bits — small on purpose so sibling cells share
+# parents and the rollup genuinely merges counts at 12 and collapses
+# to one cell per face at 8; sentinel lsb 1<<28). Parent lsb constants:
+# level 12 -> 1<<36, level 8 -> 1<<44 (s2.lsb_for_level).
+_PYR_CELL_SPARK = (
+    "shiftleft(cast(c_custkey as bigint) % 4, 61)"
+    " | shiftleft((cast(c_custkey as bigint) * 48271) % 9973, 29)"
+    " | shiftleft(1L, 28)"
+)
+_PYR_CELL_DUCK = (
+    "(((cast(c_custkey as bigint) % 4) << 61)"
+    " | (((cast(c_custkey as bigint) * 48271) % 9973) << 29)"
+    " | (1::BIGINT << 28))"
+)
+_LSB12 = 1 << 36
+_LSB8 = 1 << 44
+
+
+@register(
+    "s2_pyramid_rollup",
+    f"""
+WITH base AS (
+  SELECT {_PYR_CELL_DUCK} AS cell FROM customer
+), l16 AS (
+  SELECT cell, count(*) AS n FROM base GROUP BY cell
+), l12 AS (
+  SELECT ((cell & ~({_LSB12 - 1}::BIGINT)) | {_LSB12}::BIGINT) AS cell,
+         sum(n) AS n
+  FROM l16 GROUP BY 1
+), l8 AS (
+  SELECT ((cell & ~({_LSB8 - 1}::BIGINT)) | {_LSB8}::BIGINT) AS cell,
+         sum(n) AS n
+  FROM l12 GROUP BY 1
+)
+SELECT cast(16 as int) AS level, cell, cast(n as bigint) AS n FROM l16
+UNION ALL
+SELECT cast(12 as int) AS level, cell, cast(n as bigint) AS n FROM l12
+UNION ALL
+SELECT cast(8 as int) AS level, cell, cast(n as bigint) AS n FROM l8
+""",
+)
+def s2_pyramid_rollup(spark, sf_dir):
+    """Multi-resolution tile-pyramid rollup (the hypertable/continuous-
+    aggregate pattern): per-cell counts at S2 level 16, then levels 12
+    and 8 derived by re-aggregating the ALREADY-AGGREGATED level-16
+    partials through :func:`gipspark.geo.s2.parent` — the raw table is
+    scanned and shuffled exactly once; every coarser level is a rollup
+    over at-most-|cells| rows, which is how a 10^12-row pyramid stays
+    one-pass. The oracle replays the parent bit-math ((cell & ~(lsb-1))
+    | lsb, s2.py:210) textually in SQL over the same bit-derived valid
+    level-16 ids, making the hierarchy arithmetic oracle-checked
+    bit-exact (the geographic encode stays covered by s2_cell_counts +
+    golden vectors)."""
+    base = load(spark, sf_dir, "customer").select(F.expr(_PYR_CELL_SPARK).alias("cell"))
+    l16 = base.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    l12 = (
+        l16.select(C.s2_parent(F.col("cell"), 12).alias("cell"), "n")
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n"))
+    )
+    l8 = (
+        l12.select(C.s2_parent(F.col("cell"), 8).alias("cell"), "n")
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n"))
+    )
+
+    def lvl(df, v):
+        return df.select(
+            F.lit(v).cast("int").alias("level"), "cell", F.col("n").cast("long").alias("n")
+        )
+
+    return lvl(l16, 16).unionAll(lvl(l12, 12)).unionAll(lvl(l8, 8))
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+WITH firstw AS (
+  SELECT user_id, min(cast(date_trunc('week', ts) as date)) AS cohort
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         cast(datediff('day', f.cohort, cast(date_trunc('week', e.ts) as date)) // 7 as int)
+           AS week_offset
+  FROM events e JOIN firstw f ON e.user_id = f.user_id
+)
+SELECT cohort, week_offset, count(*) AS n_users
+FROM act GROUP BY cohort, week_offset
+""",
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention (the standard web-analytics triangle):
+    cohort = Monday of each user's first-seen week, then distinct
+    active users per (cohort, week-offset). Both engines truncate weeks
+    to Monday and offsets are exact integer day-diffs // 7 (both dates
+    are Mondays, so the quotient is exact).
+
+    Plan: first-week agg and the activity join BOTH hash-partition on
+    user_id — Catalyst reuses the exchange, so the big table shuffles
+    once; the distinct collapses to (user, cohort, offset) map-side
+    before the final small aggregate."""
+    ev = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firstw = ev.groupBy("user_id").agg(F.min(wk).alias("cohort"))
+    act = (
+        ev.select("user_id", wk.alias("wk"))
+        .join(firstw, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort", "week_offset").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, cast(n_trans as bigint) AS n_trans,
+       cast((n_trans * 1000000) // sum(n_trans) OVER (PARTITION BY prev_type) as bigint) AS ppm
+FROM trans
+""",
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the clickstream model behind next-event prediction):
+    lag within (user ORDER BY ts, event_id), count (prev, next) pairs,
+    and emit the transition probability as exact integer
+    parts-per-million — BIGINT floor-division on both sides, never a
+    float divide, so the hash can't drift. One exchange on user_id for
+    the window, then the matrix aggregate is |types|^2 rows — tiny at
+    any scale."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    return trans.select(
+        "prev_type",
+        "next_type",
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.expr("(n_trans * 1000000L) div sum(n_trans * 1L) over (partition by prev_type)")
+        .cast("long")
+        .alias("ppm"),
+    )
+
+
+@register("trajectory_simplify", None)
+def trajectory_simplify(spark, sf_dir):
+    """Douglas-Peucker trajectory simplification (ST_Simplify) over
+    per-user event polylines at eps=5° — rows-only by design (RDP's
+    recursive farthest-point split is not SQL-expressible; DuckDB has
+    no ST_Simplify in-sandbox). Correctness is pinned by
+    tests/test_trajectory.py: bit-equality with an independent pure-
+    Python recursive reference, partitioning invariance, eps
+    monotonicity, and endpoint retention. Deterministic: per-user
+    sort key (ts, event_id) is total, kernel is order-stable."""
+    from gipspark.operators.trajectory import simplify_trajectories
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    return simplify_trajectories(pts, eps=5.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -1,0 +1,132 @@
+"""Douglas-Peucker trajectory simplification vs an independent
+recursive reference (textbook formulation, no shared code with the
+iterative NumPy kernel)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from gipspark.operators.trajectory import (
+    rdp_keep_mask,
+    simplify_trajectories,
+    simplify_trajectory_points,
+)
+
+
+def _rdp_ref(pts: list[tuple[float, float]], eps: float) -> list[int]:
+    """Recursive textbook Douglas-Peucker; returns kept indices."""
+
+    def perp(p, a, b):
+        (px, py), (ax, ay), (bx, by) = p, a, b
+        dx, dy = bx - ax, by - ay
+        n = math.hypot(dx, dy)
+        if n == 0.0:
+            return math.hypot(px - ax, py - ay)
+        return abs(dx * (py - ay) - dy * (px - ax)) / n
+
+    def rec(lo, hi):
+        if hi - lo < 2:
+            return []
+        dmax, imax = -1.0, -1
+        for i in range(lo + 1, hi):
+            d = perp(pts[i], pts[lo], pts[hi])
+            if d > dmax:
+                dmax, imax = d, i
+        if dmax > eps:
+            return rec(lo, imax) + [imax] + rec(imax, hi)
+        return []
+
+    n = len(pts)
+    if n == 0:
+        return []
+    if n == 1:
+        return [0]
+    return sorted([0, n - 1] + rec(0, n - 1))
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+@pytest.mark.parametrize("eps", [0.5, 2.0, 10.0])
+def test_mask_matches_recursive_reference(seed, eps):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 120))
+    x = np.cumsum(rng.normal(0, 3.0, n))
+    y = np.cumsum(rng.normal(0, 3.0, n))
+    got = np.flatnonzero(rdp_keep_mask(x, y, eps)).tolist()
+    want = _rdp_ref(list(zip(x.tolist(), y.tolist())), eps)
+    assert got == want
+
+
+def test_mask_edge_cases():
+    # empty / single / pair / all-collinear / coincident endpoints
+    assert rdp_keep_mask(np.array([]), np.array([]), 1.0).tolist() == []
+    assert rdp_keep_mask(np.array([1.0]), np.array([2.0]), 1.0).tolist() == [True]
+    assert rdp_keep_mask(np.array([0.0, 5.0]), np.array([0.0, 0.0]), 1.0).tolist() == [True, True]
+    x = np.arange(10.0)
+    assert rdp_keep_mask(x, 2 * x, 0.01).sum() == 2  # collinear -> endpoints only
+    # closed loop (first == last): degenerate chord falls back to point distance
+    xs = np.array([0.0, 3.0, 3.0, 0.0, 0.0])
+    ys = np.array([0.0, 0.0, 3.0, 3.0, 0.0])
+    keep = rdp_keep_mask(xs, ys, 0.5)
+    assert keep[0] and keep[-1] and keep.sum() >= 4
+
+
+def test_eps_monotone():
+    rng = np.random.default_rng(5)
+    x = np.cumsum(rng.normal(0, 2.0, 200))
+    y = np.cumsum(rng.normal(0, 2.0, 200))
+    kept = [rdp_keep_mask(x, y, e).sum() for e in (0.1, 1.0, 5.0, 50.0)]
+    assert kept == sorted(kept, reverse=True)
+    assert kept[-1] == 2
+
+
+def _pts(spark, n_users=12, n_per=40):
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for u in range(n_users):
+        for i in range(n_per):
+            rows.append(
+                {
+                    "user_id": u,
+                    "ts": i,
+                    "event_id": u * 1000 + i,
+                    "lat": float(np.cumsum(rng.normal(0, 1.0, 1))[0] + u),
+                    "lon": float(rng.normal(0, 4.0)),
+                }
+            )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_spark_matches_local_and_partitioning_invariant(spark):
+    pts = _pts(spark)
+    out1 = {
+        r.user_id: (r.n_points, r.n_kept, r.endpoints_kept)
+        for r in simplify_trajectories(pts, 2.0, order_cols=("ts", "event_id")).collect()
+    }
+    out2 = {
+        r.user_id: (r.n_points, r.n_kept, r.endpoints_kept)
+        for r in simplify_trajectories(
+            pts.repartition(7, "event_id"), 2.0, order_cols=("ts", "event_id")
+        ).collect()
+    }
+    assert out1 == out2
+    # cross-check one user against the reference on the same data
+    pdf = pts.where("user_id = 3").toPandas().sort_values(["ts", "event_id"])
+    want = _rdp_ref(list(zip(pdf.lon.tolist(), pdf.lat.tolist())), 2.0)
+    assert out1[3] == (len(pdf), len(want), True)
+
+
+def test_point_level_variant_consistent(spark):
+    pts = _pts(spark, n_users=4, n_per=30)
+    summary = {r.user_id: r.n_kept for r in simplify_trajectories(pts, 1.0).collect()}
+    kept = simplify_trajectory_points(pts, 1.0).collect()
+    by_user: dict[int, list] = {}
+    for r in kept:
+        by_user.setdefault(r.user_id, []).append(r.seq)
+    assert {u: len(s) for u, s in by_user.items()} == summary
+    for u, seqs in by_user.items():
+        assert min(seqs) == 0 and max(seqs) == 29  # endpoints retained
