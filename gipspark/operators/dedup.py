@@ -88,6 +88,35 @@ def shingles_sql(t: str, n: int = 3) -> str:
     return f"CASE WHEN len({toks}) >= {n} THEN list_distinct({gram}) ELSE [] END"
 
 
+def shingles_all(text: Column, n: int = 3) -> Column:
+    """Positional (NON-distinct) word n-grams — the total-occurrence
+    view :func:`shingles` deliberately collapses. Needed by repetition
+    scoring, where (total − distinct) IS the signal. Same one-bind
+    lambda trick; same tokenizer."""
+    toks = tokens(text)
+    if n == 1:
+        return toks
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        gram = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+        )
+        return F.when(F.size(t) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(toks), build)[0]
+
+
+def shingles_all_sql(t: str, n: int = 3) -> str:
+    """DuckDB mirror of :func:`shingles_all`."""
+    toks = f"regexp_split_to_array(lower(trim({t})), '\\s+')"
+    if n == 1:
+        return toks
+    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    gram = f"list_transform(generate_series(1, len({toks}) - {n - 1}), i -> {parts})"
+    return f"CASE WHEN len({toks}) >= {n} THEN {gram} ELSE [] END"
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

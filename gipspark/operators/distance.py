@@ -1,0 +1,131 @@
+"""Nearest-polygon-boundary distance (the "distance to coastline" op).
+
+For every point, the minimum point-to-segment distance over a polygon
+set's edges, plus WHICH polygon owns the nearest edge. The reference
+family of engines expose this as ST_Distance against a boundary layer;
+here the polygon dim is small (country/admin/coastline layers are
+thousands of shapes, not billions), so the edges ride into the plan as
+ONE broadcast array literal and the per-point minimization is a
+whole-stage-codegen ``F.aggregate`` fold — a completely NARROW op: no
+join, no shuffle, scales linearly with the point table and is embedded
+in the same stage as the scan.
+
+Exactness/portability: squared planar distance in degree² is computed
+with the textbook clamp-projection formula in a fixed textual operation
+order (IEEE-identical in DuckDB), then quantized to integer 1e-6 ticks
+BEFORE the min/argmin, so the comparison both engines make is on exact
+integers — ulp drift can't flip the winner. Ties break on smaller
+poly_id. For metric output, callers convert ticks → degrees → meters
+downstream; ordering is invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_INIT_TICKS = 1 << 62
+
+
+def _edge_rows(polygons: list[dict]) -> list[tuple[int, float, float, float, float]]:
+    rows = []
+    for p in polygons:
+        for ring in p["rings"]:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                rows.append((int(p["poly_id"]), float(x1), float(y1), float(x2), float(y2)))
+    return rows
+
+
+def _d2(px: Column, py: Column, e: Column) -> Column:
+    """Squared point-to-segment distance (planar degrees²).
+
+    t = clamp(((p-a)·(b-a)) / |b-a|², 0, 1); d² = |p - (a + t(b-a))|².
+    Ring edges are never degenerate (consecutive ring vertices are
+    distinct by construction), so the division is safe.
+    """
+    dx = e.x2 - e.x1
+    dy = e.y2 - e.y1
+    l2 = dx * dx + dy * dy
+    t = F.greatest(F.lit(0.0), F.least(F.lit(1.0), ((px - e.x1) * dx + (py - e.y1) * dy) / l2))
+    cx = e.x1 + t * dx
+    cy = e.y1 + t * dy
+    return (px - cx) * (px - cx) + (py - cy) * (py - cy)
+
+
+def nearest_edge(
+    points: DataFrame,
+    polygons: list[dict],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """points + (nearest_poly, d2_ticks): argmin over all boundary edges.
+
+    d2_ticks = round(d²·10⁶) as BIGINT (d in planar degrees). The fold
+    carries a (ticks, poly) struct; strict-less OR equal-ticks-smaller-
+    poly keeps the argmin deterministic regardless of edge order.
+    """
+    edges_lit = F.array(
+        *[
+            F.struct(
+                F.lit(pid).alias("poly_id"),
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for pid, x1, y1, x2, y2 in _edge_rows(polygons)
+        ]
+    )
+    px, py = F.col(lon_col), F.col(lat_col)
+
+    def merge(acc: Column, e: Column) -> Column:
+        ticks = F.round(_d2(px, py, e) * F.lit(1000000.0), 0).cast("long")
+        better = (ticks < acc.ticks) | ((ticks == acc.ticks) & (e.poly_id < acc.poly))
+        return F.when(
+            better, F.struct(ticks.alias("ticks"), e.poly_id.alias("poly"))
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(_INIT_TICKS).cast("long").alias("ticks"), F.lit(-1).cast("long").alias("poly")
+    )
+    best = F.aggregate(edges_lit, init, merge)
+    return points.withColumn("nearest_poly", best.poly).withColumn("d2_ticks", best.ticks)
+
+
+def nearest_edge_sql(
+    pts_cte: str, key: str, polygons: list[dict], lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB replay: edges as VALUES, the SAME textual d² expression
+    quantized to the same ticks, argmin via (ticks, poly_id) ordering.
+    The oracle may cross-join (it is not the scale path)."""
+    vals = ", ".join(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})" for pid, x1, y1, x2, y2 in _edge_rows(polygons))
+    t = (
+        f"greatest(0.0, least(1.0, "
+        f"(({lon} - x1) * (x2 - x1) + ({lat} - y1) * (y2 - y1)) / "
+        f"((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))))"
+    )
+    d2 = (
+        f"(({lon} - cx) * ({lon} - cx) + ({lat} - cy) * ({lat} - cy))"
+    )
+    return f"""
+edges(poly_id, x1, y1, x2, y2) AS (VALUES {vals}),
+proj AS (
+  SELECT p.{key}, e.poly_id,
+         {lat}, {lon},
+         x1 + {t} * (x2 - x1) AS cx,
+         y1 + {t} * (y2 - y1) AS cy
+  FROM {pts_cte} p CROSS JOIN edges e
+),
+dists AS (
+  SELECT {key}, poly_id,
+         cast(round({d2} * 1000000.0, 0) as bigint) AS ticks
+  FROM proj
+),
+ranked AS (
+  SELECT {key}, poly_id, ticks,
+         row_number() OVER (PARTITION BY {key} ORDER BY ticks, poly_id) AS rn
+  FROM dists
+)
+SELECT {key}, cast(poly_id as bigint) AS nearest_poly, ticks AS d2_ticks
+FROM ranked WHERE rn = 1
+"""

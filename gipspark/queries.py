@@ -2677,6 +2677,134 @@ def trajectory_simplify(spark, sf_dir):
     return simplify_trajectories(pts, eps=5.0)
 
 
+def _nearest_edge_oracle() -> str:
+    from gipspark.operators.distance import nearest_edge_sql
+
+    pts = (
+        "(SELECT c_custkey, "
+        f"{_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon "
+        "FROM customer)"
+    )
+    return "WITH " + nearest_edge_sql(pts, "c_custkey", ORACLE_POLYGONS)
+
+
+@register("nearest_edge_customers", _nearest_edge_oracle())
+def nearest_edge_customers(spark, sf_dir):
+    """Distance-to-boundary join (ST_Distance vs a coastline/admin
+    layer): every customer point → (nearest polygon, squared planar
+    distance in integer 1e-6 ticks). The polygon dim rides as ONE
+    broadcast edge-array literal folded per point in whole-stage
+    codegen (operators/distance.py) — a narrow op with NO join and NO
+    shuffle: the 100 TB point table streams through the scan stage.
+    Quantize-then-argmin keeps the winner exact on both engines; the
+    oracle cross-joins the same edges (bounded, oracle-only) and ranks
+    by the identical integer ticks."""
+    from gipspark.operators.distance import nearest_edge
+
+    pts = _cust_pts(spark, sf_dir)
+    return nearest_edge(pts, ORACLE_POLYGONS).select("c_custkey", "nearest_poly", "d2_ticks")
+
+
+@register(
+    "repetition_filter_docs",
+    f"""
+WITH grams AS (
+  SELECT doc_id,
+         len({D.shingles_all_sql('text', 3)}) AS n_tri,
+         len({D.shingles_sql('text', 3)}) AS n_uniq
+  FROM documents
+)
+SELECT doc_id, cast(n_tri as bigint) AS n_tri,
+       cast(CASE WHEN n_tri = 0 THEN 0
+                 ELSE ((n_tri - n_uniq) * 1000000) // n_tri END as bigint) AS dup_ppm,
+       (CASE WHEN n_tri = 0 THEN 0
+             ELSE ((n_tri - n_uniq) * 1000000) // n_tri END) <= 50000 AS keep
+FROM grams
+""",
+)
+def repetition_filter_docs(spark, sf_dir):
+    """Gopher-style repetition filter: fraction of duplicated word
+    trigrams per document as exact integer ppm, plus the keep/drop
+    decision at 5%. Entirely JVM higher-order functions on the token
+    array (size vs array_distinct size) — NO explode, NO shuffle, no
+    Python: the quality gate runs inside the scan stage, which is the
+    only shape that survives a 10^12-doc corpus. Oracle replays the
+    same tokenizer/list pipeline in DuckDB with BIGINT floor-division
+    (never a float ratio)."""
+    d = load(spark, sf_dir, "documents")
+    n_tri = F.size(D.shingles_all(F.col("text"), 3))
+    n_uniq = F.size(D.shingles(F.col("text"), 3))
+    g = d.select("doc_id", n_tri.alias("n_tri"), n_uniq.alias("n_uniq"))
+    dup_ppm = F.when(F.col("n_tri") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("((n_tri - n_uniq) * 1000000L) div n_tri")
+    )
+    return g.select(
+        "doc_id",
+        F.col("n_tri").cast("long").alias("n_tri"),
+        dup_ppm.cast("long").alias("dup_ppm"),
+        (dup_ppm <= 50000).alias("keep"),
+    )
+
+
+@register(
+    "heatmap_smooth_events",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), cells AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) * 1000
+         + cast(floor((90.0 - lat) / 2.5) as int) AS cell_id,
+         count(*) AS n
+  FROM pts GROUP BY cell_id
+), offs(dxy) AS (VALUES (-1001), (-1000), (-999), (-1), (0), (1), (999), (1000), (1001)),
+scatter AS (
+  SELECT c.cell_id + o.dxy AS cell_id, c.n
+  FROM cells c CROSS JOIN offs o
+), smoothed AS (
+  SELECT cell_id, sum(n) AS smooth_n FROM scatter GROUP BY cell_id
+)
+SELECT c.cell_id, cast(c.n as bigint) AS n_points, cast(s.smooth_n as bigint) AS smooth_n
+FROM cells c JOIN smoothed s ON c.cell_id = s.cell_id
+""",
+)
+def heatmap_smooth_events(spark, sf_dir):
+    """Sparse 3×3 box-filter over a 2.5° density grid (the raster
+    convolution behind every web-activity heatmap), scatter-gather
+    formulation: points collapse to occupied cells in one map-side-
+    combinable aggregate (the raw table never shuffles), each cell
+    SCATTERS its count to its 9 neighbor ids via an inline 9-element
+    explode, a second tiny aggregate gathers, and the join back to
+    occupied cells is broadcast (cell count is bounded by the grid —
+    144×72 — regardless of table size). cell_id = gx*1000 + gy keeps
+    neighbor arithmetic collision-free (gy < 72)."""
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (
+                F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 2.5).cast("int") * 1000
+                + F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 2.5).cast("int")
+            ).alias("cell_id")
+        )
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offs = [-1001, -1000, -999, -1, 0, 1, 999, 1000, 1001]
+    scatter = cells.select(
+        F.explode(F.array(*[F.col("cell_id") + F.lit(o) for o in offs])).alias("cell_id"),
+        "n",
+    )
+    smoothed = scatter.groupBy("cell_id").agg(F.sum("n").alias("smooth_n"))
+    return (
+        cells.join(F.broadcast(smoothed), "cell_id")
+        .select(
+            "cell_id",
+            F.col("n").cast("long").alias("n_points"),
+            F.col("smooth_n").cast("long").alias("smooth_n"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
