@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "grouping_sets_inventory",
     "stratified_sample_docs",
     "tfidf_top_terms",
+    "repetition_filter_docs",
+    "nearest_edge_customers",
+    "heatmap_smooth_events",
+    "s2_pyramid_rollup",
+    "funnel_view_click_purchase",
 ]
 
 

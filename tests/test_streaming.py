@@ -164,3 +164,38 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == exp and len(exp) > 0
+
+
+def test_streaming_nearest_edge_equals_batch(spark, sf_dir, tmp_path):
+    """nearest_edge is a stateless narrow Column fold, so under
+    readStream it must emit EXACTLY the batch result (append mode, no
+    watermark, no state) — the property that lets the distance gate run
+    inline in an ingest stream."""
+    from gipspark.functions.cells import derived_lat, derived_lon
+    from gipspark.operators.distance import nearest_edge
+    from gipspark.queries import ORACLE_POLYGONS
+
+    def pts(df):
+        return df.select(
+            "event_id",
+            derived_lat(F.col("event_id")).alias("lat"),
+            derived_lon(F.col("event_id")).alias("lon"),
+        )
+
+    chunks = _chunks(spark, sf_dir, tmp_path)
+    st = sev.read_events_stream(spark, chunks)
+    out = str(tmp_path / "ne_out")
+    ck = str(tmp_path / "ne_ck")
+    sev.run_to_table(
+        nearest_edge(pts(st), ORACLE_POLYGONS).select("event_id", "nearest_poly", "d2_ticks"),
+        out,
+        ck,
+    )
+    got = {(r.event_id, r.nearest_poly, r.d2_ticks) for r in spark.read.parquet(out).collect()}
+    batch = {
+        (r.event_id, r.nearest_poly, r.d2_ticks)
+        for r in nearest_edge(
+            pts(spark.read.parquet(f"{sf_dir}/events.parquet")), ORACLE_POLYGONS
+        ).collect()
+    }
+    assert got == batch and got
