@@ -2805,6 +2805,268 @@ def heatmap_smooth_events(spark, sf_dir):
     )
 
 
+# --- web/link analytics + sketches (round-2 batch 6) -----------------------
+
+
+_URL_SQL = (
+    "concat('https://', source, '.example.com:8443/', lang, '/doc-', "
+    "cast(doc_id as varchar))"
+)
+
+
+@register(
+    "url_host_stats",
+    f"""
+WITH urls AS (
+  SELECT doc_id, n_chars, {_URL_SQL} AS url FROM documents
+), parsed AS (
+  SELECT doc_id, n_chars,
+         split_part(split_part(url, '/', 3), ':', 1) AS host,
+         cast(split_part(split_part(url, '/', 3), ':', 2) as int) AS port,
+         split_part(url, '/', 4) AS section
+  FROM urls
+)
+SELECT host, port,
+       cast(count(*) as bigint) AS n_docs,
+       cast(count(DISTINCT section) as bigint) AS n_sections,
+       cast(sum(cast(n_chars as bigint)) as bigint) AS total_chars
+FROM parsed GROUP BY host, port
+""",
+)
+def url_host_stats(spark, sf_dir):
+    """URL parsing + per-host rollup (the crawl-frontier accounting op):
+    synthesize the canonical url per doc, parse host/port/section back
+    out with ``split_part`` (identical call text on both engines — the
+    parse is the point, not the synthesis), and aggregate docs /
+    distinct sections / total bytes per host. Pure codegen string ops
+    inside the scan stage followed by one map-side-combinable
+    aggregate whose key domain is the host set — bounded by the crawl's
+    domain count, not its page count."""
+    d = load(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com:8443/"),
+            F.col("lang"),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    parsed = urls.select(
+        "n_chars",
+        F.expr("split_part(split_part(url, '/', 3), ':', 1)").alias("host"),
+        F.expr("cast(split_part(split_part(url, '/', 3), ':', 2) as int)").alias("port"),
+        F.expr("split_part(url, '/', 4)").alias("section"),
+    )
+    return parsed.groupBy("host", "port").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("section").alias("n_sections"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+
+
+@register(
+    "crawl_diff_snapshots",
+    f"""
+WITH snap_a AS (
+  SELECT doc_id, source, md5(text) AS digest
+  FROM documents
+  WHERE {D.MD5_LONG_SQL.format(x="concat('a:', cast(doc_id as varchar))")} % 100 < 90
+), snap_b AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN {D.MD5_LONG_SQL.format(x="concat('c:', cast(doc_id as varchar))")} % 100 < 20
+                  THEN concat(text, ' updated') ELSE text END) AS digest
+  FROM documents
+  WHERE {D.MD5_LONG_SQL.format(x="concat('b:', cast(doc_id as varchar))")} % 100 < 90
+), diff AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         CASE WHEN a.digest IS NULL THEN 'added'
+              WHEN b.digest IS NULL THEN 'removed'
+              WHEN a.digest <> b.digest THEN 'changed'
+              ELSE 'same' END AS status
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+)
+SELECT source, status, cast(count(*) as bigint) AS n
+FROM diff GROUP BY source, status
+""",
+)
+def crawl_diff_snapshots(spark, sf_dir):
+    """Crawl-snapshot diff (what changed between two crawls of the same
+    corpus): two deterministically-derived snapshot views of the doc
+    table — md5-bucket membership decides presence per snapshot, a
+    third bucket mutates 20% of surviving texts — full-outer-joined on
+    url key, each page classified added / removed / changed / same by
+    content digest, rolled up per source. The join keys on doc id, so
+    at scale both sides shuffle once on the same key (or read
+    pre-bucketed snapshots with zero exchange); digests are md5 so the
+    oracle replays them bit-exactly."""
+    d = load(spark, sf_dir, "documents")
+    a_bucket = D.md5_long(F.concat(F.lit("a:"), F.col("doc_id").cast("string"))) % 100
+    b_bucket = D.md5_long(F.concat(F.lit("b:"), F.col("doc_id").cast("string"))) % 100
+    c_bucket = D.md5_long(F.concat(F.lit("c:"), F.col("doc_id").cast("string"))) % 100
+    snap_a = d.filter(a_bucket < 90).select(
+        "doc_id", F.col("source").alias("source_a"), F.md5("text").alias("digest_a")
+    )
+    text_b = F.when(c_bucket < 20, F.concat(F.col("text"), F.lit(" updated"))).otherwise(
+        F.col("text")
+    )
+    snap_b = d.filter(b_bucket < 90).select(
+        "doc_id", F.col("source").alias("source_b"), F.md5(text_b).alias("digest_b")
+    )
+    diff = snap_a.join(snap_b, "doc_id", "full_outer").select(
+        F.coalesce("source_a", "source_b").alias("source"),
+        F.when(F.col("digest_a").isNull(), F.lit("added"))
+        .when(F.col("digest_b").isNull(), F.lit("removed"))
+        .when(F.col("digest_a") != F.col("digest_b"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("status"),
+    )
+    return diff.groupBy("source", "status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "inverted_index_terms",
+    """
+WITH td AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), td2 AS (SELECT term, doc_id FROM td WHERE term <> '')
+SELECT term,
+       cast(count(*) as bigint) AS df,
+       string_agg(cast(doc_id as varchar), ',' ORDER BY doc_id) AS postings
+FROM td2 GROUP BY term
+""",
+)
+def inverted_index_terms(spark, sf_dir):
+    """Inverted-index construction (term → sorted postings list), the
+    backbone of corpus search and of exact-substring decontamination
+    at scale. One explode → distinct (term, doc) → one aggregate whose
+    postings are built order-deterministically (collect_set then
+    sort_array — never collect_list, whose order is partition-
+    dependent), serialized as a comma string so the driver hash is
+    representation-stable across engines. Per-term postings are the
+    only wide rows; a mega-term at 100 TB would be capped or
+    block-split (the df column is the guard input)."""
+    d = load(spark, sf_dir, "documents")
+    td = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+@register(
+    "bloom_semi_join_orders",
+    """
+WITH build AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+SELECT o_orderpriority,
+       cast(count(*) as bigint) AS n_orders,
+       cast(cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(18,2)) as double) AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM build)
+GROUP BY o_orderpriority
+""",
+)
+def bloom_semi_join_orders(spark, sf_dir):
+    """Bloom-filter runtime pruning ahead of a semi join
+    (operators/bloom.py): the selective build side (high-balance
+    customers) is folded into a literal bitmask tested INSIDE the probe
+    scan stage — at 100 TB the orders table is pruned before any
+    exchange, the exact broadcast semi join afterwards only sees
+    surviving rows, and the result is bit-identical to the plain semi
+    join the oracle runs. This is the explicit, oracle-replayable twin
+    of Spark's runtime bloomFilter rewrite."""
+    from gipspark.operators.bloom import bloom_semi_join
+
+    orders = load(spark, sf_dir, "orders")
+    build = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    hits = bloom_semi_join(orders, build, "o_custkey", "c_custkey")
+    return hits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast(DEC).cast("double").alias("total"),
+    )
+
+
+_PR_N = "(SELECT count(*) FROM documents)"
+_PR_EDGE_DST = D.MD5_LONG_SQL.format(
+    x="concat('e:', cast(j as varchar), ':', cast(doc_id as varchar))"
+)
+
+
+@register(
+    "pagerank_doc_links",
+    f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+deg AS (SELECT src, cast(count(*) as bigint) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT id, 1000000000000 // {_PR_N} AS rank FROM nodes),
+c1 AS (SELECT dst, cast(sum(rank // outdeg) as bigint) AS in_sum
+       FROM edges JOIN r0 ON edges.src = r0.id JOIN deg ON edges.src = deg.src GROUP BY dst),
+r1 AS (SELECT n.id,
+              cast((15 * (1000000000000 // {_PR_N})) // 100
+                   + (85 * coalesce(in_sum, 0)) // 100 as bigint) AS rank
+       FROM nodes n LEFT JOIN c1 ON n.id = c1.dst),
+c2 AS (SELECT dst, cast(sum(rank // outdeg) as bigint) AS in_sum
+       FROM edges JOIN r1 ON edges.src = r1.id JOIN deg ON edges.src = deg.src GROUP BY dst),
+r2 AS (SELECT n.id,
+              cast((15 * (1000000000000 // {_PR_N})) // 100
+                   + (85 * coalesce(in_sum, 0)) // 100 as bigint) AS rank
+       FROM nodes n LEFT JOIN c2 ON n.id = c2.dst),
+c3 AS (SELECT dst, cast(sum(rank // outdeg) as bigint) AS in_sum
+       FROM edges JOIN r2 ON edges.src = r2.id JOIN deg ON edges.src = deg.src GROUP BY dst)
+SELECT n.id,
+       cast((15 * (1000000000000 // {_PR_N})) // 100
+            + (85 * coalesce(in_sum, 0)) // 100 as bigint) AS rank
+FROM nodes n LEFT JOIN c3 ON n.id = c3.dst
+""",
+)
+def pagerank_doc_links(spark, sf_dir):
+    """Integer-exact PageRank over a deterministic doc link graph
+    (operators/pagerank.py): every doc links to 3 md5-derived
+    neighbors; ranks are BIGINT mass ticks with floor-division damping,
+    so the DuckDB oracle replaying the same 3 unrolled rounds hashes
+    bit-identically regardless of partitioning or sum order. One
+    contrib shuffle + one node join per round — the standard
+    distributed PageRank shape; n_nodes comes from parquet footer
+    metadata, never a count() job."""
+    from gipspark.operators.pagerank import pagerank_int
+
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(
+                        F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))
+                    )
+                    % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    return pagerank_int(nodes, edges, n_nodes=n, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
