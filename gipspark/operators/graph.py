@@ -1,0 +1,84 @@
+"""Triangle counting with degree-ordered orientation (web-graph op).
+
+The standard scalable triangle count (compact-forward / node-iterator
+with degree ordering): orient every undirected edge from the endpoint
+with the smaller (degree, id) key to the larger, so each triangle is
+enumerated exactly once from its lowest-key corner and — critically —
+every node's oriented out-degree is O(sqrt(m)), which bounds the wedge
+self-join to sum(d_out²) = O(m^1.5) instead of sum(deg²) (a single hub
+in a web graph would otherwise explode the join). This is the same
+orientation trick every distributed triangle engine uses.
+
+All arithmetic is BIGINT (the total-order key packs (degree, id) into
+one long), so a DuckDB oracle replaying the same CTEs hashes
+bit-identically.
+
+Scale shape: one degree aggregate, one key-attach join per endpoint,
+one wedge self-join shuffled on the pivot node, one closing join
+shuffled on the (v, w) edge key. Nothing is ever collected; no step is
+quadratic in a hub's raw degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEY_SHIFT = 1 << 32  # key = degree * 2^32 + id — a total order by (deg, id)
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a < b), self-loops dropped,
+    duplicates collapsed. Input columns (src, dst)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def orient_by_degree(und: DataFrame) -> DataFrame:
+    """(a, b) undirected → (u, v, kv) oriented low-key → high-key, with
+    kv = packed (deg, id) key of v carried for wedge ordering."""
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("da") * KEY_SHIFT + F.col("a")).alias("ka"),
+            (F.col("db") * KEY_SHIFT + F.col("b")).alias("kb"),
+        )
+    )
+    low_first = F.col("ka") < F.col("kb")
+    return e.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.greatest("ka", "kb").alias("kv"),
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """edges(src, dst) → (id, n_triangles) for every node in ≥1
+    triangle. Each triangle contributes 1 to all three corners."""
+    o = orient_by_degree(undirect(edges))
+    e1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("kv").alias("k1"))
+    e2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("kv").alias("k2"))
+    wedges = e1.join(e2, "u").filter(F.col("k1") < F.col("k2"))
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tris = wedges.join(closing, ["v1", "v2"])
+    return (
+        tris.select(
+            F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

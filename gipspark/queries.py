@@ -2944,27 +2944,24 @@ FROM td2 GROUP BY term
 def inverted_index_terms(spark, sf_dir):
     """Inverted-index construction (term → sorted postings list), the
     backbone of corpus search and of exact-substring decontamination
-    at scale. One explode → distinct (term, doc) → one aggregate whose
-    postings are built order-deterministically (collect_set then
-    sort_array — never collect_list, whose order is partition-
-    dependent), serialized as a comma string so the driver hash is
-    representation-stable across engines. Per-term postings are the
-    only wide rows; a mega-term at 100 TB would be capped or
-    block-split (the df column is the guard input)."""
+    at scale. ONE shuffle: explode feeds groupBy(term) directly and
+    collect_set dedupes (doc, term) repeats inside the aggregate — no
+    separate distinct exchange on the wider (term, doc) key. Postings
+    are order-deterministic (sort_array over the set — never
+    collect_list, whose order is partition-dependent), serialized as a
+    comma string so the driver hash is representation-stable across
+    engines. Per-term postings are the only wide rows; a mega-term at
+    100 TB would be capped or block-split (df is the guard input)."""
     d = load(spark, sf_dir, "documents")
-    td = (
-        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
-        .filter(F.col("term") != "")
-        .distinct()
+    td = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
     )
+    postings = F.sort_array(F.collect_set("doc_id"))
     return td.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_set("doc_id")), lambda x: x.cast("string")
-            ),
-            ",",
-        ).alias("postings"),
+        F.size(postings).cast("long").alias("df"),
+        F.array_join(F.transform(postings, lambda x: x.cast("string")), ",").alias(
+            "postings"
+        ),
     )
 
 
@@ -3065,6 +3062,212 @@ def pagerank_doc_links(spark, sf_dir):
         ).alias("dst"),
     )
     return pagerank_int(nodes, edges, n_nodes=n, iters=3)
+
+
+# --- graph / sketch / relational-surface (round-2 batch 7) -----------------
+
+
+_TRI_DST = D.MD5_LONG_SQL.format(
+    x="concat('t:', cast(j as varchar), ':', cast(doc_id as varchar))"
+)
+
+
+@register(
+    "triangle_count_links",
+    f"""
+WITH edges_raw AS (
+  SELECT doc_id AS src,
+         (doc_id + 1 + {_TRI_DST} % 25) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0),(1),(2),(4),(5)) AS t(j)
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src <> dst
+), deg AS (
+  SELECT id, cast(count(*) as bigint) AS deg
+  FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+  GROUP BY id
+), keyed AS (
+  SELECT und.a, und.b,
+         dd1.deg * 4294967296 + und.a AS ka,
+         dd2.deg * 4294967296 + und.b AS kb
+  FROM und
+  JOIN deg dd1 ON dd1.id = und.a
+  JOIN deg dd2 ON dd2.id = und.b
+), o AS (
+  SELECT CASE WHEN ka < kb THEN a ELSE b END AS u,
+         CASE WHEN ka < kb THEN b ELSE a END AS v,
+         greatest(ka, kb) AS kv
+  FROM keyed
+), wedges AS (
+  SELECT e1.u, e1.v AS v1, e2.v AS v2
+  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.kv < e2.kv
+), tris AS (
+  SELECT w.u, w.v1, w.v2
+  FROM wedges w JOIN o e3 ON e3.u = w.v1 AND e3.v = w.v2
+), corners AS (
+  SELECT u AS id FROM tris
+  UNION ALL SELECT v1 FROM tris
+  UNION ALL SELECT v2 FROM tris
+)
+SELECT id, cast(count(*) as bigint) AS n_triangles
+FROM corners GROUP BY id
+""",
+)
+def triangle_count_links(spark, sf_dir):
+    """Per-node triangle counts over a deterministic small-world link
+    graph (operators/graph.py): each doc links to 5 md5-offset
+    neighbors within a 25-wide window (short-range links make the
+    graph clustered). Degree-ordered orientation bounds every node's
+    oriented out-degree by O(sqrt(m)), so the wedge self-join — THE
+    blow-up risk on a hub-heavy web graph — costs sum(d_out²) =
+    O(m^1.5), not sum(deg²). All keys BIGINT; the oracle replays the
+    identical CTE chain."""
+    from gipspark.operators.graph import triangle_counts
+
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    offs = [
+        D.md5_long(F.concat(F.lit(f"t:{j}:"), F.col("doc_id").cast("string"))) % 25
+        for j in (0, 1, 2, 4, 5)
+    ]
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[(F.col("doc_id") + 1 + o) % n for o in offs])).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
+_CMS_CELL = D.MD5_LONG_SQL.format(x="concat(cast(j as varchar), ':', term)")
+
+
+@register(
+    "cms_heavy_hitters_terms",
+    f"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), t2 AS (SELECT term FROM t WHERE term <> ''),
+cells AS (
+  SELECT j, {_CMS_CELL} % 1024 AS c
+  FROM t2, (VALUES (0),(1),(2)) AS h(j)
+), sketch AS (
+  SELECT j AS r, c, cast(count(*) as bigint) AS cnt FROM cells GROUP BY j, c
+), cand AS (SELECT DISTINCT term FROM t2),
+probes AS (
+  SELECT term, j AS r, {_CMS_CELL} % 1024 AS c
+  FROM cand, (VALUES (0),(1),(2)) AS h(j)
+), est AS (
+  SELECT term AS item, cast(min(coalesce(cnt, 0)) as bigint) AS est
+  FROM probes LEFT JOIN sketch USING (r, c)
+  GROUP BY term
+)
+SELECT item, est FROM est WHERE est >= 100
+""",
+)
+def cms_heavy_hitters_terms(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the token stream
+    (operators/sketch.py): the sketch is ONE aggregate with ≤ 3×1024
+    output rows no matter how large the vocabulary — the fixed-size
+    frequency summary a 100 TB corpus needs when a full per-term
+    groupBy is too wide. Estimates are integer mins over integer sums
+    (never an underestimate), so the DuckDB replay is bit-exact."""
+    from gipspark.operators.sketch import cms_heavy_hitters
+
+    d = load(spark, sf_dir, "documents")
+    terms = d.select(F.explode(T.tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return cms_heavy_hitters(terms, "term", threshold=100)
+
+
+@register(
+    "window_distribution_orders",
+    """
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority,
+         cast(ntile(4) OVER win as int) AS quartile,
+         percent_rank() OVER win AS pr,
+         cume_dist() OVER win AS cd
+  FROM orders
+  WINDOW win AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+)
+SELECT * FROM w WHERE o_orderkey % 20 = 0
+""",
+)
+def window_distribution_orders(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) over a total order — the ORDER BY includes the unique
+    key so ranks are deterministic, and percent_rank/cume_dist are
+    exact integer ratios evaluated identically by both engines. The
+    mod-key filter AFTER the window keeps the result compact without
+    changing the frame."""
+    o = load(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(win).alias("quartile"),
+        F.percent_rank().over(win).alias("pr"),
+        F.cume_dist().over(win).alias("cd"),
+    )
+    return w.filter(F.col("o_orderkey") % 20 == 0)
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+WITH src AS (SELECT * FROM part WHERE p_partkey % 50 = 0)
+SELECT p_partkey, 'size' AS metric, cast(p_size as double) AS value FROM src
+UNION ALL
+SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM src
+""",
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """Unpivot (wide → long) via the stack generator — the inverse of
+    the pivot queries; the filter sits before the generator so column
+    pruning and predicate pushdown reach the scan (stack is a
+    generator, filters don't push through it)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', cast(p_size as double), 'retail', p_retailprice)"
+        " as (metric, value)",
+    )
+
+
+@register(
+    "correlated_subquery_orders",
+    """
+SELECT o.o_custkey, cast(count(*) as bigint) AS n_above
+FROM orders o
+WHERE cast(o.o_totalprice as decimal(18,2))
+      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT sum(cast(o3.o_totalprice as decimal(18,2)))
+         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+GROUP BY o.o_custkey
+""",
+)
+def correlated_subquery_orders(spark, sf_dir):
+    """Correlated scalar subqueries ("orders strictly above the
+    customer's own mean"), written as SQL so Catalyst's subquery
+    decorrelation (RewriteCorrelatedScalarSubquery → aggregate + join)
+    is exercised — the plan becomes one shuffle on o_custkey, not a
+    per-row re-scan. Mean comparison is cross-multiplied into exact
+    DECIMAL math (price·n > sum) so no division drift can flip a
+    borderline row."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gp_cs_orders")
+    return spark.sql(
+        """
+        SELECT o.o_custkey, count(*) AS n_above
+        FROM gp_cs_orders o
+        WHERE cast(o.o_totalprice as decimal(18,2))
+              * (SELECT count(*) FROM gp_cs_orders o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT sum(cast(o3.o_totalprice as decimal(18,2)))
+                 FROM gp_cs_orders o3 WHERE o3.o_custkey = o.o_custkey)
+        GROUP BY o.o_custkey
+        """
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
