@@ -3270,6 +3270,136 @@ def correlated_subquery_orders(spark, sf_dir):
     )
 
 
+# --- geofencing / bbox / hulls (round-2 batch 8) ----------------------------
+
+
+@register(
+    "geofence_transitions",
+    f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), m AS (
+  SELECT event_id, poly_id FROM ({_pip_matches_sql('pts', 'event_id')})
+), pids AS (SELECT DISTINCT e.poly_id FROM {_edges_values_sql()}),
+grid AS (
+  SELECT p.user_id, p.ts, p.event_id, q.poly_id FROM pts p CROSS JOIN pids q
+), flags AS (
+  SELECT g.user_id, g.poly_id, g.ts, g.event_id,
+         CASE WHEN m.event_id IS NOT NULL THEN 1 ELSE 0 END AS inside
+  FROM grid g LEFT JOIN m ON g.event_id = m.event_id AND g.poly_id = m.poly_id
+), seq AS (
+  SELECT user_id, poly_id, inside,
+         lag(inside) OVER (PARTITION BY user_id, poly_id ORDER BY ts, event_id) AS prev
+  FROM flags
+), tr AS (SELECT * FROM seq WHERE prev IS NOT NULL AND prev <> inside)
+SELECT user_id, poly_id,
+       cast(sum(CASE WHEN inside = 1 THEN 1 ELSE 0 END) as bigint) AS n_enter,
+       cast(sum(CASE WHEN inside = 0 THEN 1 ELSE 0 END) as bigint) AS n_exit
+FROM tr GROUP BY user_id, poly_id
+""",
+)
+def geofence_transitions(spark, sf_dir):
+    """Geofence enter/exit detection over event trajectories: each
+    fix's inside/outside state per fence comes from the exact PIP join
+    (cell prefilter + JVM ray cast), the per-(user, fence) time series
+    is lag-compared, and state flips aggregate to enter/exit counts.
+    The (event × fence) grid is a literal-array explode — narrow, zero
+    join; the only real shuffle is the (user_id, poly_id) window,
+    shared by the final aggregate."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    m = pip_join(pts, ORACLE_POLYGONS, level=7).select("event_id", "poly_id")
+    grid = pts.select("user_id", "ts", "event_id").withColumn(
+        "poly_id",
+        F.explode(F.array(*[F.lit(int(p["poly_id"])) for p in ORACLE_POLYGONS])),
+    )
+    flags = grid.join(
+        m.withColumn("inside", F.lit(1)), ["event_id", "poly_id"], "left"
+    ).select(
+        "user_id", "poly_id", "ts", "event_id", F.coalesce("inside", F.lit(0)).alias("inside")
+    )
+    w = Window.partitionBy("user_id", "poly_id").orderBy("ts", "event_id")
+    seq = flags.withColumn("prev", F.lag("inside").over(w))
+    tr = seq.filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("inside")))
+    return tr.groupBy("user_id", "poly_id").agg(
+        F.sum(F.when(F.col("inside") == 1, 1).otherwise(0)).alias("n_enter"),
+        F.sum(F.when(F.col("inside") == 0, 1).otherwise(0)).alias("n_exit"),
+    )
+
+
+# frozen bbox dimension for the envelope join (6dp, inside the derived
+# point domain lat ∈ [-60,60), lon ∈ [-180,180); none crosses the
+# antimeridian — bbox_join's documented contract)
+ORACLE_BBOXES: list[dict] = [
+    {"box_id": 0, "lon_min": -12.000003, "lat_min": -8.000001, "lon_max": 25.000007, "lat_max": 18.000009},
+    {"box_id": 1, "lon_min": -130.000001, "lat_min": 35.000003, "lon_max": -95.000009, "lat_max": 58.000001},
+    {"box_id": 2, "lon_min": 80.000007, "lat_min": 5.000009, "lon_max": 130.000003, "lat_max": 48.000007},
+    {"box_id": 3, "lon_min": -80.000009, "lat_min": -55.000007, "lon_max": -40.000001, "lat_max": -25.000003},
+    {"box_id": 4, "lon_min": 140.000001, "lat_min": -35.000009, "lon_max": 175.000007, "lat_max": -5.000001},
+    {"box_id": 5, "lon_min": 2.000001, "lat_min": 2.000002, "lon_max": 3.000003, "lat_max": 3.000004},
+]
+
+_BBOX_VALUES = (
+    "(VALUES "
+    + ",".join(
+        f"({b['box_id']},{b['lon_min']!r},{b['lat_min']!r},{b['lon_max']!r},{b['lat_max']!r})"
+        for b in ORACLE_BBOXES
+    )
+    + ") AS bx(box_id, lon_min, lat_min, lon_max, lat_max)"
+)
+
+
+@register(
+    "bbox_join_customers",
+    f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+)
+SELECT p.c_custkey, bx.box_id
+FROM pts p JOIN {_BBOX_VALUES}
+  ON p.lon >= bx.lon_min AND p.lon <= bx.lon_max
+ AND p.lat >= bx.lat_min AND p.lat <= bx.lat_max
+""",
+)
+def bbox_join_customers(spark, sf_dir):
+    """Envelope containment join (ST_Within on bounding boxes,
+    operators/bbox.py): the θ-join the oracle writes literally is
+    converted to tile-cover equi-join + 4-comparison refine, so the
+    point side never meets a box outside its 5° tile and Spark never
+    plans a nested loop over the big side."""
+    from gipspark.operators.bbox import bbox_join
+
+    pts = _cust_pts(spark, sf_dir)
+    return bbox_join(pts, ORACLE_BBOXES).select("c_custkey", "box_id")
+
+
+@register("convex_hull_nations", None)
+def convex_hull_nations(spark, sf_dir):
+    """Per-nation convex hull of customer points (ST_ConvexHull,
+    operators/hull.py): one shuffle on the group key, NumPy monotone
+    chain per group, canonical CCW vertex order. No SQL oracle —
+    hull extraction isn't expressible in DuckDB without a spatial
+    extension; correctness is property-tested (tests/test_hull.py:
+    all points inside, vertices ⊆ points, partitioning invariance)."""
+    from gipspark.operators.hull import convex_hull
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+    )
+    return convex_hull(pts, "nation")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
