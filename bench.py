@@ -55,6 +55,14 @@ BENCH_QUERIES = [
     "heatmap_smooth_events",
     "s2_pyramid_rollup",
     "funnel_view_click_purchase",
+    "pagerank_doc_links",
+    "triangle_count_links",
+    "inverted_index_terms",
+    "geofence_transitions",
+    "bloom_semi_join_orders",
+    "cms_heavy_hitters_terms",
+    "bbox_join_customers",
+    "crawl_diff_snapshots",
 ]
 
 
