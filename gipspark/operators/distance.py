@@ -129,3 +129,117 @@ ranked AS (
 SELECT {key}, cast(poly_id as bigint) AS nearest_poly, ticks AS d2_ticks
 FROM ranked WHERE rn = 1
 """
+
+
+def snap_to_edge(
+    points: DataFrame,
+    polygons: list[dict],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ST_ClosestPoint: points + (nearest_poly, edge_idx, d2_ticks,
+    snap_lon, snap_lat) — the map-matching primitive ("snap this fix
+    to the nearest boundary/road segment").
+
+    Same narrow broadcast-fold shape as :func:`nearest_edge`, with the
+    argmin carrying the winning EDGE index (ties: smaller ticks, then
+    poly_id, then edge_idx); the snapped coordinate is then the clamp
+    projection onto that one edge, recomputed from the literal array
+    via element_at — still zero joins, zero shuffles. Projection
+    arithmetic is +,-,*,/ and min/max only, in the same textual order
+    as the SQL oracle, so snapped doubles are bit-identical.
+    """
+    edge_list = _edge_rows(polygons)
+    edges_lit = F.array(
+        *[
+            F.struct(
+                F.lit(pid).alias("poly_id"),
+                F.lit(i).alias("edge_idx"),
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for i, (pid, x1, y1, x2, y2) in enumerate(edge_list)
+        ]
+    )
+    px, py = F.col(lon_col), F.col(lat_col)
+
+    def merge(acc: Column, e: Column) -> Column:
+        ticks = F.round(_d2(px, py, e) * F.lit(1000000.0), 0).cast("long")
+        better = (
+            (ticks < acc.ticks)
+            | ((ticks == acc.ticks) & (e.poly_id < acc.poly))
+            | ((ticks == acc.ticks) & (e.poly_id == acc.poly) & (e.edge_idx < acc.edge))
+        )
+        return F.when(
+            better,
+            F.struct(ticks.alias("ticks"), e.poly_id.alias("poly"), e.edge_idx.alias("edge")),
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(_INIT_TICKS).cast("long").alias("ticks"),
+        F.lit(-1).cast("long").alias("poly"),
+        F.lit(-1).cast("int").alias("edge"),
+    )
+    best = F.aggregate(edges_lit, init, merge)
+    with_best = points.withColumn("_best", best).withColumn(
+        "_e", F.element_at(edges_lit, F.col("_best.edge") + F.lit(1))
+    )
+    e = F.col("_e")
+    dx = e.x2 - e.x1
+    dy = e.y2 - e.y1
+    t = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0), ((px - e.x1) * dx + (py - e.y1) * dy) / (dx * dx + dy * dy)),
+    )
+    return with_best.select(
+        *points.columns,
+        F.col("_best.poly").alias("nearest_poly"),
+        F.col("_best.edge").cast("long").alias("edge_idx"),
+        F.col("_best.ticks").alias("d2_ticks"),
+        (e.x1 + t * dx).alias("snap_lon"),
+        (e.y1 + t * dy).alias("snap_lat"),
+    )
+
+
+def snap_to_edge_sql(
+    pts_cte: str, key: str, polygons: list[dict], lat: str = "lat", lon: str = "lon"
+) -> str:
+    """DuckDB replay of :func:`snap_to_edge`: same edges VALUES, same
+    tick quantization, argmin by (ticks, poly_id, edge_idx), then the
+    SAME textual projection on the winning edge."""
+    vals = ", ".join(
+        f"({pid}, {i}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for i, (pid, x1, y1, x2, y2) in enumerate(_edge_rows(polygons))
+    )
+    t = (
+        f"greatest(0.0, least(1.0, "
+        f"(({lon} - x1) * (x2 - x1) + ({lat} - y1) * (y2 - y1)) / "
+        f"((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))))"
+    )
+    d2 = f"(({lon} - cx) * ({lon} - cx) + ({lat} - cy) * ({lat} - cy))"
+    return f"""
+edges(poly_id, edge_idx, x1, y1, x2, y2) AS (VALUES {vals}),
+proj AS (
+  SELECT p.{key}, e.poly_id, e.edge_idx, {lat}, {lon},
+         x1 + {t} * (x2 - x1) AS cx,
+         y1 + {t} * (y2 - y1) AS cy
+  FROM {pts_cte} p CROSS JOIN edges e
+),
+dists AS (
+  SELECT {key}, poly_id, edge_idx, cx, cy,
+         cast(round({d2} * 1000000.0, 0) as bigint) AS ticks
+  FROM proj
+),
+ranked AS (
+  SELECT {key}, poly_id, edge_idx, cx, cy, ticks,
+         row_number() OVER (PARTITION BY {key} ORDER BY ticks, poly_id, edge_idx) AS rn
+  FROM dists
+)
+SELECT {key}, cast(poly_id as bigint) AS nearest_poly,
+       cast(edge_idx as bigint) AS edge_idx, ticks AS d2_ticks,
+       cast(round(cx * 1000000.0, 0) as bigint) AS snap_lon_ticks,
+       cast(round(cy * 1000000.0, 0) as bigint) AS snap_lat_ticks
+FROM ranked WHERE rn = 1
+"""

@@ -41,6 +41,7 @@ from gipspark.functions.vectors import cosine_sim
 from gipspark.geo.haversine import HAVERSINE_SQL
 from gipspark.operators import dedup as D
 from gipspark.operators.asof import asof_join, range_join
+from gipspark.operators.colocation import colocation_sql
 from gipspark.operators.knn import knn_join, within_join
 from gipspark.operators.pip import pip_join
 from gipspark.operators.similarity import cosine_topk, lsh_cosine_topk
@@ -3398,6 +3399,453 @@ def convex_hull_nations(spark, sf_dir):
         C.derived_lat(F.col("c_custkey")).alias("lat"),
     )
     return convex_hull(pts, "nation")
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch 9: webtext PII scrub + spatio-temporal join family
+# ---------------------------------------------------------------------------
+
+# RE2 ∩ java.util.regex common subset only (no backrefs/lookaround), so
+# Spark and DuckDB scan identically: leftmost, non-overlapping.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d-]{7,14}\d"
+
+# deterministic PII augmentation: the synthetic corpus carries no PII,
+# so both engines splice the SAME key-derived email/ip/phone strings
+# into the text before detection — the regexes then have real targets.
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || cast(doc_id as varchar) || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || cast(doc_id % 256 as varchar) || '.0.' || cast(doc_id % 100 as varchar) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call +1-202-555-0' || cast(100 + doc_id % 100 as varchar) ELSE '' END"
+)
+
+
+def _pii_aug_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" call +1-202-555-0"), (F.lit(100) + did % 100).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "pii_scrub_docs",
+    f"""
+WITH aug AS (
+  SELECT source, {_PII_AUG_SQL} AS t FROM documents
+)
+SELECT source,
+       cast(sum(len(regexp_extract_all(t, '{_PII_EMAIL}'))) as bigint) AS n_emails,
+       cast(sum(len(regexp_extract_all(t, '{_PII_IP}'))) as bigint) AS n_ips,
+       cast(sum(len(regexp_extract_all(t, '{_PII_PHONE}'))) as bigint) AS n_phones,
+       cast(sum(length(t) - length(
+         regexp_replace(regexp_replace(regexp_replace(
+           t, '{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'))) as bigint) AS delta_chars
+FROM aug GROUP BY source
+""",
+)
+def pii_scrub_docs(spark, sf_dir):
+    """PII detect + scrub over the corpus (the redaction pass every
+    public web-text pipeline runs before training): JVM regexp_count /
+    regexp_replace only — no Python in the loop — one narrow map then
+    one aggregate per source. delta_chars audits the redaction (chars
+    removed net of placeholder inserts), the counts audit detection.
+    Patterns live in the RE2∩Java subset so the oracle scans match."""
+    docs = load(spark, sf_dir, "documents")
+    t = _pii_aug_col()
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IP),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return docs.groupBy("source").agg(
+        F.sum(F.regexp_count(t, F.lit(_PII_EMAIL))).cast("long").alias("n_emails"),
+        F.sum(F.regexp_count(t, F.lit(_PII_IP))).cast("long").alias("n_ips"),
+        F.sum(F.regexp_count(t, F.lit(_PII_PHONE))).cast("long").alias("n_phones"),
+        F.sum(F.length(t) - F.length(scrubbed)).cast("long").alias("delta_chars"),
+    )
+
+
+@register(
+    "colocation_pairs_events",
+    (
+        f"""
+WITH pts AS (
+  SELECT user_id, ts, {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+),"""
+        + colocation_sql("pts")
+    ),
+)
+def colocation_pairs_events(spark, sf_dir):
+    """Spatio-temporal co-location ("contact") join: user pairs seen in
+    the same 10° cell within the same 6 h bucket. distinct-occupancy →
+    self equi-join on (cell, bucket) — candidate output bounded by
+    per-slot occupancy, never |fixes|² (operators/colocation.py)."""
+    from gipspark.operators.colocation import colocation_pairs
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    return colocation_pairs(pts)
+
+
+def _poly_edges_idx_values_sql(polys: list[dict]) -> str:
+    """Edges as VALUES with the SAME edge enumeration as
+    operators.distance._edge_rows (polys → rings → consecutive pairs)."""
+    rows = []
+    i = 0
+    for p in polys:
+        for ring in p["rings"]:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                rows.append(f"({p['poly_id']},{i},{x1!r},{y1!r},{x2!r},{y2!r})")
+                i += 1
+    return "(VALUES " + ",".join(rows) + ") AS e(poly_id, edge_idx, x1, y1, x2, y2)"
+
+
+def _segment_crossing_sql() -> str:
+    from gipspark.operators.crossing import crossings_sql
+
+    steps = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), steps0 AS (
+  SELECT user_id,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS px,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS py,
+         lon AS qx, lat AS qy
+  FROM pts
+), steps AS MATERIALIZED (SELECT * FROM steps0 WHERE px IS NOT NULL),
+edges AS MATERIALIZED (SELECT * FROM {_poly_edges_idx_values_sql(ORACLE_POLYGONS)})
+"""
+    # MATERIALIZED blocks DuckDB 1.0's inequality-join planner path,
+    # which hits an internal flat-vector assertion on this shape.
+    body = crossings_sql("steps", "edges e")
+    return f"""{steps}, x AS ({body})
+SELECT user_id, cast(poly_id as bigint) AS poly_id, count(*) AS n_crossings
+FROM x GROUP BY user_id, poly_id
+"""
+
+
+@register("segment_crossing_events", _segment_crossing_sql())
+def segment_crossing_events(spark, sf_dir):
+    """Exact fence-boundary crossings (linestring × polygon-edge
+    intersection join, operators/crossing.py): per movement step, the
+    edges it properly pierces — catches sparse-trajectory pass-throughs
+    that PIP state-flip detection (geofence_transitions) cannot. One
+    window shuffle; fences ride as a broadcast literal edge array."""
+    from gipspark.operators.crossing import segment_crossings
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    x = segment_crossings(pts, ORACLE_POLYGONS)
+    return x.groupBy("user_id", F.col("poly_id").cast("long").alias("poly_id")).agg(
+        F.count("*").alias("n_crossings")
+    )
+
+
+def _merge_intervals_sql() -> str:
+    from gipspark.operators.intervals import dissolve_sql
+
+    body = dissolve_sql("iv", "user_id")
+    return f"""
+WITH iv AS (
+  SELECT user_id,
+         cast(floor(epoch(ts)) as bigint) AS start_s,
+         cast(floor(epoch(ts)) as bigint) + 1800 AS end_s
+  FROM events
+)
+SELECT user_id, count(*) AS n_spans,
+       cast(sum(span_end - span_start) as bigint) AS covered_s,
+       cast(max(span_end - span_start) as bigint) AS max_span_s
+FROM ({body}) d
+GROUP BY user_id
+"""
+
+
+@register("merge_intervals_sessions", _merge_intervals_sql())
+def merge_intervals_sessions(spark, sf_dir):
+    """Interval dissolve (operators/intervals.py): each fix opens a
+    30-min presence interval; overlapping intervals per user merge into
+    maximal spans — the time-axis analog of polygon dissolve, and the
+    exact-arithmetic cousin of session_window_batch. One shuffle on
+    user_id shared by both windows and both aggregates."""
+    from gipspark.operators.intervals import dissolve_intervals
+
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp(F.col("ts")).alias("start_s"),
+        (F.unix_timestamp(F.col("ts")) + F.lit(1800)).alias("end_s"),
+    )
+    spans = dissolve_intervals(iv, "user_id")
+    return spans.groupBy("user_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).cast("long").alias("covered_s"),
+        F.max(F.col("span_end") - F.col("span_start")).cast("long").alias("max_span_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch 10: lattice statistics, map matching, raster algebra, IDW
+# ---------------------------------------------------------------------------
+
+_MORAN_GRID = 15.0
+
+
+@register(
+    "morans_i_tiles",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), cells AS (
+  SELECT cast(floor((lon + 180.0) / {_MORAN_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MORAN_GRID}) as int) AS gy,
+         count(*) AS x
+  FROM pts GROUP BY gx, gy
+), st AS (
+  SELECT count(*) AS n, cast(sum(x) as bigint) AS s FROM cells
+), dev AS (
+  SELECT gx, gy, st.n AS n, (st.n * x - st.s) AS dev FROM cells, st
+), pairs AS (
+  SELECT a.n, a.dev AS di, b.dev AS dj
+  FROM dev a JOIN dev b ON (abs(a.gx - b.gx) + abs(a.gy - b.gy)) = 1
+), agg AS (
+  SELECT count(*) AS w_links, cast(sum(di * dj) as bigint) AS num FROM pairs
+), dn AS (SELECT cast(sum(dev * dev) as bigint) AS den FROM dev)
+SELECT st.n AS n_cells, agg.w_links, agg.num, dn.den,
+       (cast(st.n as double) / cast(agg.w_links as double))
+       * (cast(agg.num as double) / cast(dn.den as double)) AS morans_i
+FROM st, agg, dn
+""",
+)
+def morans_i_tiles(spark, sf_dir):
+    """Global Moran's I over the 15° customer-density lattice
+    (operators/morans.py): rook-neighbor pairs come from an offset-
+    explode equi-join (never a θ-join), the moments ride as a broadcast
+    scalar, and numerator/denominator are exact bigints via the
+    n·x − S deviation trick — the only double is the final ratio,
+    computed from the same four integers on both engines."""
+    from gipspark.operators.morans import cell_counts, morans_i
+
+    pts = load(spark, sf_dir, "customer").select(
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    return morans_i(cell_counts(pts, _MORAN_GRID))
+
+
+def _snap_oracle() -> str:
+    from gipspark.operators.distance import snap_to_edge_sql
+
+    pts = (
+        "(SELECT c_custkey, "
+        f"{_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon "
+        "FROM customer)"
+    )
+    return "WITH " + snap_to_edge_sql(pts, "c_custkey", ORACLE_POLYGONS)
+
+
+@register("snap_to_edge_customers", _snap_oracle())
+def snap_to_edge_customers(spark, sf_dir):
+    """Map matching / ST_ClosestPoint: snap every point to the nearest
+    boundary segment and emit the projected coordinate. Same zero-
+    join broadcast-fold as nearest_edge_customers, now carrying the
+    winning edge index so the clamp projection is recomputed on just
+    that edge (operators/distance.py snap_to_edge). Snapped coords are
+    emitted as 1e-6-degree integer ticks: the raw doubles agree only to
+    1 ulp across engines (DuckDB's compiled multiply-add contracts
+    where the JVM never fuses), and the house rule is to quantize any
+    libm/FMA-sensitive value before it reaches a hash."""
+    from gipspark.operators.distance import snap_to_edge
+
+    pts = _cust_pts(spark, sf_dir)
+    return snap_to_edge(pts, ORACLE_POLYGONS).select(
+        "c_custkey",
+        "nearest_poly",
+        "edge_idx",
+        "d2_ticks",
+        F.round(F.col("snap_lon") * 1000000.0, 0).cast("long").alias("snap_lon_ticks"),
+        F.round(F.col("snap_lat") * 1000000.0, 0).cast("long").alias("snap_lat_ticks"),
+    )
+
+
+def _raster_algebra_oracle() -> str:
+    from gipspark.sources.fixtures import raster_tile_pdf
+
+    rows = []
+    for t in _RASTER_TILES:
+        pdf = raster_tile_pdf(t, _RASTER_PX)
+        for ix, iy, val in zip(pdf["ix"], pdf["iy"], pdf["value"]):
+            rows.append(f"('{t}',{ix},{iy},{val!r}::DOUBLE)")
+    a_values = "(VALUES " + ",".join(rows) + ") AS a(tile_id, ix, iy, value)"
+    return f"""
+WITH a AS (SELECT * FROM {a_values}),
+b AS (
+  SELECT tile_id, ix, iy,
+         cast((ix * 7 + iy * 13) % 97 as double) / 97.0 AS value
+  FROM a
+), nd AS (
+  SELECT a.tile_id,
+         (a.value - b.value) / (abs(a.value) + abs(b.value) + 1.0) AS nd
+  FROM a JOIN b ON a.tile_id = b.tile_id AND a.ix = b.ix AND a.iy = b.iy
+)
+SELECT tile_id, count(*) AS n_px,
+       cast(sum(CASE WHEN nd > 0.0 THEN 1 ELSE 0 END) as bigint) AS n_pos,
+       cast(sum(cast(round(nd * 1000000.0, 0) as bigint)) as bigint) AS sum_nd_ticks
+FROM nd GROUP BY tile_id
+"""
+
+
+@register("raster_algebra_zones", _raster_algebra_oracle())
+def raster_algebra_zones(spark, sf_dir):
+    """Raster map algebra (the raster↔raster half of the GIS matrix —
+    zonal_raster_stats covers raster↔vector): two aligned bands join on
+    the pixel key (tile_id, ix, iy) — at scale a co-partitioned
+    equi-join per tile, never a positional zip — then a cellwise
+    normalized-difference (NDVI shape) and a per-tile reduction.
+    The second band derives from pixel indices so both engines
+    synthesize identical doubles; per-pixel ND is quantized to 1e-6
+    ticks before the sum (exact bigint, no reorder drift)."""
+    from gipspark.sources.fixtures import raster_cells_df
+
+    a = raster_cells_df(spark, _RASTER_TILES, px=_RASTER_PX)
+    b = raster_cells_df(spark, _RASTER_TILES, px=_RASTER_PX).select(
+        "tile_id",
+        "ix",
+        "iy",
+        (((F.col("ix") * 7 + F.col("iy") * 13) % 97).cast("double") / F.lit(97.0)).alias(
+            "value_b"
+        ),
+    )
+    nd = a.join(b, ["tile_id", "ix", "iy"]).select(
+        "tile_id",
+        (
+            (F.col("value") - F.col("value_b"))
+            / (F.abs(F.col("value")) + F.abs(F.col("value_b")) + F.lit(1.0))
+        ).alias("nd"),
+    )
+    return nd.groupBy("tile_id").agg(
+        F.count("*").alias("n_px"),
+        F.sum(F.when(F.col("nd") > 0.0, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.round(F.col("nd") * 1000000.0, 0).cast("long")).cast("long").alias(
+            "sum_nd_ticks"
+        ),
+    )
+
+
+# frozen IDW probe grid (inside the derived-point domain)
+_IDW_PROBES: list[tuple[int, float, float]] = [
+    (0, 10.000001, 20.000003),
+    (1, -35.000007, -60.000009),
+    (2, 45.000003, 100.000001),
+    (3, -50.000009, 150.000007),
+    (4, 30.000001, -120.000003),
+    (5, 0.000007, 0.000009),
+]
+_IDW_R2 = 400.0  # 20° planar radius
+
+
+@register(
+    "idw_interpolate_probes",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon,
+         cast(round(c_acctbal * 100) as bigint) AS vc
+  FROM customer
+), probes AS (
+  SELECT * FROM (VALUES {",".join(f"({i},{la!r},{lo!r})" for i, la, lo in _IDW_PROBES)})
+         AS p(probe_id, plat, plon)
+), cand AS (
+  SELECT probe_id,
+         cast(round(1000000.0 / (1.0 + ((lon - plon) * (lon - plon) + (lat - plat) * (lat - plat))), 0) as bigint) AS w,
+         vc
+  FROM pts CROSS JOIN probes
+  WHERE (lon - plon) * (lon - plon) + (lat - plat) * (lat - plat) <= {_IDW_R2!r}
+)
+SELECT probe_id, count(*) AS n_pts,
+       cast(sum(w) as bigint) AS sum_w,
+       cast(sum(w * vc) as double) / cast(sum(w) as double) / 100.0 AS idw_value
+FROM cand GROUP BY probe_id
+""",
+)
+def idw_interpolate_probes(spark, sf_dir):
+    """Inverse-distance-weighted interpolation at fixed probe sites
+    (spatial kriging-lite): probes ride as a literal array exploded per
+    point — narrow, zero joins — with a radius gate, then one aggregate
+    per probe. Weights quantize to integer ticks BEFORE summing, so
+    both weight and weighted-value sums are exact bigints; the only
+    double is the final ratio. At scale the radius gate would sit
+    behind a cell-cover prefilter (operators/knn.py k-ring) — at 6
+    probes the explode is already minimal."""
+    cust = load(spark, sf_dir, "customer")
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("probe_id"), F.lit(la).alias("plat"), F.lit(lo).alias("plon")
+            )
+            for i, la, lo in _IDW_PROBES
+        ]
+    )
+    pts = cust.select(
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("vc"),
+        F.explode(probes).alias("p"),
+    )
+    d2 = (F.col("lon") - F.col("p.plon")) * (F.col("lon") - F.col("p.plon")) + (
+        F.col("lat") - F.col("p.plat")
+    ) * (F.col("lat") - F.col("p.plat"))
+    cand = pts.filter(d2 <= F.lit(_IDW_R2)).select(
+        F.col("p.probe_id").alias("probe_id"),
+        F.round(F.lit(1000000.0) / (F.lit(1.0) + d2), 0).cast("long").alias("w"),
+        "vc",
+    )
+    return cand.groupBy("probe_id").agg(
+        F.count("*").alias("n_pts"),
+        F.sum("w").cast("long").alias("sum_w"),
+        (
+            F.sum(F.col("w") * F.col("vc")).cast("double")
+            / F.sum("w").cast("double")
+            / F.lit(100.0)
+        ).alias("idw_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,130 @@
+"""Batch-10 operators: Moran's I, snap-to-edge, IDW — brute-force checks."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_morans_i_vs_brute(spark):
+    from gipspark.operators.morans import cell_counts, morans_i
+
+    rng = random.Random(5)
+    rows = [
+        (rng.uniform(-55.0, 55.0), rng.uniform(-170.0, 170.0)) for _ in range(800)
+    ]
+    pts = spark.createDataFrame(rows, "lat double, lon double")
+    out = morans_i(cell_counts(pts, 30.0)).collect()[0]
+
+    # brute force
+    counts = {}
+    for lat, lon in rows:
+        gx = math.floor((lon + 180.0) / 30.0)
+        gy = math.floor((90.0 - lat) / 30.0)
+        counts[(gx, gy)] = counts.get((gx, gy), 0) + 1
+    n = len(counts)
+    s = sum(counts.values())
+    dev = {k: n * v - s for k, v in counts.items()}
+    num = 0
+    w = 0
+    for (gx, gy), di in dev.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            dj = dev.get((gx + dx, gy + dy))
+            if dj is not None:
+                num += di * dj
+                w += 1
+    den = sum(d * d for d in dev.values())
+    assert (out.n_cells, out.w_links, out.num, out.den) == (n, w, num, den)
+    assert out.morans_i == (n / w) * (num / den)
+
+    # sanity vs the textbook float formula (same value, scaled)
+    xbar = s / n
+    fnum = sum(
+        (counts[(gx, gy)] - xbar) * (counts[(gx + dx, gy + dy)] - xbar)
+        for (gx, gy) in counts
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        if (gx + dx, gy + dy) in counts
+    )
+    fden = sum((v - xbar) ** 2 for v in counts.values())
+    assert abs(out.morans_i - (n / w) * (fnum / fden)) < 1e-9
+
+
+def test_morans_i_checkerboard_negative(spark):
+    # perfect alternation → strong negative autocorrelation
+    from gipspark.operators.morans import morans_i
+
+    cells = [
+        (gx, gy, 10 if (gx + gy) % 2 == 0 else 1) for gx in range(6) for gy in range(6)
+    ]
+    df = spark.createDataFrame(cells, "gx int, gy int, x long")
+    out = morans_i(df).collect()[0]
+    assert out.morans_i < -0.9
+
+
+def test_snap_to_edge_vs_brute(spark):
+    from gipspark.operators.distance import snap_to_edge, _edge_rows
+    from gipspark.queries import ORACLE_POLYGONS
+
+    rng = random.Random(9)
+    rows = [
+        (i, rng.uniform(-60.0, 60.0), rng.uniform(-180.0, 180.0)) for i in range(300)
+    ]
+    pts = spark.createDataFrame(rows, "pid long, lat double, lon double")
+    got = {
+        r.pid: (r.nearest_poly, r.edge_idx, r.snap_lon, r.snap_lat)
+        for r in snap_to_edge(pts, ORACLE_POLYGONS).collect()
+    }
+
+    edges = list(enumerate(_edge_rows(ORACLE_POLYGONS)))
+    for pid, lat, lon in rows:
+        best = None
+        for idx, (pl, x1, y1, x2, y2) in edges:
+            dx, dy = x2 - x1, y2 - y1
+            t = max(0.0, min(1.0, ((lon - x1) * dx + (lat - y1) * dy) / (dx * dx + dy * dy)))
+            cx, cy = x1 + t * dx, y1 + t * dy
+            ticks = round(((lon - cx) ** 2 + (lat - cy) ** 2) * 1e6)
+            key = (ticks, pl, idx)
+            if best is None or key < best[0]:
+                best = (key, cx, cy)
+        (ticks, pl, idx), cx, cy = best
+        gpl, gidx, gx, gy = got[pid]
+        assert (gpl, gidx) == (pl, idx)
+        assert abs(gx - cx) < 1e-9 and abs(gy - cy) < 1e-9
+
+
+def test_snap_point_lies_on_edge(spark):
+    from gipspark.operators.distance import snap_to_edge
+
+    sq = [{"poly_id": 0, "rings": [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]]}]
+    pts = spark.createDataFrame(
+        [(1, -5.0, 5.0), (2, 5.0, 20.0), (3, 5.0, 5.0)], "pid long, lat double, lon double"
+    )
+    out = {r.pid: r for r in snap_to_edge(pts, sq).collect()}
+    # left of the square at lat -5 → clamps to corner (0,0)
+    assert (out[1].snap_lon, out[1].snap_lat) == (5.0, 0.0)
+    # right of the square → projects onto x=10 edge at lat 5
+    assert (out[2].snap_lon, out[2].snap_lat) == (10.0, 5.0)
+    # interior point still snaps to the nearest boundary (lon 5, lat 5 → bottom or left at distance 5)
+    assert out[3].d2_ticks == 25_000_000
+
+
+def test_idw_weights_positive_and_bounded(spark, sf_dir):
+    from gipspark.queries import REGISTRY
+
+    fn, _ = REGISTRY["idw_interpolate_probes"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows, "no probes matched any points"
+    for r in rows:
+        assert r.n_pts > 0 and r.sum_w > 0
+        # IDW output must lie inside the value range of the inputs
+        assert -1000.0 < r.idw_value < 11000.0
+
+
+def test_raster_algebra_pixel_alignment(spark):
+    from gipspark.queries import REGISTRY, _RASTER_PX, _RASTER_TILES
+
+    fn, _ = REGISTRY["raster_algebra_zones"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len(_RASTER_TILES)
+    for r in rows:
+        assert r.n_px == _RASTER_PX * _RASTER_PX

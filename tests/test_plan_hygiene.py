@@ -29,6 +29,7 @@ CROSS_OK = {
     "embedding_neardup_pairs",
     "gapfill_daily_events",  # tiny calendar × type-dim cross, broadcast
     "tfidf_top_terms",  # 1-row corpus-count aggregate broadcast into scored
+    "morans_i_tiles",  # two 1-row moment aggregates broadcast into the lattice
 }
 
 
