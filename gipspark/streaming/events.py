@@ -27,11 +27,27 @@ EVENT_SCHEMA = (
 
 def stage_stream_chunks(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4) -> None:
     """Split the events parquet into n_chunks files under ``out_dir`` —
-    the replayable stream source (each file = one arrival batch)."""
+    the replayable stream source (each file = one arrival batch).
+
+    Chunks are contiguous EVENT-TIME slices written oldest-first (one
+    sequential write per chunk → strictly increasing modification
+    times), so the file source's oldest-first ordering replays arrival
+    in event-time order. That mirrors a real log tail and makes
+    append-mode watermark output deterministic: a window only closes
+    once every event that can reach it has arrived. The earlier
+    hash-sliced staging made every later file almost entirely
+    late-beyond-watermark, so which rows were dropped depended on the
+    (job-identical, hence unordered) file modification times — a
+    suite-level coin flip."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.withColumn("__chunk", F.pmod(F.col("event_id"), F.lit(n_chunks))).repartition(
-        n_chunks, "__chunk"
-    ).drop("__chunk").write.mode("overwrite").parquet(out_dir)
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")).alias("lo"), F.unix_timestamp(F.max("ts")).alias("hi")
+    ).collect()[0]
+    span = max(1, (int(hi) - int(lo)) // n_chunks + 1)
+    chunk = F.floor((F.unix_timestamp(F.col("ts")) - F.lit(int(lo))) / F.lit(span))
+    for i in range(n_chunks):
+        mode = "overwrite" if i == 0 else "append"
+        ev.filter(chunk == i).coalesce(1).write.mode(mode).parquet(out_dir)
 
 
 def read_events_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
