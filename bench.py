@@ -63,6 +63,13 @@ BENCH_QUERIES = [
     "cms_heavy_hitters_terms",
     "bbox_join_customers",
     "crawl_diff_snapshots",
+    "pii_scrub_docs",
+    "colocation_pairs_events",
+    "segment_crossing_events",
+    "merge_intervals_sessions",
+    "morans_i_tiles",
+    "snap_to_edge_customers",
+    "idw_interpolate_probes",
 ]
 
 

@@ -5,26 +5,36 @@ set's edges, plus WHICH polygon owns the nearest edge. The reference
 family of engines expose this as ST_Distance against a boundary layer;
 here the polygon dim is small (country/admin/coastline layers are
 thousands of shapes, not billions), so the edges ride into the plan as
-ONE broadcast array literal and the per-point minimization is a
-whole-stage-codegen ``F.aggregate`` fold — a completely NARROW op: no
-join, no shuffle, scales linearly with the point table and is embedded
-in the same stage as the scan.
+literals and the per-point minimization is ONE ``least()`` over the
+unrolled per-edge candidate structs — a completely NARROW op: no join,
+no shuffle, scales linearly with the point table and is embedded in
+the same whole-stage-codegen span as the scan.
+
+Why unrolled ``least`` and not an ``F.aggregate`` fold: higher-order
+functions are CodegenFallback in Spark — the lambda re-evaluates
+interpretively per array element, measured ~260 µs/row over 42 edges
+at sf0.1 vs ~15 µs/row for the codegen'd least-tree (BENCH.md round 2).
+Same story for explode + min(struct): as fast per-row but pays a
+map-side-combined shuffle of |points| rows that the narrow form never
+does. The unroll caps the edge count (codegen size grows linearly,
+~64 KB method limits bite near a few hundred edges) — for genuinely
+large boundary layers the bbox tile-cover prefilter (operators/bbox.py)
+bounds the per-point candidate set first.
 
 Exactness/portability: squared planar distance in degree² is computed
 with the textbook clamp-projection formula in a fixed textual operation
 order (IEEE-identical in DuckDB), then quantized to integer 1e-6 ticks
 BEFORE the min/argmin, so the comparison both engines make is on exact
-integers — ulp drift can't flip the winner. Ties break on smaller
-poly_id. For metric output, callers convert ticks → degrees → meters
-downstream; ordering is invariant.
+integers — ulp drift can't flip the winner. Ties break lexicographically
+on the candidate struct (ticks, poly_id[, edge_idx]) — ``least()`` on
+structs IS that ordering. For metric output, callers convert ticks →
+degrees → meters downstream; ordering is invariant.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-_INIT_TICKS = 1 << 62
 
 
 def _edge_rows(polygons: list[dict]) -> list[tuple[int, float, float, float, float]]:
@@ -36,20 +46,31 @@ def _edge_rows(polygons: list[dict]) -> list[tuple[int, float, float, float, flo
     return rows
 
 
-def _d2(px: Column, py: Column, e: Column) -> Column:
-    """Squared point-to-segment distance (planar degrees²).
+def _cand(
+    px: Column, py: Column, pid: int, edge_idx: int | None, x1: float, y1: float, x2: float, y2: float
+) -> Column:
+    """(ticks, poly[, edge]) candidate struct for one edge.
 
     t = clamp(((p-a)·(b-a)) / |b-a|², 0, 1); d² = |p - (a + t(b-a))|².
     Ring edges are never degenerate (consecutive ring vertices are
-    distinct by construction), so the division is safe.
+    distinct by construction), so the division is safe. Edge-constant
+    subexpressions (x2-x1 etc.) constant-fold identically in Catalyst
+    and DuckDB — both are exact IEEE doubles.
     """
-    dx = e.x2 - e.x1
-    dy = e.y2 - e.y1
+    dx = F.lit(x2) - F.lit(x1)
+    dy = F.lit(y2) - F.lit(y1)
     l2 = dx * dx + dy * dy
-    t = F.greatest(F.lit(0.0), F.least(F.lit(1.0), ((px - e.x1) * dx + (py - e.y1) * dy) / l2))
-    cx = e.x1 + t * dx
-    cy = e.y1 + t * dy
-    return (px - cx) * (px - cx) + (py - cy) * (py - cy)
+    t = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), ((px - F.lit(x1)) * dx + (py - F.lit(y1)) * dy) / l2)
+    )
+    cx = F.lit(x1) + t * dx
+    cy = F.lit(y1) + t * dy
+    d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+    ticks = F.round(d2 * F.lit(1000000.0), 0).cast("long")
+    fields = [ticks.alias("ticks"), F.lit(pid).cast("long").alias("poly")]
+    if edge_idx is not None:
+        fields.append(F.lit(edge_idx).alias("edge"))
+    return F.struct(*fields)
 
 
 def nearest_edge(
@@ -60,36 +81,20 @@ def nearest_edge(
 ) -> DataFrame:
     """points + (nearest_poly, d2_ticks): argmin over all boundary edges.
 
-    d2_ticks = round(d²·10⁶) as BIGINT (d in planar degrees). The fold
-    carries a (ticks, poly) struct; strict-less OR equal-ticks-smaller-
-    poly keeps the argmin deterministic regardless of edge order.
+    d2_ticks = round(d²·10⁶) as BIGINT (d in planar degrees).
+    ``least`` over (ticks, poly) structs — deterministic argmin
+    regardless of edge order, entirely inside whole-stage codegen.
     """
-    edges_lit = F.array(
-        *[
-            F.struct(
-                F.lit(pid).alias("poly_id"),
-                F.lit(x1).alias("x1"),
-                F.lit(y1).alias("y1"),
-                F.lit(x2).alias("x2"),
-                F.lit(y2).alias("y2"),
-            )
-            for pid, x1, y1, x2, y2 in _edge_rows(polygons)
-        ]
-    )
     px, py = F.col(lon_col), F.col(lat_col)
-
-    def merge(acc: Column, e: Column) -> Column:
-        ticks = F.round(_d2(px, py, e) * F.lit(1000000.0), 0).cast("long")
-        better = (ticks < acc.ticks) | ((ticks == acc.ticks) & (e.poly_id < acc.poly))
-        return F.when(
-            better, F.struct(ticks.alias("ticks"), e.poly_id.alias("poly"))
-        ).otherwise(acc)
-
-    init = F.struct(
-        F.lit(_INIT_TICKS).cast("long").alias("ticks"), F.lit(-1).cast("long").alias("poly")
+    best = F.least(
+        *[_cand(px, py, pid, None, x1, y1, x2, y2) for pid, x1, y1, x2, y2 in _edge_rows(polygons)]
     )
-    best = F.aggregate(edges_lit, init, merge)
-    return points.withColumn("nearest_poly", best.poly).withColumn("d2_ticks", best.ticks)
+    with_best = points.withColumn("_best", best)
+    return (
+        with_best.withColumn("nearest_poly", F.col("_best.poly"))
+        .withColumn("d2_ticks", F.col("_best.ticks"))
+        .drop("_best")
+    )
 
 
 def nearest_edge_sql(
@@ -141,48 +146,35 @@ def snap_to_edge(
     snap_lon, snap_lat) — the map-matching primitive ("snap this fix
     to the nearest boundary/road segment").
 
-    Same narrow broadcast-fold shape as :func:`nearest_edge`, with the
-    argmin carrying the winning EDGE index (ties: smaller ticks, then
-    poly_id, then edge_idx); the snapped coordinate is then the clamp
-    projection onto that one edge, recomputed from the literal array
-    via element_at — still zero joins, zero shuffles. Projection
-    arithmetic is +,-,*,/ and min/max only, in the same textual order
-    as the SQL oracle, so snapped doubles are bit-identical.
+    Same narrow least-tree as :func:`nearest_edge`, with the argmin
+    carrying the winning EDGE index (ties: smaller ticks, then poly_id,
+    then edge_idx); the snapped coordinate is then the clamp projection
+    onto that one edge, recomputed from a literal edge array via
+    element_at — still zero joins, zero shuffles, all codegen.
+    Projection arithmetic is +,-,*,/ and min/max only, in the same
+    textual order as the SQL oracle; note the oracle's doubles can
+    differ by 1 ulp (DuckDB fuses multiply-adds), so callers that hash
+    results quantize the snapped coords to 1e-6 ticks.
     """
     edge_list = _edge_rows(polygons)
+    px, py = F.col(lon_col), F.col(lat_col)
+    best = F.least(
+        *[
+            _cand(px, py, pid, i, x1, y1, x2, y2)
+            for i, (pid, x1, y1, x2, y2) in enumerate(edge_list)
+        ]
+    )
     edges_lit = F.array(
         *[
             F.struct(
-                F.lit(pid).alias("poly_id"),
-                F.lit(i).alias("edge_idx"),
                 F.lit(x1).alias("x1"),
                 F.lit(y1).alias("y1"),
                 F.lit(x2).alias("x2"),
                 F.lit(y2).alias("y2"),
             )
-            for i, (pid, x1, y1, x2, y2) in enumerate(edge_list)
+            for _, x1, y1, x2, y2 in edge_list
         ]
     )
-    px, py = F.col(lon_col), F.col(lat_col)
-
-    def merge(acc: Column, e: Column) -> Column:
-        ticks = F.round(_d2(px, py, e) * F.lit(1000000.0), 0).cast("long")
-        better = (
-            (ticks < acc.ticks)
-            | ((ticks == acc.ticks) & (e.poly_id < acc.poly))
-            | ((ticks == acc.ticks) & (e.poly_id == acc.poly) & (e.edge_idx < acc.edge))
-        )
-        return F.when(
-            better,
-            F.struct(ticks.alias("ticks"), e.poly_id.alias("poly"), e.edge_idx.alias("edge")),
-        ).otherwise(acc)
-
-    init = F.struct(
-        F.lit(_INIT_TICKS).cast("long").alias("ticks"),
-        F.lit(-1).cast("long").alias("poly"),
-        F.lit(-1).cast("int").alias("edge"),
-    )
-    best = F.aggregate(edges_lit, init, merge)
     with_best = points.withColumn("_best", best).withColumn(
         "_e", F.element_at(edges_lit, F.col("_best.edge") + F.lit(1))
     )

@@ -73,3 +73,25 @@ def test_kafka_gated_with_actionable_error(spark):
         pass
     with pytest.raises(RuntimeError, match="--packages"):
         open_source(spark, "kafka", bootstrap_servers="b:9092", topic="events")
+
+
+def test_stage_chunks_are_time_ordered_by_mtime(spark, sf_dir, tmp_path):
+    # the determinism contract: file-source replay order (mtime) must
+    # equal event-time order, else append-mode watermark output depends
+    # on a directory-listing coin flip
+    import glob
+    import os
+
+    d = str(tmp_path / "chunks")
+    stage_stream_chunks(spark, sf_dir, d, n_chunks=4)
+    files = [p for p in glob.glob(d + "/part*") if os.path.getsize(p) > 0]
+    by_mtime = sorted(files, key=os.path.getmtime)
+    assert len(set(round(os.path.getmtime(p), 6) for p in files)) == len(files)
+    prev_hi = None
+    for p in by_mtime:
+        df = spark.read.parquet(p)
+        lo, hi = df.agg(F.min("ts"), F.max("ts")).collect()[0]
+        if prev_hi is not None and lo is not None:
+            assert lo > prev_hi
+        if hi is not None:
+            prev_hi = hi
