@@ -82,3 +82,40 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def hits_int(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Two half-rounds of un-normalized HITS with exact BIGINT scores:
+    auth₁ = in-degree (all hubs start at 1), hub₁ = Σ auth₁ over
+    out-links, auth₂ = Σ hub₁ over in-links. Skipping the float
+    normalization keeps every score an exact integer sum — the ranking
+    is identical (normalization is a positive scalar per round) and the
+    DuckDB oracle replays it bit-for-bit. Plan shape per half-round:
+    one contrib shuffle (groupBy on the receiving endpoint) + one hash
+    join — the same aggregate-exchange pattern as pagerank_int, so the
+    10^12-edge story is the same: edges partition by the join key, no
+    driver-side state.
+
+    Returns (id, hub, auth) — hub = hub₁, auth = auth₂, 0 for nodes
+    with no links in the respective direction.
+    """
+    a1 = edges.groupBy("dst").agg(F.count("*").cast("long").alias("a1"))
+    h1 = (
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("a1").cast("long").alias("hub"))
+    )
+    a2 = (
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("hub").cast("long").alias("auth"))
+    )
+    return (
+        nodes.join(h1.withColumnRenamed("src", "id"), "id", "left")
+        .join(a2.withColumnRenamed("dst", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )

@@ -3848,6 +3848,96 @@ def idw_interpolate_probes(spark, sf_dir):
     )
 
 
+@register(
+    "hits_hub_auth_links",
+    f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+a1 AS (SELECT dst, cast(count(*) as bigint) AS a1 FROM edges GROUP BY dst),
+h1 AS (SELECT e.src, cast(sum(a1.a1) as bigint) AS hub
+       FROM edges e JOIN a1 ON e.dst = a1.dst GROUP BY e.src),
+a2 AS (SELECT e.dst, cast(sum(h1.hub) as bigint) AS auth
+       FROM edges e JOIN h1 ON e.src = h1.src GROUP BY e.dst)
+SELECT n.id, cast(coalesce(h1.hub, 0) as bigint) AS hub,
+       cast(coalesce(a2.auth, 0) as bigint) AS auth
+FROM nodes n LEFT JOIN h1 ON n.id = h1.src LEFT JOIN a2 ON n.id = a2.dst
+""",
+)
+def hits_hub_auth_links(spark, sf_dir):
+    """HITS hubs/authorities over the same deterministic doc link graph
+    as pagerank_doc_links (operators/graph.py hits_int): un-normalized
+    integer half-rounds — auth₁ = in-degree, hub₁ = Σ auth₁ out,
+    auth₂ = Σ hub₁ in — exact bigints, identical ranking to the
+    normalized algorithm, replayed join-for-join by the oracle."""
+    from gipspark.operators.graph import hits_int
+
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    return hits_int(nodes, edges)
+
+
+# deterministic alias graph over doc ids: ~1/8 of ids are terminals,
+# everyone else aliases 1–3 ids downward (mixed by 48271 so residues
+# are quasi-uniform) — chains are acyclic by construction (strictly
+# decreasing) with data-dependent depth.
+_CHAIN_NXT_SQL = (
+    "CASE WHEN doc_id % 16 < 2 OR doc_id - 1 - ((doc_id * 48271) % 3) < 0 "
+    "THEN NULL ELSE doc_id - 1 - ((doc_id * 48271) % 3) END"
+)
+
+
+@register(
+    "resolve_redirect_chains",
+    f"""
+WITH RECURSIVE nodes AS (
+  SELECT doc_id AS id, {_CHAIN_NXT_SQL} AS nxt FROM documents
+), walk(src, cur, hops) AS (
+  SELECT id, id, 0 FROM nodes
+  UNION ALL
+  SELECT w.src, n.nxt, w.hops + 1
+  FROM walk w JOIN nodes n ON n.id = w.cur
+  WHERE n.nxt IS NOT NULL
+)
+SELECT w.src AS doc_id, w.cur AS final_id, cast(w.hops as bigint) AS hops
+FROM walk w
+WHERE w.cur NOT IN (SELECT id FROM nodes WHERE nxt IS NOT NULL)
+""",
+)
+def resolve_redirect_chains(spark, sf_dir):
+    """Redirect/alias chain resolution (the Common-Crawl URL-canonical
+    problem, operators/chains.py): pointer doubling carries (ptr, dist)
+    per page and composes it with itself each round, so a depth-D chain
+    resolves in ⌈log₂ D⌉ equi-join rounds instead of D sequential
+    passes — the only way chain-walking survives 10^12 rows. The oracle
+    walks the same synthesized alias graph one hop at a time with a
+    recursive CTE."""
+    from gipspark.operators.chains import resolve_chains
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nxt_raw = did - 1 - ((did * 48271) % 3)
+    nxt = F.when((did % 16 < 2) | (nxt_raw < 0), F.lit(None).cast("long")).otherwise(nxt_raw)
+    edges = docs.select(did.alias("doc_id"), nxt.alias("next"))
+    return resolve_chains(edges, id_col="doc_id", next_col="next").select(
+        "doc_id", "final_id", F.col("hops").cast("long").alias("hops")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -97,3 +97,29 @@ def test_pagerank_sink_attracts_mass(spark):
     ranks = {r["id"]: r["rank"] for r in pagerank_int(nodes, edges, n, iters=5).collect()}
     assert ranks[0] == max(ranks.values())
     assert ranks[0] > 3 * (SCALE // n)
+
+
+def test_hits_int_vs_brute(spark):
+    import random
+    from collections import defaultdict
+
+    from gipspark.operators.graph import hits_int
+
+    rng = random.Random(21)
+    n = 120
+    edge_list = {(rng.randrange(n), rng.randrange(n)) for _ in range(400)}
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(sorted(edge_list), "src long, dst long")
+    got = {(r.id, r.hub, r.auth) for r in hits_int(nodes, edges).collect()}
+
+    a1 = defaultdict(int)
+    for s, d in edge_list:
+        a1[d] += 1
+    h1 = defaultdict(int)
+    for s, d in edge_list:
+        h1[s] += a1[d]
+    a2 = defaultdict(int)
+    for s, d in edge_list:
+        a2[d] += h1[s]
+    want = {(i, h1[i], a2[i]) for i in range(n)}
+    assert got == want

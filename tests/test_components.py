@@ -78,3 +78,52 @@ def test_components_raises_when_not_converged(spark):
         raise AssertionError("expected RuntimeError")
     except RuntimeError as e:
         assert "converge" in str(e)
+
+
+# --- alias-chain resolution (operators/chains.py) ---------------------------
+
+
+def test_resolve_chains_vs_brute(spark):
+    import random
+
+    from gipspark.operators.chains import resolve_chains
+
+    rng = random.Random(13)
+    n = 300
+    nxt = {}
+    for i in range(n):
+        if i < 3 or rng.random() < 0.15:
+            nxt[i] = None
+        else:
+            nxt[i] = i - rng.randrange(1, 4)  # strictly decreasing → acyclic
+    rows = [(i, nxt[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, next long")
+    got = {(r.id, r.final_id, r.hops) for r in resolve_chains(df).collect()}
+
+    want = set()
+    for i in range(n):
+        cur, hops = i, 0
+        while nxt.get(cur) is not None:
+            cur = nxt[cur]
+            hops += 1
+        want.add((i, cur, hops))
+    assert got == want
+
+
+def test_resolve_chains_cycle_raises(spark):
+    import pytest
+
+    from gipspark.operators.chains import resolve_chains
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "id long, next long")
+    with pytest.raises(RuntimeError, match="cycle|converge"):
+        resolve_chains(df, max_iter=6)
+
+
+def test_resolve_chains_unknown_target_terminates(spark):
+    from gipspark.operators.chains import resolve_chains
+
+    # 2 aliases to 99 which is not a known node: resolves to 99 at 1 hop
+    df = spark.createDataFrame([(1, None), (2, 99)], "id long, next long")
+    got = {(r.id, r.final_id, r.hops) for r in resolve_chains(df).collect()}
+    assert got == {(1, 1, 0), (2, 99, 1)}
