@@ -3938,6 +3938,115 @@ def resolve_redirect_chains(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-2 batch 12: data-layout keys + sketch-merge rollup
+# ---------------------------------------------------------------------------
+
+from gipspark.operators.zorder import morton_key, morton_key_sql  # noqa: E402
+
+_Z_GRID = 0.25  # 0.25° lattice → gx < 1440, gy < 600 (both fit 16 bits)
+
+
+@register(
+    "zorder_cluster_customers",
+    f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), g AS (
+  SELECT c_custkey,
+         cast(floor((lon + 180.0) / {_Z_GRID}) as bigint) AS gx,
+         cast(floor((90.0 - lat) / {_Z_GRID}) as bigint) AS gy
+  FROM pts
+)
+SELECT c_custkey, gx, gy,
+       {morton_key_sql('gx', 'gy')} AS zkey,
+       cast({morton_key_sql('gx', 'gy')} >> 14 as bigint) AS zbucket
+FROM g
+""",
+)
+def zorder_cluster_customers(spark, sf_dir):
+    """Z-order (Morton) clustering key per point (operators/zorder.py)
+    — the Delta/Iceberg Z-ORDER layout primitive: sort/range-partition
+    by zkey and a lat/lon box scan prunes to a handful of key ranges.
+    The 16-bit magic-number spread is rendered from one step list into
+    both engines, so keys are bit-exact; zbucket (top bits) is the
+    file-assignment granularity a writer would range-partition on."""
+    cust = load(spark, sf_dir, "customer")
+    gx = F.floor((C.derived_lon(F.col("c_custkey")) + F.lit(180.0)) / F.lit(_Z_GRID)).cast(
+        "long"
+    )
+    gy = F.floor((F.lit(90.0) - C.derived_lat(F.col("c_custkey"))) / F.lit(_Z_GRID)).cast(
+        "long"
+    )
+    g = cust.select("c_custkey", gx.alias("gx"), gy.alias("gy"))
+    zkey = morton_key(F.col("gx"), F.col("gy"))
+    return g.select(
+        "c_custkey",
+        "gx",
+        "gy",
+        zkey.alias("zkey"),
+        F.shiftright(zkey, 14).cast("long").alias("zbucket"),
+    )
+
+
+@register(
+    "hll_pyramid_contract",
+    f"""
+WITH raw AS (
+  SELECT user_id, {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), pts AS (
+  SELECT user_id,
+         cast(floor((lon + 180.0) / 10.0) as int) AS pgx,
+         cast(floor((90.0 - lat) / 10.0) as int) AS pgy
+  FROM raw
+)
+SELECT pgx, pgy, cast(count(DISTINCT user_id) as bigint) AS exact_users,
+       TRUE AS ok
+FROM pts GROUP BY pgx, pgy
+""",
+)
+def hll_pyramid_contract(spark, sf_dir):
+    """Sketch-merge pyramid rollup: per-child-cell (2.5°) HLL sketches
+    of distinct users union up to the 10° parent, and the merged
+    estimate must sit within the documented accuracy band of the exact
+    parent distinct (ok = TRUE, which is what the oracle asserts).
+    This is THE 100 TB pattern for distinct-per-region: children are
+    sketched once (one shuffle), every ancestor level merges sketches
+    (bytes), never re-scans raw rows — the same contract shape as
+    approx_count_distinct/approx_percentile."""
+    ev = load(spark, sf_dir, "events")
+    lat = C.derived_lat(F.col("event_id"))
+    lon = C.derived_lon(F.col("event_id"))
+    pts = ev.select(
+        "user_id",
+        F.floor((lon + F.lit(180.0)) / F.lit(10.0)).cast("int").alias("pgx"),
+        F.floor((F.lit(90.0) - lat) / F.lit(10.0)).cast("int").alias("pgy"),
+        F.floor((lon + F.lit(180.0)) / F.lit(2.5)).cast("int").alias("cgx"),
+        F.floor((F.lit(90.0) - lat) / F.lit(2.5)).cast("int").alias("cgy"),
+    )
+    child = pts.groupBy("pgx", "pgy", "cgx", "cgy").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = child.groupBy("pgx", "pgy").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = pts.groupBy("pgx", "pgy").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    out = exact.join(merged, ["pgx", "pgy"])
+    tol = F.greatest(F.lit(2.0), F.col("exact_users").cast("double") * F.lit(0.06))
+    return out.select(
+        "pgx",
+        "pgy",
+        "exact_users",
+        (F.abs(F.col("est").cast("double") - F.col("exact_users").cast("double")) <= tol).alias(
+            "ok"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -128,3 +128,37 @@ def test_raster_algebra_pixel_alignment(spark):
     assert len(rows) == len(_RASTER_TILES)
     for r in rows:
         assert r.n_px == _RASTER_PX * _RASTER_PX
+
+
+def test_morton_key_matches_python_interleave(spark):
+    from gipspark.operators.zorder import morton_key
+
+    import random
+
+    rng = random.Random(31)
+    rows = [(rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16)) for _ in range(500)]
+    rows += [(0, 0), (65535, 65535), (1, 0), (0, 1)]
+    df = spark.createDataFrame(rows, "gx long, gy long")
+    got = {(r.gx, r.gy): r.z for r in df.select("gx", "gy", morton_key(F.col("gx"), F.col("gy")).alias("z")).collect()}
+
+    def interleave(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (gx, gy), z in got.items():
+        assert z == interleave(gx, gy)
+
+
+def test_morton_locality(spark):
+    # neighboring cells in a 2^k-aligned block share the zkey prefix:
+    # all 16 cells of an aligned 4x4 block land in one 256-key range
+    from gipspark.operators.zorder import morton_key
+
+    base_x, base_y = 128, 256  # 4-aligned
+    rows = [(base_x + i, base_y + j) for i in range(4) for j in range(4)]
+    df = spark.createDataFrame(rows, "gx long, gy long")
+    zs = [r.z for r in df.select(morton_key(F.col("gx"), F.col("gy")).alias("z")).collect()]
+    assert max(zs) - min(zs) < 16 and len(set(z >> 4 for z in zs)) == 1
