@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "morans_i_tiles",
     "snap_to_edge_customers",
     "idw_interpolate_probes",
+    "resolve_redirect_chains",
+    "hits_hub_auth_links",
+    "zorder_cluster_customers",
+    "hll_pyramid_contract",
 ]
 
 
