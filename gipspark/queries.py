@@ -4047,6 +4047,182 @@ def hll_pyramid_contract(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-2 batch 13: mobility OD flows, time-weighted average, Pareto skyline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "od_matrix_daily",
+    f"""
+WITH raw AS (
+  SELECT user_id, ts, event_id,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), pts AS (
+  SELECT user_id, ts, event_id, cast(ts as date) AS day,
+         cast(floor((lon + 180.0) / 10.0) as int) * 100
+           + cast(floor((90.0 - lat) / 10.0) as int) AS cell
+  FROM raw
+), ranked AS (
+  SELECT user_id, day, cell,
+         row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM pts
+)
+SELECT o.cell AS origin, d.cell AS dest, count(*) AS n_trips
+FROM (SELECT user_id, day, cell FROM ranked WHERE rn_a = 1) o
+JOIN (SELECT user_id, day, cell FROM ranked WHERE rn_d = 1) d
+  USING (user_id, day)
+GROUP BY origin, dest
+""",
+)
+def od_matrix_daily(spark, sf_dir):
+    """Origin–destination flow matrix (the mobility-analytics staple):
+    per (user, day), origin = cell of the first fix, destination = cell
+    of the last, then flows aggregate per (origin, dest). One shuffle
+    on (user_id, day) shared by both row_number windows, one hash agg
+    on the OD pair — no joins against the big side beyond the self
+    first/last pairing, which stays inside the windowed partition."""
+    ev = load(spark, sf_dir, "events")
+    lat = C.derived_lat(F.col("event_id"))
+    lon = C.derived_lon(F.col("event_id"))
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("ts").cast("date").alias("day"),
+        (
+            F.floor((lon + F.lit(180.0)) / F.lit(10.0)).cast("int") * 100
+            + F.floor((F.lit(90.0) - lat) / F.lit(10.0)).cast("int")
+        ).alias("cell"),
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = pts.select(
+        "user_id", "day", "cell",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    o = ranked.filter(F.col("rn_a") == 1).select("user_id", "day", F.col("cell").alias("origin"))
+    d = ranked.filter(F.col("rn_d") == 1).select("user_id", "day", F.col("cell").alias("dest"))
+    return (
+        o.join(d, ["user_id", "day"])
+        .groupBy("origin", "dest")
+        .agg(F.count("*").alias("n_trips"))
+    )
+
+
+@register(
+    "twa_value_user",
+    """
+WITH iv AS (
+  SELECT user_id,
+         cast(round(value * 100) as bigint) AS cents,
+         cast(floor(epoch(ts)) as bigint) AS t,
+         lead(cast(floor(epoch(ts)) as bigint)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS t_next
+  FROM events
+)
+SELECT user_id,
+       cast(sum(t_next - t) as bigint) AS span_s,
+       cast(sum(cents * (t_next - t)) as bigint) AS weighted_cents_s,
+       cast(sum(cents * (t_next - t)) as double)
+         / cast(sum(t_next - t) as double) / 100.0 AS twa_value
+FROM iv WHERE t_next IS NOT NULL
+GROUP BY user_id
+""",
+)
+def twa_value_user(spark, sf_dir):
+    """Time-weighted average value per user (the telemetry/IoT
+    aggregate: each reading holds until the next one): value·Δt sums in
+    exact integer cents·seconds, so parallel summation order can't
+    drift; the only double is the final ratio. One shuffle on user_id
+    shared by the lead window and the aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp(F.col("ts"))
+    iv = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return iv.groupBy("user_id").agg(
+        F.sum(dt).cast("long").alias("span_s"),
+        F.sum(F.col("cents") * dt).cast("long").alias("weighted_cents_s"),
+        (
+            F.sum(F.col("cents") * dt).cast("double")
+            / F.sum(dt).cast("double")
+            / F.lit(100.0)
+        ).alias("twa_value"),
+    )
+
+
+@register(
+    "skyline_customers",
+    """
+WITH spend AS (
+  SELECT c.c_nationkey AS nation, c.c_custkey,
+         cast(coalesce(sum(cast(round(o.o_totalprice * 100) as bigint)), 0) as bigint) AS spend_cents,
+         cast(count(o.o_orderkey) as bigint) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY nation, c.c_custkey
+)
+SELECT s.nation, s.c_custkey, s.spend_cents, s.n_orders
+FROM spend s
+WHERE NOT EXISTS (
+  SELECT 1 FROM spend t
+  WHERE t.nation = s.nation
+    AND ((t.spend_cents > s.spend_cents AND t.n_orders >= s.n_orders)
+      OR (t.spend_cents = s.spend_cents AND t.n_orders > s.n_orders))
+)
+""",
+)
+def skyline_customers(spark, sf_dir):
+    """Per-nation Pareto frontier (skyline) of customers on
+    (total spend, order count). The scalable 2-D skyline needs NO
+    dominance θ-join: within each nation, a customer is dominated iff
+    a strictly-bigger spender has ≥ orders, or an equal spender has
+    more — two window maxima over the same (nation, spend desc) sort:
+    a RANGE frame ending at -1 on integer cents is exactly the
+    strictly-greater-spend set. The oracle deliberately uses the
+    NOT EXISTS dominance definition instead — an independent
+    formulation of the same math."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)
+            ).cast("long").alias("spend_cents"),
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+        )
+    )
+    w_gt = (
+        Window.partitionBy("nation")
+        .orderBy(F.col("spend_cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("nation", "spend_cents")
+    flagged = spend.select(
+        "nation",
+        "c_custkey",
+        "spend_cents",
+        "n_orders",
+        F.max("n_orders").over(w_gt).alias("m_gt"),
+        F.max("n_orders").over(w_eq).alias("m_eq"),
+    )
+    return flagged.filter(
+        (F.col("m_gt").isNull() | (F.col("m_gt") < F.col("n_orders")))
+        & (F.col("m_eq") == F.col("n_orders"))
+    ).select("nation", "c_custkey", "spend_cents", "n_orders")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -162,3 +162,47 @@ def test_morton_locality(spark):
     df = spark.createDataFrame(rows, "gx long, gy long")
     zs = [r.z for r in df.select(morton_key(F.col("gx"), F.col("gy")).alias("z")).collect()]
     assert max(zs) - min(zs) < 16 and len(set(z >> 4 for z in zs)) == 1
+
+
+def test_skyline_window_formulation_vs_brute(spark):
+    # the window-only skyline must equal the O(n²) dominance definition
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (g, i, rng.randrange(0, 50) * 100, rng.randrange(0, 12))
+        for g in range(3)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "nation int, c_custkey long, spend_cents long, n_orders long")
+
+    from pyspark.sql.window import Window
+
+    w_gt = (
+        Window.partitionBy("nation")
+        .orderBy(F.col("spend_cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("nation", "spend_cents")
+    flagged = df.select(
+        "nation", "c_custkey", "spend_cents", "n_orders",
+        F.max("n_orders").over(w_gt).alias("m_gt"),
+        F.max("n_orders").over(w_eq).alias("m_eq"),
+    )
+    got = {
+        (r.nation, r.c_custkey)
+        for r in flagged.filter(
+            (F.col("m_gt").isNull() | (F.col("m_gt") < F.col("n_orders")))
+            & (F.col("m_eq") == F.col("n_orders"))
+        ).collect()
+    }
+
+    want = set()
+    for g, i, sp, n in rows:
+        dominated = any(
+            g2 == g and ((sp2 > sp and n2 >= n) or (sp2 == sp and n2 > n))
+            for g2, _, sp2, n2 in rows
+        )
+        if not dominated:
+            want.add((g, i))
+    assert got == want and len(got) > 0
