@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "hits_hub_auth_links",
     "zorder_cluster_customers",
     "hll_pyramid_contract",
+    "od_matrix_daily",
+    "twa_value_user",
+    "skyline_customers",
 ]
 
 
