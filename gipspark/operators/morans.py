@@ -87,3 +87,94 @@ def morans_i(cells: DataFrame) -> DataFrame:
             * (F.col("num").cast("double") / F.col("den").cast("double"))
         ).alias("morans_i"),
     )
+
+
+def gearys_c(cells: DataFrame) -> DataFrame:
+    """One row: (n_cells, w_links, num, den, gearys_c) from (gx, gy, x).
+
+    Geary's C = (n−1)·Σ w_ij (x_i − x_j)² / (2W · Σ (x_i − x̄)²) — the
+    local-contrast sibling of Moran's I (C < 1 = positive
+    autocorrelation). Same offset-explode rook equi-join; exactness via
+    the same n·x − S trick: (x_i − x_j)² · n² = (dev_i − dev_j)², so
+    num = Σ (dev_i − dev_j)² and den = Σ dev_i² carry the n² factor
+    jointly and it cancels in the ratio. Only the final ratio is a
+    double, computed from the same integers on both engines as
+    ((n−1)·num) / (2W·den) in the textual order (n−1)/W · num/den / 2.
+    """
+    stats = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = cells.crossJoin(F.broadcast(stats)).select(
+        "gx", "gy", "n", (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    )
+    shifted = dev.select(
+        "gx",
+        "gy",
+        "dev",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in ROOK_OFFSETS])
+        ).alias("o"),
+    ).select(
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+        F.col("dev").alias("dev_j"),
+    )
+    pairs = dev.join(shifted, ["gx", "gy"]).select("n", "dev", "dev_j")
+    diff = F.col("dev") - F.col("dev_j")
+    agg = pairs.agg(
+        F.first("n").alias("n_cells"),
+        F.count("*").cast("long").alias("w_links"),
+        F.sum(diff * diff).cast("long").alias("num"),
+    )
+    den = dev.agg(F.sum(F.col("dev") * F.col("dev")).cast("long").alias("den"))
+    out = agg.crossJoin(F.broadcast(den))
+    return out.select(
+        "n_cells",
+        "w_links",
+        "num",
+        "den",
+        (
+            ((F.col("n_cells") - F.lit(1)).cast("double") / F.col("w_links").cast("double"))
+            * (F.col("num").cast("double") / F.col("den").cast("double"))
+            / F.lit(2.0)
+        ).alias("gearys_c"),
+    )
+
+
+def local_moran(cells: DataFrame) -> DataFrame:
+    """Per-cell LISA terms: (gx, gy, x, dev, nbr_sum, li_num) — the
+    hotspot/coldspot decomposition of global Moran's I. dev = n·x − S
+    (exact bigint), nbr_sum = Σ rook-neighbor devs, li_num = dev·nbr_sum
+    (positive = the cell sits in a like-valued cluster — a hotspot when
+    dev > 0). Global I = Σ li_num / (W/n · Σ dev²); the per-cell terms
+    are what a map colors. All bigint; no floats at all."""
+    stats = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = cells.crossJoin(F.broadcast(stats)).select(
+        "gx", "gy", "x", (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    )
+    shifted = dev.select(
+        "gx",
+        "gy",
+        "dev",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in ROOK_OFFSETS])
+        ).alias("o"),
+    ).select(
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+        F.col("dev").alias("dev_j"),
+    )
+    nbr = shifted.groupBy("gx", "gy").agg(F.sum("dev_j").cast("long").alias("nbr_sum"))
+    out = dev.join(nbr, ["gx", "gy"], "left").select(
+        "gx",
+        "gy",
+        "x",
+        "dev",
+        F.coalesce("nbr_sum", F.lit(0)).cast("long").alias("nbr_sum"),
+        (F.col("dev") * F.coalesce("nbr_sum", F.lit(0))).cast("long").alias("li_num"),
+    )
+    return out

@@ -4048,6 +4048,173 @@ def hll_pyramid_contract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-2 batch 14: spatial autocorrelation pair + geometry validation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gearys_c_tiles",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), cells AS (
+  SELECT cast(floor((lon + 180.0) / {_MORAN_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MORAN_GRID}) as int) AS gy,
+         count(*) AS x
+  FROM pts GROUP BY gx, gy
+), st AS (
+  SELECT count(*) AS n, cast(sum(x) as bigint) AS s FROM cells
+), dev AS (
+  SELECT gx, gy, st.n AS n, (st.n * x - st.s) AS dev FROM cells, st
+), pairs AS (
+  SELECT a.n, a.dev AS di, b.dev AS dj
+  FROM dev a JOIN dev b ON (abs(a.gx - b.gx) + abs(a.gy - b.gy)) = 1
+), agg AS (
+  SELECT count(*) AS w_links, cast(sum((di - dj) * (di - dj)) as bigint) AS num FROM pairs
+), dn AS (SELECT cast(sum(dev * dev) as bigint) AS den FROM dev)
+SELECT st.n AS n_cells, agg.w_links, agg.num, dn.den,
+       (cast(st.n - 1 as double) / cast(agg.w_links as double))
+       * (cast(agg.num as double) / cast(dn.den as double)) / 2.0 AS gearys_c
+FROM st, agg, dn
+""",
+)
+def gearys_c_tiles(spark, sf_dir):
+    """Geary's C over the same customer-density lattice as
+    morans_i_tiles (operators/morans.py gearys_c): the local-contrast
+    autocorrelation index, num = Σ (dev_i − dev_j)² over rook pairs —
+    the n² scaling cancels against the denominator, so both moments
+    are exact bigints and only the final ratio is floating."""
+    from gipspark.operators.morans import cell_counts, gearys_c
+
+    pts = load(spark, sf_dir, "customer").select(
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    return gearys_c(cell_counts(pts, _MORAN_GRID))
+
+
+@register(
+    "local_moran_hotspots",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), cells AS (
+  SELECT cast(floor((lon + 180.0) / {_MORAN_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MORAN_GRID}) as int) AS gy,
+         count(*) AS x
+  FROM pts GROUP BY gx, gy
+), st AS (
+  SELECT count(*) AS n, cast(sum(x) as bigint) AS s FROM cells
+), dev AS (
+  SELECT gx, gy, x, (st.n * x - st.s) AS dev FROM cells, st
+), nbr AS (
+  SELECT a.gx, a.gy, cast(sum(b.dev) as bigint) AS nbr_sum
+  FROM dev a JOIN dev b ON (abs(a.gx - b.gx) + abs(a.gy - b.gy)) = 1
+  GROUP BY a.gx, a.gy
+)
+SELECT d.gx, d.gy, cast(d.x as bigint) AS x, cast(d.dev as bigint) AS dev,
+       cast(coalesce(n.nbr_sum, 0) as bigint) AS nbr_sum,
+       cast(d.dev * coalesce(n.nbr_sum, 0) as bigint) AS li_num
+FROM dev d LEFT JOIN nbr n ON n.gx = d.gx AND n.gy = d.gy
+""",
+)
+def local_moran_hotspots(spark, sf_dir):
+    """Local Moran (LISA) per cell — the hotspot/coldspot map behind
+    the global index: li_num = dev · Σ neighbor devs, positive where a
+    cell sits in a like-valued cluster. Pure bigint end to end
+    (operators/morans.py local_moran); the map a GIS would color."""
+    from gipspark.operators.morans import cell_counts, local_moran
+
+    pts = load(spark, sf_dir, "customer").select(
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    return local_moran(cell_counts(pts, _MORAN_GRID))
+
+
+# validity fixture: the oracle set plus a deliberately self-crossing bowtie
+_BOWTIE = {"poly_id": 900, "rings": [[[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]]}
+
+
+def _validity_edge_rows() -> list[tuple]:
+    rows = []
+    eid = 0
+    for p in ORACLE_POLYGONS + [_BOWTIE]:
+        for ring_idx, ring in enumerate(p["rings"]):
+            nseg = len(ring) - 1
+            for pos, ((x1, y1), (x2, y2)) in enumerate(zip(ring[:-1], ring[1:])):
+                rows.append(
+                    (int(p["poly_id"]), eid, ring_idx, pos, nseg, float(x1), float(y1), float(x2), float(y2))
+                )
+                eid += 1
+    return rows
+
+
+@register(
+    "polygon_validity_report",
+    f"""
+WITH e AS (
+  SELECT * FROM (VALUES {",".join("(" + ",".join(repr(v) for v in r) + ")" for r in _validity_edge_rows())})
+       AS e(poly_id, eid, ring_idx, pos, nseg, x1, y1, x2, y2)
+), bad AS (
+  SELECT a.poly_id, count(*) AS n_improper
+  FROM e a JOIN e b
+    ON a.poly_id = b.poly_id AND a.eid < b.eid
+   AND NOT (a.ring_idx = b.ring_idx
+            AND ((b.pos - a.pos) = 1 OR (a.pos = 0 AND b.pos = a.nseg - 1)))
+   AND ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+     * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0.0
+   AND ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+     * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0.0
+  GROUP BY a.poly_id
+)
+SELECT p.poly_id, cast(p.n_edges as bigint) AS n_edges,
+       cast(coalesce(bad.n_improper, 0) as bigint) AS n_improper,
+       coalesce(bad.n_improper, 0) = 0 AS is_simple
+FROM (SELECT poly_id, count(*) AS n_edges FROM e GROUP BY poly_id) p
+LEFT JOIN bad ON bad.poly_id = p.poly_id
+""",
+)
+def polygon_validity_report(spark, sf_dir):
+    """Geometry validation (ST_IsValid-lite): per polygon, count proper
+    intersections between non-adjacent edges (same math as
+    operators/crossing.py) — any makes the ring self-crossing, hence
+    not simple. The tested layer is the oracle fixture set plus a
+    deliberately invalid bowtie, so both verdicts are exercised. Plan
+    shape: the edge table self-joins keyed on poly_id — per-polygon
+    quadratic, which is the exact check's nature; a plane-sweep inside
+    applyInPandas would be the path for polygons with 10⁵⁺ vertices."""
+    rows = _validity_edge_rows()
+    e = spark.createDataFrame(
+        rows, "poly_id long, eid int, ring_idx int, pos int, nseg int, x1 double, y1 double, x2 double, y2 double"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    A, B = (lambda c: F.col("a." + c)), (lambda c: F.col("b." + c))
+    adjacent = (A("ring_idx") == B("ring_idx")) & (
+        ((B("pos") - A("pos")) == 1) | ((A("pos") == 0) & (B("pos") == A("nseg") - 1))
+    )
+    d1 = (B("x2") - B("x1")) * (A("y1") - B("y1")) - (B("y2") - B("y1")) * (A("x1") - B("x1"))
+    d2 = (B("x2") - B("x1")) * (A("y2") - B("y1")) - (B("y2") - B("y1")) * (A("x2") - B("x1"))
+    d3 = (A("x2") - A("x1")) * (B("y1") - A("y1")) - (A("y2") - A("y1")) * (B("x1") - A("x1"))
+    d4 = (A("x2") - A("x1")) * (B("y2") - A("y1")) - (A("y2") - A("y1")) * (B("x2") - A("x1"))
+    bad = (
+        a.join(b, (A("poly_id") == B("poly_id")) & (A("eid") < B("eid")))
+        .filter(~adjacent & (d1 * d2 < 0.0) & (d3 * d4 < 0.0))
+        .groupBy(A("poly_id").alias("poly_id"))
+        .agg(F.count("*").alias("n_improper"))
+    )
+    per = e.groupBy("poly_id").agg(F.count("*").cast("long").alias("n_edges"))
+    return per.join(bad, "poly_id", "left").select(
+        "poly_id",
+        "n_edges",
+        F.coalesce("n_improper", F.lit(0)).cast("long").alias("n_improper"),
+        (F.coalesce("n_improper", F.lit(0)) == 0).alias("is_simple"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # round-2 batch 13: mobility OD flows, time-weighted average, Pareto skyline
 # ---------------------------------------------------------------------------
 

@@ -206,3 +206,62 @@ def test_skyline_window_formulation_vs_brute(spark):
         if not dominated:
             want.add((g, i))
     assert got == want and len(got) > 0
+
+
+def test_gearys_c_vs_brute(spark):
+    from gipspark.operators.morans import cell_counts, gearys_c
+
+    rng = random.Random(23)
+    rows = [(rng.uniform(-55.0, 55.0), rng.uniform(-170.0, 170.0)) for _ in range(600)]
+    pts = spark.createDataFrame(rows, "lat double, lon double")
+    out = gearys_c(cell_counts(pts, 30.0)).collect()[0]
+
+    counts = {}
+    for lat, lon in rows:
+        gx = math.floor((lon + 180.0) / 30.0)
+        gy = math.floor((90.0 - lat) / 30.0)
+        counts[(gx, gy)] = counts.get((gx, gy), 0) + 1
+    n = len(counts)
+    s = sum(counts.values())
+    dev = {k: n * v - s for k, v in counts.items()}
+    num = w = 0
+    for (gx, gy), di in dev.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            dj = dev.get((gx + dx, gy + dy))
+            if dj is not None:
+                num += (di - dj) ** 2
+                w += 1
+    den = sum(d * d for d in dev.values())
+    assert (out.n_cells, out.w_links, out.num, out.den) == (n, w, num, den)
+    # textbook float formula agrees (n² cancels between num and den)
+    xbar = s / n
+    fnum = sum(
+        (counts[a] - counts[(a[0] + dx, a[1] + dy)]) ** 2
+        for a in counts
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        if (a[0] + dx, a[1] + dy) in counts
+    )
+    fden = sum((v - xbar) ** 2 for v in counts.values())
+    want = ((n - 1) / w) * (fnum / fden) / 2.0
+    assert abs(out.gearys_c - want) < 1e-9
+
+
+def test_local_moran_sums_to_global_numerator(spark):
+    from gipspark.operators.morans import cell_counts, local_moran, morans_i
+
+    rng = random.Random(29)
+    rows = [(rng.uniform(-55.0, 55.0), rng.uniform(-170.0, 170.0)) for _ in range(600)]
+    pts = spark.createDataFrame(rows, "lat double, lon double")
+    cells = cell_counts(pts, 30.0).cache()
+    li = local_moran(cells).collect()
+    glob = morans_i(cells).collect()[0]
+    cells.unpersist()
+    assert sum(r.li_num for r in li) == glob.num
+
+
+def test_validity_bowtie_flagged(spark):
+    from gipspark.queries import REGISTRY
+
+    rows = {r.poly_id: r for r in REGISTRY["polygon_validity_report"][0](spark, "/root/testdata/sf0.001").collect()}
+    assert not rows[900].is_simple and rows[900].n_improper == 1
+    assert all(rows[p].is_simple for p in rows if p != 900)

@@ -30,6 +30,8 @@ CROSS_OK = {
     "gapfill_daily_events",  # tiny calendar × type-dim cross, broadcast
     "tfidf_top_terms",  # 1-row corpus-count aggregate broadcast into scored
     "morans_i_tiles",  # two 1-row moment aggregates broadcast into the lattice
+    "gearys_c_tiles",  # same 1-row moment broadcasts as morans
+    "local_moran_hotspots",  # 1-row moment broadcast into the lattice
 }
 
 
