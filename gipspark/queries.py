@@ -4247,37 +4247,30 @@ GROUP BY origin, dest
 def od_matrix_daily(spark, sf_dir):
     """Origin–destination flow matrix (the mobility-analytics staple):
     per (user, day), origin = cell of the first fix, destination = cell
-    of the last, then flows aggregate per (origin, dest). One shuffle
-    on (user_id, day) shared by both row_number windows, one hash agg
-    on the OD pair — no joins against the big side beyond the self
-    first/last pairing, which stays inside the windowed partition."""
+    of the last, then flows aggregate per (origin, dest). The Spark
+    side uses min_by/max_by on the (ts, event_id) struct — ONE
+    map-side-combinable aggregate over the big table (no windows, no
+    self-join: an earlier two-window formulation planned 4 exchanges +
+    4 sorts because each join branch recomputed its window) — plus one
+    tiny hash agg on the OD pair. The oracle keeps the independent
+    row_number formulation of the same semantics."""
     ev = load(spark, sf_dir, "events")
     lat = C.derived_lat(F.col("event_id"))
     lon = C.derived_lon(F.col("event_id"))
     pts = ev.select(
         "user_id",
-        "ts",
-        "event_id",
         F.col("ts").cast("date").alias("day"),
+        F.struct("ts", "event_id").alias("ord"),
         (
             F.floor((lon + F.lit(180.0)) / F.lit(10.0)).cast("int") * 100
             + F.floor((F.lit(90.0) - lat) / F.lit(10.0)).cast("int")
         ).alias("cell"),
     )
-    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    wd = Window.partitionBy("user_id", "day").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    ranked = pts.select(
-        "user_id", "day", "cell",
-        F.row_number().over(wa).alias("rn_a"),
-        F.row_number().over(wd).alias("rn_d"),
+    od = pts.groupBy("user_id", "day").agg(
+        F.min_by("cell", F.col("ord")).alias("origin"),
+        F.max_by("cell", F.col("ord")).alias("dest"),
     )
-    o = ranked.filter(F.col("rn_a") == 1).select("user_id", "day", F.col("cell").alias("origin"))
-    d = ranked.filter(F.col("rn_d") == 1).select("user_id", "day", F.col("cell").alias("dest"))
-    return (
-        o.join(d, ["user_id", "day"])
-        .groupBy("origin", "dest")
-        .agg(F.count("*").alias("n_trips"))
-    )
+    return od.groupBy("origin", "dest").agg(F.count("*").alias("n_trips"))
 
 
 @register(
