@@ -4048,6 +4048,153 @@ def hll_pyramid_contract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-2 batch 16: exact weighted median + trajectory circuity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median_lineitem",
+    f"""
+WITH it AS (
+  SELECT l_returnflag AS flag,
+         cast(round(cast(l_extendedprice as {DEC}) * 100) as bigint) AS cents,
+         cast(l_quantity as bigint) AS w
+  FROM lineitem
+), cum AS (
+  SELECT flag, cents, w,
+         sum(w) OVER (PARTITION BY flag ORDER BY cents, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS tw
+  FROM it
+)
+SELECT flag, cast(min(cents) as bigint) AS median_cents,
+       cast(min(tw) as bigint) AS total_w
+FROM cum WHERE 2 * cw >= tw GROUP BY flag
+""",
+)
+def weighted_median_lineitem(spark, sf_dir):
+    """Exact weighted median (lower weighted median: smallest value
+    whose cumulative weight reaches half the total) of extended price
+    weighted by quantity, per return flag. Integer cents and integer
+    weights make the cumulative comparison exact; one shuffle on the
+    group key shared by both windows and the final aggregate. This is
+    the exact counterpart of approx_percentile for weighted data —
+    engines expose it as percentile(col, 0.5, weight)."""
+    li = load(spark, sf_dir, "lineitem")
+    it = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice").cast(DEC) * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    cum = it.select(
+        "flag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("long").alias("median_cents"),
+            F.min("tw").cast("long").alias("total_w"),
+        )
+    )
+
+
+@register(
+    "circuity_user",
+    f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), steps0 AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+  FROM pts
+), path AS (
+  SELECT user_id,
+         cast(coalesce(sum(cast(round({HAVERSINE_SQL.format(lat1='plat', lon1='plon', lat2='lat', lon2='lon')}, 0) as bigint)), 0) as bigint) AS path_m
+  FROM steps0 WHERE plat IS NOT NULL GROUP BY user_id
+), ends0 AS (
+  SELECT user_id, lat, lon,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+  FROM pts
+), ends AS (
+  SELECT f.user_id, f.lat AS flat, f.lon AS flon, l.lat AS llat, l.lon AS llon
+  FROM (SELECT * FROM ends0 WHERE ra = 1) f
+  JOIN (SELECT * FROM ends0 WHERE rd = 1) l USING (user_id)
+), direct AS (
+  SELECT user_id,
+         cast(round({HAVERSINE_SQL.format(lat1='flat', lon1='flon', lat2='llat', lon2='llon')}, 0) as bigint) AS direct_m
+  FROM ends
+)
+SELECT p.user_id, p.path_m, d.direct_m,
+       CASE WHEN d.direct_m = 0 THEN NULL
+            ELSE cast(p.path_m as double) / cast(d.direct_m as double) END AS circuity
+FROM path p JOIN direct d USING (user_id)
+""",
+)
+def circuity_user(spark, sf_dir):
+    """Circuity (route-directness) per user: traveled path length over
+    straight-line displacement between the first and last fix — the
+    standard mobility detour index (1 = beeline). Path and displacement
+    are whole-meter haversine ticks (module convention: round before
+    summing so libm ulps can't drift a parallel sum); endpoints come
+    from min_by/max_by on the (ts, event_id) struct — one aggregate,
+    no first/last self-join on the Spark side (the oracle keeps the
+    independent row_number formulation)."""
+    from gipspark.geo.haversine import haversine_col
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = pts.select(
+        "user_id",
+        F.round(
+            haversine_col(F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")),
+            0,
+        ).cast("long").alias("step_m"),
+    )
+    path = steps.groupBy("user_id").agg(
+        F.coalesce(F.sum("step_m"), F.lit(0)).cast("long").alias("path_m")
+    )
+    ends = pts.groupBy("user_id").agg(
+        F.min_by(F.struct("lat", "lon"), F.struct("ts", "event_id")).alias("f"),
+        F.max_by(F.struct("lat", "lon"), F.struct("ts", "event_id")).alias("l"),
+    )
+    direct = ends.select(
+        "user_id",
+        F.round(
+            haversine_col(F.col("f.lat"), F.col("f.lon"), F.col("l.lat"), F.col("l.lon")), 0
+        ).cast("long").alias("direct_m"),
+    )
+    return path.join(direct, "user_id").select(
+        "user_id",
+        "path_m",
+        "direct_m",
+        F.when(F.col("direct_m") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("path_m").cast("double") / F.col("direct_m").cast("double"))
+        .alias("circuity"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # round-2 batch 14: spatial autocorrelation pair + geometry validation
 # ---------------------------------------------------------------------------
 

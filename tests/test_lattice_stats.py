@@ -265,3 +265,31 @@ def test_validity_bowtie_flagged(spark):
     rows = {r.poly_id: r for r in REGISTRY["polygon_validity_report"][0](spark, "/root/testdata/sf0.001").collect()}
     assert not rows[900].is_simple and rows[900].n_improper == 1
     assert all(rows[p].is_simple for p in rows if p != 900)
+
+
+def test_weighted_median_window_vs_brute(spark):
+    import random
+
+    rng = random.Random(37)
+    rows = [(g, rng.randrange(1, 500) * 10, rng.randrange(1, 9)) for g in ("a", "b") for _ in range(200)]
+    df = spark.createDataFrame(rows, "flag string, cents long, w long")
+
+    from pyspark.sql.window import Window
+
+    w_cum = Window.partitionBy("flag").orderBy("cents", "w").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("flag")
+    cum = df.select("flag", "cents", F.sum("w").over(w_cum).alias("cw"), F.sum("w").over(w_all).alias("tw"))
+    got = {
+        r.flag: r.m
+        for r in cum.filter(2 * F.col("cw") >= F.col("tw")).groupBy("flag").agg(F.min("cents").alias("m")).collect()
+    }
+
+    for g in ("a", "b"):
+        items = sorted((c, w) for gg, c, w in rows if gg == g)
+        tw = sum(w for _, w in items)
+        acc = 0
+        for c, w in items:
+            acc += w
+            if 2 * acc >= tw:
+                assert got[g] == c
+                break
