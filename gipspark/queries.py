@@ -4048,6 +4048,72 @@ def hll_pyramid_contract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-2 batch 17: fuzzy (edit-distance) record-linkage join
+# ---------------------------------------------------------------------------
+
+# deterministic near-duplicate titles: triplets share a stem, the
+# variant suffix differs per member — fuzzy linkage must recover the
+# in-triplet pairs without ever seeing the triplet id (blocking uses
+# only the title prefix).
+_TITLE_SQL = (
+    "'doc-' || cast(doc_id // 3 as varchar) || '-' || "
+    "CASE doc_id % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'alpa' ELSE 'alphaz' END"
+)
+
+
+def _title_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("doc-"),
+        (did / 3).cast("long").cast("string"),
+        F.lit("-"),
+        F.when(did % 3 == 0, F.lit("alpha"))
+        .when(did % 3 == 1, F.lit("alpa"))
+        .otherwise(F.lit("alphaz")),
+    )
+
+
+@register(
+    "fuzzy_title_join",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TITLE_SQL} AS title FROM documents
+), b AS (
+  SELECT doc_id, title, regexp_replace(title, '-[a-z]+$', '') AS blk FROM t
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       cast(levenshtein(a.title, c.title) as bigint) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.title, c.title) <= 2
+""",
+)
+def fuzzy_title_join(spark, sf_dir):
+    """Fuzzy record linkage: pairs of documents whose synthesized
+    titles are within Levenshtein distance 2, found via a blocked
+    self equi-join — the block key is the title minus its last 7 chars
+    (a prefix, never the answer), so candidates are bounded by block
+    occupancy instead of |D|², and the exact integer edit distance
+    (identical DP in Spark and DuckDB — spot-verified) refines inside
+    the join filter. The standard dedup shape for titles/URLs where
+    shingle methods are too coarse."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _title_col().alias("title"))
+    b = t.select(
+        "doc_id",
+        "title",
+        F.regexp_replace(F.col("title"), F.lit("-[a-z]+$"), F.lit("")).alias("blk"),
+    )
+    a = b.select(F.col("doc_id").alias("id_a"), F.col("title").alias("ta"), "blk")
+    c = b.select(F.col("doc_id").alias("id_b"), F.col("title").alias("tb"), "blk")
+    dist = F.levenshtein("ta", "tb")
+    return (
+        a.join(c, "blk")
+        .filter((F.col("id_a") < F.col("id_b")) & (dist <= 2))
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # round-2 batch 16: exact weighted median + trajectory circuity
 # ---------------------------------------------------------------------------
 
