@@ -7,7 +7,7 @@
   tile assignment → per-(tile, poly) counts.
 - ``queries()`` / ``oracle_sql()``: the full operator registry lives in
   gipspark/queries.py — one entry per SURVEY.md §2 operator, DuckDB
-  oracle SQL for every SQL-expressible one (105 oracle-checked + 8
+  oracle SQL for every SQL-expressible one (106 oracle-checked + 8
   rows-only — ANN-approx, geo golden-vector, codec mapInPandas, RDP
   simplify, hull — at round-2; parity verified by tools/check_oracle.py).
 """

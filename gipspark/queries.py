@@ -4048,6 +4048,124 @@ def hll_pyramid_contract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-2 batch 18: time-series resample + linear interpolation
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_STEP = 21600  # 6 h grid
+
+
+@register(
+    "resample_linear_user",
+    f"""
+WITH ev AS (
+  SELECT user_id, cast(floor(epoch(ts)) as bigint) AS t,
+         cast(round(value * 100) as bigint) AS cents,
+         event_id
+  FROM events
+), bounds AS (
+  SELECT user_id,
+         (min(t) // {_RESAMPLE_STEP}) * {_RESAMPLE_STEP} AS lo,
+         (max(t) // {_RESAMPLE_STEP}) * {_RESAMPLE_STEP} AS hi
+  FROM ev GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1, {_RESAMPLE_STEP})) AS t FROM bounds
+), u AS (
+  SELECT user_id, t, 1 AS kind, cents, t AS et, event_id FROM ev
+  UNION ALL
+  SELECT user_id, t, 0 AS kind, NULL AS cents, NULL AS et, NULL AS event_id FROM grid
+), f AS (
+  SELECT user_id, t, kind,
+         last_value(cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+         last_value(et IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind DESC, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc,
+         first_value(et IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, kind DESC, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM u
+)
+SELECT user_id, t AS t_s,
+       CASE WHEN nt IS NULL THEN cast(pc as double) / 100.0
+            ELSE (cast(pc as double)
+                  + cast(nc - pc as double) * cast(t - pt as double)
+                    / cast(nt - pt as double)) / 100.0 END AS v
+FROM f
+WHERE kind = 0 AND pt IS NOT NULL
+""",
+)
+def resample_linear_user(spark, sf_dir):
+    """Time-series resampling with linear interpolation (the
+    TimescaleDB ``interpolate`` shape): a fixed 6 h grid per user,
+    each grid instant valued by interpolating between the bracketing
+    readings (hold-last beyond the final reading, grid points before
+    the first reading dropped). Grid rows union with readings and TWO
+    ignore-nulls window fills (last previous / first next) resolve both
+    brackets in ONE shuffle on user_id — no asof join, no range join.
+    Interpolation arithmetic: integer cents/seconds differences widen
+    to double in a fixed textual order, one division — bit-identical
+    across engines."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    step = F.lit(_RESAMPLE_STEP)
+    bounds = e.groupBy("user_id").agg(
+        (F.floor(F.min("t") / step) * step).cast("long").alias("lo"),
+        (F.floor(F.max("t") / step) * step).cast("long").alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi", step)).alias("t")
+    )
+    u = e.select(
+        "user_id", "t", F.lit(1).alias("kind"), "cents", F.col("t").alias("et"), "event_id"
+    ).unionByName(
+        grid.select(
+            "user_id",
+            "t",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("cents"),
+            F.lit(None).cast("long").alias("et"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    # event_id breaks same-second event ties identically on both engines
+    # (grid rows are unique per (user, t), so their NULL id never ties)
+    w = Window.partitionBy("user_id").orderBy(F.col("t"), F.col("kind").desc(), F.col("event_id"))
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    f = u.select(
+        "user_id",
+        "t",
+        "kind",
+        F.last("cents", ignorenulls=True).over(back).alias("pc"),
+        F.last("et", ignorenulls=True).over(back).alias("pt"),
+        F.first("cents", ignorenulls=True).over(fwd).alias("nc"),
+        F.first("et", ignorenulls=True).over(fwd).alias("nt"),
+    )
+    v = F.when(F.col("nt").isNull(), F.col("pc").cast("double") / F.lit(100.0)).otherwise(
+        (
+            F.col("pc").cast("double")
+            + (F.col("nc") - F.col("pc")).cast("double")
+            * (F.col("t") - F.col("pt")).cast("double")
+            / (F.col("nt") - F.col("pt")).cast("double")
+        )
+        / F.lit(100.0)
+    )
+    return (
+        f.filter((F.col("kind") == 0) & F.col("pt").isNotNull())
+        .select("user_id", F.col("t").alias("t_s"), v.alias("v"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # round-2 batch 17: fuzzy (edit-distance) record-linkage join
 # ---------------------------------------------------------------------------
 
