@@ -4048,6 +4048,138 @@ def hll_pyramid_contract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-2 batch 19: lattice distance transform + chi-square contributions
+# ---------------------------------------------------------------------------
+
+_DT_GRID = 10.0
+_DT_DENSE = 20  # seed cells: ≥ this many events
+_DT_MAXHOP = 4
+
+
+@register(
+    "distance_transform_cells",
+    f"""
+WITH RECURSIVE raw AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), cells AS (
+  SELECT cast(floor((lon + 180.0) / {_DT_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_DT_GRID}) as int) AS gy,
+         count(*) AS n
+  FROM raw GROUP BY gx, gy
+), reach(gx, gy, d) AS (
+  SELECT gx, gy, 0 FROM cells WHERE n >= {_DT_DENSE}
+  UNION
+  SELECT c.gx, c.gy, r.d + 1
+  FROM reach r JOIN cells c
+    ON (abs(c.gx - r.gx) + abs(c.gy - r.gy)) = 1
+  WHERE r.d < {_DT_MAXHOP}
+)
+SELECT gx, gy, cast(min(d) as bigint) AS dist
+FROM reach GROUP BY gx, gy
+""",
+)
+def distance_transform_cells(spark, sf_dir):
+    """Lattice distance transform (cost-distance / isochrone rings):
+    min rook-hops from any dense seed cell, over occupied cells only,
+    bounded to {_DT_MAXHOP} hops. Spark runs {_DT_MAXHOP} unrolled
+    relaxation rounds — each round min-joins the frontier against the
+    offset-exploded occupied lattice (equi-join, never θ) — so the
+    plan is K chained aggregates over the bounded cell table; the big
+    event table is touched once by the density aggregate. The oracle
+    is an independent recursive-CTE BFS of the same lattice."""
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            C.derived_lat(F.col("event_id")).alias("lat"),
+            C.derived_lon(F.col("event_id")).alias("lon"),
+        )
+        .groupBy(
+            F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_DT_GRID)).cast("int").alias("gx"),
+            F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_DT_GRID)).cast("int").alias("gy"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    occupied = cells.select("gx", "gy")
+    dist = cells.filter(F.col("n") >= _DT_DENSE).select(
+        "gx", "gy", F.lit(0).cast("long").alias("dist")
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        ]
+    )
+    for _ in range(_DT_MAXHOP):
+        nbr = (
+            dist.select("gx", "gy", "dist", F.explode(offsets).alias("o"))
+            .select(
+                (F.col("gx") + F.col("o.dx")).alias("gx"),
+                (F.col("gy") + F.col("o.dy")).alias("gy"),
+                (F.col("dist") + F.lit(1)).alias("dist"),
+            )
+            .join(occupied, ["gx", "gy"])  # stay on the occupied lattice
+        )
+        dist = (
+            dist.unionByName(nbr)
+            .groupBy("gx", "gy")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+@register(
+    "chisq_contrib_lang_source",
+    """
+WITH obs AS (
+  SELECT lang, source, cast(count(*) as bigint) AS o
+  FROM documents GROUP BY lang, source
+), r AS (SELECT lang, cast(sum(o) as bigint) AS rt FROM obs GROUP BY lang),
+c AS (SELECT source, cast(sum(o) as bigint) AS ct FROM obs GROUP BY source),
+n AS (SELECT cast(sum(o) as bigint) AS nt FROM obs)
+SELECT obs.lang, obs.source, obs.o, r.rt, c.ct,
+       cast((obs.o * n.nt - r.rt * c.ct) * (obs.o * n.nt - r.rt * c.ct) as bigint) AS num,
+       cast(n.nt * r.rt * c.ct as bigint) AS den,
+       cast((obs.o * n.nt - r.rt * c.ct) * (obs.o * n.nt - r.rt * c.ct) as double)
+         / cast(n.nt * r.rt * c.ct as double) AS contrib
+FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+""",
+)
+def chisq_contrib_lang_source(spark, sf_dir):
+    """Chi-square independence contributions for the lang × source
+    contingency table: per cell, (O·N − R·C)² / (N·R·C) — algebraically
+    (O − E)²/E with E = R·C/N, multiplied through by N so numerator and
+    denominator are exact bigints; the per-cell double is one division.
+    Emitting contributions per cell (not the order-dependent float
+    total) keeps the result hashable; Σ contrib = the χ² statistic.
+    Marginals ride as broadcast aggregates — the contingency shuffle
+    is the only big-table exchange."""
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
+    r = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
+    c = obs.groupBy("source").agg(F.sum("o").cast("long").alias("ct"))
+    n = obs.agg(F.sum("o").cast("long").alias("nt"))
+    j = (
+        obs.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    dev = F.col("o") * F.col("nt") - F.col("rt") * F.col("ct")
+    return j.select(
+        "lang",
+        "source",
+        "o",
+        "rt",
+        "ct",
+        (dev * dev).cast("long").alias("num"),
+        (F.col("nt") * F.col("rt") * F.col("ct")).cast("long").alias("den"),
+        ((dev * dev).cast("double") / (F.col("nt") * F.col("rt") * F.col("ct")).cast("double")).alias(
+            "contrib"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # round-2 batch 18: time-series resample + linear interpolation
 # ---------------------------------------------------------------------------
 
