@@ -4136,13 +4136,19 @@ WITH obs AS (
   FROM documents GROUP BY lang, source
 ), r AS (SELECT lang, cast(sum(o) as bigint) AS rt FROM obs GROUP BY lang),
 c AS (SELECT source, cast(sum(o) as bigint) AS ct FROM obs GROUP BY source),
-n AS (SELECT cast(sum(o) as bigint) AS nt FROM obs)
-SELECT obs.lang, obs.source, obs.o, r.rt, c.ct,
-       cast((obs.o * n.nt - r.rt * c.ct) * (obs.o * n.nt - r.rt * c.ct) as bigint) AS num,
-       cast(n.nt * r.rt * c.ct as bigint) AS den,
-       cast((obs.o * n.nt - r.rt * c.ct) * (obs.o * n.nt - r.rt * c.ct) as double)
-         / cast(n.nt * r.rt * c.ct as double) AS contrib
-FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+n AS (SELECT cast(sum(o) as bigint) AS nt FROM obs),
+d AS (
+  SELECT obs.lang, obs.source, obs.o, r.rt, c.ct,
+         cast(obs.o as hugeint) * cast(n.nt as hugeint)
+           - cast(r.rt as hugeint) * cast(c.ct as hugeint) AS dev,
+         cast(n.nt as hugeint) * cast(r.rt as hugeint) * cast(c.ct as hugeint) AS den_h
+  FROM obs JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+)
+SELECT lang, source, o, rt, ct,
+       cast(dev * dev as double) AS num,
+       cast(den_h as double) AS den,
+       cast(dev * dev as double) / cast(den_h as double) AS contrib
+FROM d
 """,
 )
 def chisq_contrib_lang_source(spark, sf_dir):
@@ -4153,7 +4159,15 @@ def chisq_contrib_lang_source(spark, sf_dir):
     Emitting contributions per cell (not the order-dependent float
     total) keeps the result hashable; Σ contrib = the χ² statistic.
     Marginals ride as broadcast aggregates — the contingency shuffle
-    is the only big-table exchange."""
+    is the only big-table exchange. The grand total is a 1-row
+    broadcast (BroadcastNestedLoopJoin over exactly one build row —
+    the same allowlisted shape as morans/tfidf; a literal join key
+    constant-folds back to the nested loop, so crossJoin is the honest
+    spelling), and dev/num/den live in DECIMAL(38,0) mirrored by DuckDB
+    HUGEINT: dev scales ~N² and num ~N⁴, which wraps int64 silently
+    past N≈10⁴·(dependence strength) — exact up to N≈2·10⁹ docs in
+    128-bit, emitted as doubles (both engines' int→double conversion
+    is correctly rounded, so the hash stays exact)."""
     docs = load(spark, sf_dir, "documents")
     obs = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
     r = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
@@ -4164,18 +4178,20 @@ def chisq_contrib_lang_source(spark, sf_dir):
         .join(F.broadcast(c), "source")
         .crossJoin(F.broadcast(n))
     )
-    dev = F.col("o") * F.col("nt") - F.col("rt") * F.col("ct")
+    d38 = "decimal(38,0)"
+    o_, nt_, rt_, ct_ = (F.col(x).cast(d38) for x in ("o", "nt", "rt", "ct"))
+    dev = (o_ * nt_ - rt_ * ct_).cast(d38)
+    num = (dev * dev).cast(d38)
+    den = (nt_ * rt_ * ct_).cast(d38)
     return j.select(
         "lang",
         "source",
         "o",
         "rt",
         "ct",
-        (dev * dev).cast("long").alias("num"),
-        (F.col("nt") * F.col("rt") * F.col("ct")).cast("long").alias("den"),
-        ((dev * dev).cast("double") / (F.col("nt") * F.col("rt") * F.col("ct")).cast("double")).alias(
-            "contrib"
-        ),
+        num.cast("double").alias("num"),
+        den.cast("double").alias("den"),
+        (num.cast("double") / den.cast("double")).alias("contrib"),
     )
 
 

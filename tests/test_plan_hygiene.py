@@ -32,6 +32,7 @@ CROSS_OK = {
     "morans_i_tiles",  # two 1-row moment aggregates broadcast into the lattice
     "gearys_c_tiles",  # same 1-row moment broadcasts as morans
     "local_moran_hotspots",  # 1-row moment broadcast into the lattice
+    "chisq_contrib_lang_source",  # 1-row grand-total broadcast into the table
 }
 
 
