@@ -289,15 +289,56 @@ def neighbor_offsets(cell: np.ndarray, level: int, offsets: np.ndarray) -> np.nd
     return parent(leaf, level).reshape(i0.shape)
 
 
-def grid_disk(cell: np.ndarray, level: int, k: int) -> np.ndarray:
-    """(2k+1)² lattice disk around each cell: (n, (2k+1)²) int64.
+# the 8 single-cell steps; single steps are EXACT across face seams
+# (from_face_ij_wrap's ±1-leaf clip lands a one-cell step in precisely
+# the adjacent row of the glued face), so a BFS over them yields the
+# true adjacency ball — unlike a (2k+1)² offset grid, whose >1-cell
+# cross-face offsets all collapse onto the glued face's first row under
+# the clip, silently truncating the disk one cell past any face edge
+_UNIT_STEPS = np.array(
+    [[di, dj] for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)],
+    dtype=np.int64,
+)
+# never a valid cell id: top 3 bits = face 7 (faces are 0..5)
+_PAD_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    May contain duplicate ids near face corners (wrapping); callers
+
+def _compact_rows(a: np.ndarray) -> np.ndarray:
+    """Row-wise dedupe an int64 (n, m) id matrix, shrinking m to the
+    max unique count; freed slots are padded with the row's own first
+    id (callers dedupe per row anyway)."""
+    s = np.sort(np.ascontiguousarray(a).view(np.uint64), axis=1)
+    dup = np.empty(s.shape, dtype=bool)
+    dup[:, 0] = False
+    dup[:, 1:] = s[:, 1:] == s[:, :-1]
+    s[dup] = _PAD_SENTINEL
+    s = np.sort(s, axis=1)[:, : max(1, int((~dup).sum(axis=1).max()))]
+    pad = s == _PAD_SENTINEL
+    if pad.any():
+        s[pad] = np.broadcast_to(s[:, :1], s.shape)[pad]
+    return s.view(np.int64)
+
+
+def grid_disk(cell: np.ndarray, level: int, k: int) -> np.ndarray:
+    """Radius-``k`` adjacency ball around each cell: (n, m) int64.
+
+    BFS over the 8 exact single-cell steps, one round per ring, row-
+    deduped between rounds. This is the true graph ball (edge + vertex
+    adjacency, exact across cube-face edges and corners — at a cube
+    corner all apex-touching cells are full-edge neighbors, so unit
+    steps already reach them), which is what the kNN / within-radius
+    coverage guarantee needs: any cell OUTSIDE the ball is ≥ k+1 walk
+    steps away, hence ≥ k·kMinWidth(level) geodesic meters away (walk-
+    contraction bound, see operators/knn._min_cell_width_m).
+
+    May still contain duplicate ids (padding, corner wraps); callers
     dedupe with array_distinct / np.unique per row.
     """
-    rng = np.arange(-k, k + 1)
-    offs = np.stack(np.meshgrid(rng, rng, indexing="ij"), axis=-1).reshape(-1, 2)
-    return neighbor_offsets(cell, level, offs)
+    ball = np.asarray(cell, dtype=np.int64).reshape(-1, 1)
+    for _ in range(k):
+        nb = neighbor_offsets(ball.ravel(), level, _UNIT_STEPS).reshape(ball.shape[0], -1)
+        ball = _compact_rows(np.concatenate([ball, nb], axis=1))
+    return ball
 
 
 def cell_token(cell: np.ndarray) -> np.ndarray:

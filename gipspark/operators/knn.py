@@ -3,15 +3,15 @@
 north_star: "k-ring-expansion kNN" (BASELINE.json:6). Spark-first shape:
 
 - both sides carry an S2 cell at a coarse ``level``;
-- round ``r``: each live query explodes its lattice disk of radius r
-  (gipspark.geo.s2.grid_disk — exact across cube-face seams) and
+- round ``r``: each live query explodes its radius-r adjacency ball
+  (gipspark.geo.s2.grid_disk — exact BFS across cube-face seams) and
   equi-joins candidates on cell — a shuffle join on cell ids, never a
   cross join;
 - exact haversine (JVM codegen, no Python) ranks candidates; a query is
   *settled* when it has ≥ k candidates whose k-th distance is within the
-  ring's guaranteed covered radius (r−1)·min_cell_width — every point
-  outside the disk must be at least that far away, so the top-k is
-  provably exact;
+  ball's guaranteed covered radius r·min_cell_width — every point
+  outside the ball must be at least that far away (walk-contraction
+  bound, see _min_cell_width_m), so the top-k is provably exact;
 - unsettled queries re-expand (r doubles); after ``max_rounds`` the
   stragglers (typically none) fall back to a bounded brute-force join.
 
@@ -22,37 +22,52 @@ skew; the driver never sees the data.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from gipspark.functions.cells import kring, s2_cell
-from gipspark.geo import s2
 from gipspark.geo.haversine import haversine_col
 
 
 import functools
 
 
+# Published S2 metric (s2geometry s2metrics, quadratic projection):
+# kMinWidth deriv = 2*sqrt(2)/3 — the minimum, over ALL level-L cells on
+# the sphere, of the distance between a cell's two opposite edges is
+# (2*sqrt(2)/3) * 2^-L radians. This is the constant S2 itself uses to
+# lower-bound point-to-outside-cell distances.
+_S2_MIN_WIDTH_DERIV = 2.0 * (2.0**0.5) / 3.0
+_EARTH_RADIUS_M = 6371000.0  # must match geo/haversine.EARTH_RADIUS_M
+
+
 @functools.lru_cache(maxsize=32)
 def _min_cell_width_m(level: int) -> float:
-    """Conservative lower bound on level-``level`` cell width (meters),
-    estimated from sampled adjacent-cell center distances × 0.45."""
-    rng = np.random.default_rng(11)
-    lat = rng.uniform(-85, 85, 512)
-    lon = rng.uniform(-180, 180, 512)
-    cells = s2.latlng_to_cell(lat, lon, level)
-    nbrs = s2.neighbor_offsets(cells, level, np.array([[0, 1], [1, 0]]))
-    c_lat, c_lon = s2.cell_to_latlng(cells)
-    best = np.inf
-    for col in range(2):
-        n_lat, n_lon = s2.cell_to_latlng(nbrs[:, col])
-        from gipspark.geo.haversine import haversine_m
+    """Analytic lower bound on level-``level`` cell width (meters).
 
-        d = haversine_m(c_lat, c_lon, n_lat, n_lon)
-        best = min(best, float(d[d > 0].min()))
-    return best * 0.45
+    Worst-case argument for the k-ring guarantee (replaces the round-2
+    sampled 512-point estimate, which could not certify unsampled
+    regions — ADVICE r2). geo/s2.grid_disk returns the true radius-r
+    adjacency BALL (BFS over exact unit steps, edge+vertex adjacency
+    across face seams). Walk-contraction lemma: a geodesic from a point
+    in cell A to a point in cell B visits cells c_0=A..c_m=B where
+    consecutive cells are adjacent; each intermediate crossing either
+    enters and leaves through OPPOSITE edges of a full lattice cell —
+    costing ≥ that cell's width ≥ kMinWidth(L) — or cuts a corner
+    between two ADJACENT edges, in which case (same-level lattice ⇒
+    neighbors share full edges ⇒ both flanking cells touch the shared
+    vertex) c_{t−1} and c_{t+1} are themselves adjacent and the step
+    contracts out of the walk. So graph_dist(A,B) = d implies geodesic
+    ≥ (d−1)·kMinWidth(L). Any point OUTSIDE the radius-r ball has
+    d ≥ r+1, hence is ≥ r·min_width away. kMinWidth deriv = 2√2/3 is
+    the published global minimum cell width for the quadratic
+    projection geo/s2.py implements (a minimum over every cell on every
+    face, so face seams and corners are covered). The 0.999 factor
+    absorbs float slop between the metric-space bound and the
+    haversine refine.
+    """
+    return _S2_MIN_WIDTH_DERIV * (2.0 ** -level) * _EARTH_RADIUS_M * 0.999
 
 
 def knn_join(

@@ -77,6 +77,51 @@ def test_grid_disk_symmetry():
             assert c[i] in back
 
 
+def test_grid_disk_coverage_guarantee():
+    # THE invariant knn/within_join rely on (walk-contraction bound,
+    # operators/knn._min_cell_width_m): if two points are within
+    # k·kMinWidth(L) meters, each one's cell is inside the other's
+    # radius-k ball. Regression for the round-2 false negative: the old
+    # (2k+1)² offset grid truncated the disk one cell past any face
+    # edge, so cross-face pairs ≥2 rows deep were silently dropped.
+    from gipspark.operators.knn import _min_cell_width_m
+
+    rng = np.random.default_rng(99)
+    n = 4000
+    for level, k in [(3, 2), (5, 1), (8, 3), (12, 2)]:
+        w = _min_cell_width_m(level)
+        # bias origins toward face edges/corners: lon near ±45/±135,
+        # lat near ±35.26 (cube corner latitudes) plus uniform fill
+        lat = np.concatenate(
+            [rng.uniform(-89, 89, n // 2),
+             rng.choice([35.264, -35.264, 0.0], n // 2) + rng.normal(0, 3.0, n // 2)]
+        ).clip(-89.9, 89.9)
+        lon = np.concatenate(
+            [rng.uniform(-180, 180, n // 2),
+             rng.choice([45.0, -45.0, 135.0, -135.0], n // 2) + rng.normal(0, 3.0, n // 2)]
+        )
+        lon = (lon + 180.0) % 360.0 - 180.0
+        # random geodesic step of length ≤ k·w
+        d = rng.uniform(0, k * w, n) / 6371000.0  # radians
+        brg = rng.uniform(0, 2 * np.pi, n)
+        la1, lo1 = np.radians(lat), np.radians(lon)
+        la2 = np.arcsin(np.sin(la1) * np.cos(d) + np.cos(la1) * np.sin(d) * np.cos(brg))
+        lo2 = lo1 + np.arctan2(
+            np.sin(brg) * np.sin(d) * np.cos(la1), np.cos(d) - np.sin(la1) * np.sin(la2)
+        )
+        lat2, lon2 = np.degrees(la2), (np.degrees(lo2) + 180.0) % 360.0 - 180.0
+        c1 = s2.latlng_to_cell(lat, lon, level)
+        c2 = s2.latlng_to_cell(lat2, lon2, level)
+        ball = s2.grid_disk(c1, level, k)
+        inside = (ball == c2[:, None]).any(axis=1)
+        missing = np.flatnonzero(~inside)
+        assert missing.size == 0, (
+            f"level={level} k={k}: {missing.size} pairs within {k}·w escaped "
+            f"the ball, e.g. ({lat[missing[0]]}, {lon[missing[0]]}) -> "
+            f"({lat2[missing[0]]}, {lon2[missing[0]]})"
+        )
+
+
 def test_face_wrap_produces_valid_cells():
     # points right at the equator/±45° land near face edges; wrap neighbors
     edge_lat = np.full(100, 0.0)
