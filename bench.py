@@ -205,8 +205,18 @@ def main() -> None:
                 text=True,
                 timeout=1800,
             )
-            line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
-            child = json.loads(line)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"scale-level child (cores={cores}) exited rc={proc.returncode}; "
+                    f"stderr tail: {proc.stderr[-2000:]}"
+                )
+            json_lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+            if not json_lines:
+                raise RuntimeError(
+                    f"scale-level child (cores={cores}) emitted no JSON; "
+                    f"stdout tail: {proc.stdout[-500:]}; stderr tail: {proc.stderr[-2000:]}"
+                )
+            child = json.loads(json_lines[-1])
             ws, n = child["walls"], child["n"]
             thr[cores] = n / min(ws)
             all_walls[cores] = ws

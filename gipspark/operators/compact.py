@@ -86,9 +86,13 @@ def compact_cells(df: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
         out = out.unionByName(p)
     # materialize once while the frontier caches are live, then release
     # them — otherwise every call leaks `res`+1 cached blocks for the
-    # session lifetime (components.py-style bounded-memory discipline)
-    out = out.persist()
-    out.count()
+    # session lifetime (components.py-style bounded-memory discipline).
+    # localCheckpoint (eager) instead of persist: it cuts the lineage so
+    # downstream reuse never re-derives the frontiers, and its blocks
+    # are released by the ContextCleaner when the returned DataFrame is
+    # garbage-collected — a plain persist() here would leak one cached
+    # DataFrame per call for the session lifetime (ADVICE r2).
+    out = out.localCheckpoint(eager=True)
     for f in frontiers:
         f.unpersist()
     return out

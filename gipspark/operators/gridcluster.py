@@ -15,16 +15,26 @@ Scale shape (the reason this survives 100 TB of points):
   O(log diameter) rounds, lineage cut per round).
 
 No antimeridian wrap at this grid — production spherical adjacency
-goes through the S2 k-ring (operators/knn.py). cell_id = gx*100+gy
-requires gy < 100, which holds for any cell_deg >= 1.8°.
+goes through the S2 k-ring (operators/knn.py). cell_id = gx*1000+gy
+(the heatmap_smooth convention): gy spans [0, floor(180/cell_deg)],
+and the runtime check below rejects any cell_deg whose gy range could
+reach the stride seam — at the old *100 encoding, cell_deg=1.8 put
+lat=-90 at gy=100, silently aliasing into the next gx column
+(ADVICE r2). The dy=-1 neighbor of gy=0 maps to (gx-1)*1000+999,
+which the guard keeps unoccupied, so seam arithmetic never aliases
+into a real cell either.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gipspark.operators.components import connected_components
+
+_STRIDE = 1000
 
 
 def grid_cluster(
@@ -35,10 +45,18 @@ def grid_cluster(
     lon_col: str = "lon",
 ) -> DataFrame:
     """(cell_id, cluster_id, n_points) for every dense cell."""
+    # gy_max must stay below _STRIDE-1 so (a) no real gy aliases into
+    # the next gx column and (b) gy=0's dy=-1 neighbor (= previous
+    # column's gy=_STRIDE-1 slot) can never be an occupied cell
+    if math.floor(180.0 / cell_deg) >= _STRIDE - 2:
+        raise ValueError(
+            f"cell_deg={cell_deg} puts gy range within 2 of the id stride "
+            f"{_STRIDE}; use a coarser grid or raise _STRIDE"
+        )
     gx = F.floor((F.col(lon_col) + 180.0) / cell_deg).cast("int")
     gy = F.floor((90.0 - F.col(lat_col)) / cell_deg).cast("int")
     dense = (
-        pts.select((gx * 100 + gy).alias("cell_id"))
+        pts.select((gx * _STRIDE + gy).alias("cell_id"))
         .groupBy("cell_id")
         .agg(F.count("*").alias("n_points"))
         .filter(F.col("n_points") >= min_points)
@@ -54,9 +72,9 @@ def grid_cluster(
     nbrs = dense.select("cell_id", F.explode(offsets).alias("o")).select(
         F.col("cell_id").alias("src"),
         (
-            (F.col("cell_id") / 100).cast("int") * 100
-            + F.col("o.dx") * 100
-            + (F.col("cell_id") % 100)
+            (F.col("cell_id") / _STRIDE).cast("int") * _STRIDE
+            + F.col("o.dx") * _STRIDE
+            + (F.col("cell_id") % _STRIDE)
             + F.col("o.dy")
         ).alias("dst"),
     )

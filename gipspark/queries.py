@@ -1056,18 +1056,29 @@ def jaccard_top1_docs(spark, sf_dir):
     return D.jaccard_topk(load(spark, sf_dir, "documents"), list(range(20)), shingle_n=1, k=1)
 
 
-def _minhash_sig_sql(n_hashes: int, shingle_n: int) -> str:
-    sh = D.shingles_sql("text", shingle_n)
+def _minhash_sig_sql(
+    n_hashes: int,
+    shingle_n: int,
+    prefix: str = "",
+    where: str = "",
+    text_expr: str = "text",
+    with_kw: bool = True,
+) -> str:
+    """CTE chain ending in {prefix}sig(doc_id, h0..h{n-1}); prefix/where/
+    text_expr parameterize it so one oracle can carry several corpora
+    (incremental dedup: old vs new snapshot)."""
+    sh = D.shingles_sql(text_expr, shingle_n)
     m = D._MASK30
     base_hash = "(" + D.MD5_LONG_SQL.format(x="s") + f") & {m}"
     mins = ",".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) & {m})) AS h{i}"
         for i, (a, b) in ((j, D._mix_consts(j)) for j in range(n_hashes))
     )
+    p = prefix
     return (
-        f"WITH base AS (SELECT doc_id, {sh} AS sh FROM documents), "
-        f"hashed AS (SELECT doc_id, list_transform(sh, s -> {base_hash}) AS hs FROM base), "
-        f"sig AS (SELECT doc_id, {mins} FROM hashed)"
+        f"{'WITH ' if with_kw else ''}{p}base AS (SELECT doc_id, {sh} AS sh FROM documents{where}), "
+        f"{p}hashed AS (SELECT doc_id, list_transform(sh, s -> {base_hash}) AS hs FROM {p}base), "
+        f"{p}sig AS (SELECT doc_id, {mins} FROM {p}hashed)"
     )
 
 
@@ -1629,6 +1640,92 @@ def near_dedup_clusters(spark, sf_dir):
     return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")).orderBy(
         "doc_id"
     )
+
+
+def _banded_sql(prefix: str, n_hashes: int, bands: int) -> str:
+    """{prefix}banded(doc_id, band, bucket) from {prefix}sig — DuckDB
+    mirror of operators/dedup.minhash_index's band buckets."""
+    rows = n_hashes // bands
+    vals = ",\n      ".join(
+        f"({b}, "
+        + D.MD5_LONG_SQL.format(
+            x=" || ',' || ".join(f"cast(h{b * rows + r} as varchar)" for r in range(rows))
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return (
+        f"{prefix}banded AS (\n  SELECT doc_id, b.band, b.bucket FROM {prefix}sig, LATERAL (\n"
+        f"    SELECT * FROM (VALUES\n      {vals}) AS t(band, bucket)) b)"
+    )
+
+
+_OLD_SNAP_WHERE = (
+    " WHERE " + D.MD5_LONG_SQL.format(x="concat('a:', cast(doc_id as varchar))") + " % 100 < 90"
+)
+_NEW_SNAP_WHERE = (
+    " WHERE "
+    + D.MD5_LONG_SQL.format(x="concat('b:', cast(doc_id as varchar))")
+    + " % 100 < 90 AND NOT ("
+    + D.MD5_LONG_SQL.format(x="concat('a:', cast(doc_id as varchar))")
+    + " % 100 < 90)"
+)
+_NEW_SNAP_TEXT = (
+    "CASE WHEN "
+    + D.MD5_LONG_SQL.format(x="concat('c:', cast(doc_id as varchar))")
+    + " % 100 < 20 THEN concat(text, ' updated') ELSE text END"
+)
+
+
+@register(
+    "incremental_neardup_decision",
+    _minhash_sig_sql(8, 2, prefix="o", where=_OLD_SNAP_WHERE)
+    + ", "
+    + _minhash_sig_sql(8, 2, prefix="n", where=_NEW_SNAP_WHERE, text_expr=_NEW_SNAP_TEXT, with_kw=False)
+    + ",\n"
+    + _banded_sql("o", 8, 4)
+    + ",\n"
+    + _banded_sql("n", 8, 4)
+    + """,
+cand AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS n_bands
+  FROM nbanded n JOIN obanded o ON n.band = o.band AND n.bucket = o.bucket
+  GROUP BY new_id, old_id),
+ver AS (
+  SELECT c.new_id, min(c.old_id) AS dup_of, cast(count(*) as bigint) AS n_partners
+  FROM cand c JOIN nsig ns ON ns.doc_id = c.new_id JOIN osig os ON os.doc_id = c.old_id
+  WHERE 2 * ("""
+    + " + ".join(f"(ns.h{i} = os.h{i})::int" for i in range(8))
+    + """) >= 8
+  GROUP BY c.new_id)
+SELECT nb.doc_id, v.dup_of IS NULL AS keep, v.dup_of,
+       coalesce(v.n_partners, 0) AS n_partners
+FROM (SELECT DISTINCT doc_id FROM nbase) nb LEFT JOIN ver v ON v.new_id = nb.doc_id
+""",
+)
+def incremental_neardup_decision(spark, sf_dir):
+    """Snapshot-delta near-dup dedup (VERDICT r2 #5): the docs ADDED in
+    crawl snapshot B (same membership buckets as crawl_diff_snapshots)
+    are deduped against snapshot A using only A's persisted MinHash
+    band index — operators/dedup.incremental_neardup; old text is never
+    rescanned (plan-asserted in tests/test_incremental_dedup.py; here
+    the oracle replays the index build inline because DuckDB sees only
+    the base tables). New bands semi-join stored bands on (band,
+    bucket); signature lane agreement ≥ 4/8 verifies; keep = no
+    verified old partner."""
+    d = load(spark, sf_dir, "documents")
+    a_bucket = D.md5_long(F.concat(F.lit("a:"), F.col("doc_id").cast("string"))) % 100
+    b_bucket = D.md5_long(F.concat(F.lit("b:"), F.col("doc_id").cast("string"))) % 100
+    c_bucket = D.md5_long(F.concat(F.lit("c:"), F.col("doc_id").cast("string"))) % 100
+    old_docs = d.filter(a_bucket < 90).select("doc_id", "text")
+    new_text = F.when(c_bucket < 20, F.concat(F.col("text"), F.lit(" updated"))).otherwise(
+        F.col("text")
+    )
+    new_docs = d.filter((b_bucket < 90) & ~(a_bucket < 90)).select(
+        "doc_id", new_text.alias("text")
+    )
+    old_index = D.minhash_index(old_docs, n_hashes=8, bands=4, shingle_n=2)
+    return D.incremental_neardup(new_docs, old_index, n_hashes=8, bands=4, shingle_n=2)
 
 
 @register(
@@ -2324,9 +2421,10 @@ def trajectory_user_stats(spark, sf_dir):
 
 # Grid density clustering: 2.5° integer cells, dense = >= 3 points,
 # clusters = connected components over 8-neighbor adjacency of dense
-# cells. cell_id = gx*100 + gy (gy < 100 by construction). No
-# antimeridian wrap at this demo grid — the production path for
-# spherical adjacency is the S2 k-ring (operators/knn.py).
+# cells. cell_id = gx*1000 + gy (gy range guarded against the stride
+# seam inside grid_cluster). No antimeridian wrap at this demo grid —
+# the production path for spherical adjacency is the S2 k-ring
+# (operators/knn.py).
 _GRID_DENSE_MIN = 3
 
 
@@ -2337,15 +2435,15 @@ WITH RECURSIVE pts AS (
   SELECT event_id, {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
   FROM events
 ), cells AS (
-  SELECT cast(floor((lon + 180.0) / 2.5) as int) * 100
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) * 1000
          + cast(floor((90.0 - lat) / 2.5) as int) AS cell_id,
          count(*) AS n_points
   FROM pts GROUP BY cell_id HAVING count(*) >= {_GRID_DENSE_MIN}
 ), edges AS (
   SELECT a.cell_id AS src, b.cell_id AS dst
   FROM cells a JOIN cells b
-    ON abs((a.cell_id // 100) - (b.cell_id // 100)) <= 1
-   AND abs((a.cell_id % 100) - (b.cell_id % 100)) <= 1
+    ON abs((a.cell_id // 1000) - (b.cell_id // 1000)) <= 1
+   AND abs((a.cell_id % 1000) - (b.cell_id % 1000)) <= 1
    AND a.cell_id <> b.cell_id
 ), reach(node, r) AS (
   SELECT src, dst FROM edges
@@ -4345,37 +4443,43 @@ def _title_col() -> F.Column:
 WITH t AS (
   SELECT doc_id, {_TITLE_SQL} AS title FROM documents
 ), b AS (
-  SELECT doc_id, title, regexp_replace(title, '-[a-z]+$', '') AS blk FROM t
+  SELECT doc_id, title, regexp_replace(title, '-[a-z]+$', '') AS blk,
+         length(title) // 2 AS bkt
+  FROM t
+), a AS (
+  SELECT doc_id, title, blk || '#' || cast(bkt + d.d as varchar) AS key
+  FROM b CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d
+), c AS (
+  SELECT doc_id, title, blk || '#' || cast(bkt as varchar) AS key FROM b
 )
 SELECT a.doc_id AS id_a, c.doc_id AS id_b,
        cast(levenshtein(a.title, c.title) as bigint) AS dist
-FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+FROM a JOIN c ON a.key = c.key AND a.doc_id < c.doc_id
 WHERE levenshtein(a.title, c.title) <= 2
 """,
 )
 def fuzzy_title_join(spark, sf_dir):
     """Fuzzy record linkage: pairs of documents whose synthesized
     titles are within Levenshtein distance 2, found via a blocked
-    self equi-join — the block key is the title minus its last 7 chars
-    (a prefix, never the answer), so candidates are bounded by block
-    occupancy instead of |D|², and the exact integer edit distance
-    (identical DP in Spark and DuckDB — spot-verified) refines inside
-    the join filter. The standard dedup shape for titles/URLs where
-    shingle methods are too coarse."""
+    self equi-join. The block key is (stem, length-bucket): the stem is
+    the title minus its suffix (a prefix, never the answer) and the
+    bucket is floor(len/2) — sound because lev ≤ 2 bounds the length
+    difference by 2, hence the bucket difference by 1, and one side
+    emits buckets {b−1, b, b+1} so every qualifying ordered pair meets
+    on exactly one key (no post-join distinct). This caps the quadratic
+    blow-up to per-(stem, 2-char-length-band) occupancy — a Zipf-hot
+    stem ("home", "index") no longer makes one O(n²) block (VERDICT r2
+    what's-wrong #2); see operators/linkage.fuzzy_self_join for the
+    exactness argument and the residual worst case. The exact integer
+    edit distance (identical DP in Spark and DuckDB — spot-verified)
+    refines inside the join filter. The standard dedup shape for
+    titles/URLs where shingle methods are too coarse."""
+    from gipspark.operators.linkage import fuzzy_self_join
+
     docs = load(spark, sf_dir, "documents")
     t = docs.select("doc_id", _title_col().alias("title"))
-    b = t.select(
-        "doc_id",
-        "title",
-        F.regexp_replace(F.col("title"), F.lit("-[a-z]+$"), F.lit("")).alias("blk"),
-    )
-    a = b.select(F.col("doc_id").alias("id_a"), F.col("title").alias("ta"), "blk")
-    c = b.select(F.col("doc_id").alias("id_b"), F.col("title").alias("tb"), "blk")
-    dist = F.levenshtein("ta", "tb")
-    return (
-        a.join(c, "blk")
-        .filter((F.col("id_a") < F.col("id_b")) & (dist <= 2))
-        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+    return fuzzy_self_join(
+        t, stem=F.regexp_replace(F.col("title"), F.lit("-[a-z]+$"), F.lit("")), max_dist=2
     )
 
 

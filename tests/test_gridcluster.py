@@ -14,16 +14,19 @@ DEG = 2.5
 MIN_PTS = 3
 
 
-def _cell(lat, lon):
+STRIDE = 1000
+
+
+def _cell(lat, lon, deg=DEG):
     import math
 
-    return int(math.floor((lon + 180.0) / DEG)) * 100 + int(math.floor((90.0 - lat) / DEG))
+    return int(math.floor((lon + 180.0) / deg)) * STRIDE + int(math.floor((90.0 - lat) / deg))
 
 
-def _reference(points, min_points=MIN_PTS):
+def _reference(points, min_points=MIN_PTS, deg=DEG):
     from collections import Counter
 
-    counts = Counter(_cell(la, lo) for la, lo in points)
+    counts = Counter(_cell(la, lo, deg) for la, lo in points)
     dense = {c: n for c, n in counts.items() if n >= min_points}
     parent = {c: c for c in dense}
 
@@ -39,12 +42,12 @@ def _reference(points, min_points=MIN_PTS):
             parent[max(ra, rb)] = min(ra, rb)
 
     for c in dense:
-        gx, gy = c // 100, c % 100
+        gx, gy = c // STRIDE, c % STRIDE
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 if dx == dy == 0:
                     continue
-                nb = (gx + dx) * 100 + (gy + dy)
+                nb = (gx + dx) * STRIDE + (gy + dy)
                 if nb in dense:
                     union(c, nb)
     return {c: (find(c), n) for c, n in dense.items()}
@@ -99,3 +102,25 @@ def test_chain_converges_to_min_label(spark):
 
 def test_noise_only_is_empty(spark):
     assert grid_cluster(_pts_df(spark, LAYOUTS["noise_only"]), DEG, MIN_PTS).count() == 0
+
+
+def test_pole_row_no_alias_at_cell_deg_1_8(spark):
+    # regression (ADVICE r2): at cell_deg=1.8 the old gx*100+gy encoding
+    # put lat=-90 at gy=100, aliasing into the next gx column. A dense
+    # pole cell and a dense cell in the NEXT gx column's gy=0 slot must
+    # stay separate components.
+    deg = 1.8
+    pole = [(-89.95, 20.1 + 0.01 * i) for i in range(3)]  # gy = 99
+    next_col_top = [(89.95, 20.1 + deg + 0.01 * i) for i in range(3)]  # gx+1, gy = 0
+    points = pole + next_col_top
+    got = {
+        r.cell_id: (r.cluster_id, r.n_points)
+        for r in grid_cluster(_pts_df(spark, points), deg, MIN_PTS).collect()
+    }
+    assert got == _reference(points, deg=deg)
+    assert len({cid for cid, _ in got.values()}) == 2
+
+
+def test_cell_deg_below_stride_guard_raises(spark):
+    with pytest.raises(ValueError, match="stride"):
+        grid_cluster(_pts_df(spark, LAYOUTS["noise_only"]), cell_deg=0.1, min_points=1)
