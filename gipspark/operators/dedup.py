@@ -156,6 +156,51 @@ def minhash_signature(text: Column, n_hashes: int = 16, shingle_n: int = 2) -> C
     return F.array(*[F.array_min(F.transform(hs, _mix_i(i))) for i in range(n_hashes)])
 
 
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Persistable LSH index rows: (id, sig, band, bucket) — one row per
+    (doc, band). Written once per corpus snapshot, this is the stored
+    side of :func:`incremental_neardup`: new crawls join against it
+    without ever recomputing (or even reading) old text. Band bucket =
+    md5_long of the band's joined signature slice."""
+    rows = n_hashes // bands
+    # materialize the base shingle hashes once: ONE md5 per shingle,
+    # one tokenization pass; the n_hashes signature lanes are cheap
+    # integer mixes over the same array
+    sh = df.select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), shingle_n).alias("__hs")
+    )
+    sig = sh.select(
+        "id",
+        F.array(*[F.array_min(F.transform(F.col("__hs"), _mix_i(i))) for i in range(n_hashes)]).alias(
+            "sig"
+        ),
+    )
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -171,41 +216,80 @@ def minhash_lsh_pairs(
     with bucket occupancy, not |D|². Returns (id_a, id_b, n_bands)
     with id_a < id_b.
     """
-    rows = n_hashes // bands
-    # materialize the base shingle hashes once: ONE md5 per shingle,
-    # one tokenization pass; the n_hashes signature lanes are cheap
-    # integer mixes over the same array
-    sh = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), shingle_n).alias("__hs")
+    banded = minhash_index(df, text_col, id_col, n_hashes, bands, shingle_n).select(
+        "id", "band", "bucket"
     )
-    sig = sh.select(
-        "id",
-        F.array(*[F.array_min(F.transform(F.col("__hs"), _mix_i(i))) for i in range(n_hashes)]).alias(
-            "sig"
-        ),
-    )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        md5_long(
-                            F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")])
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    old_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Snapshot-delta near-dup dedup: decide keep/drop for each NEW doc
+    against an EXISTING corpus using only its persisted LSH index
+    (:func:`minhash_index` rows (id, sig, band, bucket)) — old text is
+    never recomputed or rescanned (VERDICT r2 next-round #5; the plan
+    contains no scan of the old corpus beyond the index parquet,
+    asserted by tests/test_incremental_dedup.py).
+
+    Shape at 100 TB: new docs hash once; their bands semi-join the
+    stored band table on (band, bucket) — shuffle ∝ new-side bands +
+    colliding index rows, never the old corpus; verification joins
+    signatures (already in the index) for the candidates only.
+    Verification = signature lane agreement ≥ half (estimated Jaccard
+    ≥ 0.5, deterministic, oracle-replayable; the exact-Jaccard verify
+    of near_dedup_decision needs old shingles, which an index that
+    stores only signatures deliberately does not keep).
+
+    Returns one row per new doc: (doc_id, keep, dup_of, n_partners)
+    where dup_of = smallest verified old id (null when keep). Dedup
+    among the new docs themselves composes separately
+    (near_dedup_decision on the new slice).
+    """
+    new_idx = minhash_index(new_docs, text_col, id_col, n_hashes, bands, shingle_n)
+    new_b = new_idx.select(F.col("id").alias("new_id"), "band", "bucket")
+    old_b = old_index.select(F.col("id").alias("old_id"), "band", "bucket")
+    cand = (
+        new_b.join(old_b, ["band", "bucket"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    new_sig = new_idx.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_n")).distinct()
+    old_sig = old_index.select(F.col("id").alias("old_id"), F.col("sig").alias("sig_o")).distinct()
+    agree = F.aggregate(
+        F.zip_with("sig_n", "sig_o", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    ver = (
+        cand.join(new_sig, "new_id")
+        .join(old_sig, "old_id")
+        .withColumn("__agree", agree)
+        .filter(2 * F.col("__agree") >= n_hashes)
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("dup_of"), F.count(F.lit(1)).alias("n_partners"))
+    )
+    return (
+        new_sig.select("new_id")
+        .join(ver, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            F.coalesce(F.col("n_partners"), F.lit(0)).alias("n_partners"),
+        )
     )
 
 
