@@ -282,19 +282,72 @@ FRAME_SAMPLE_SCHEMA = StructType(
 def video_frame_sample(media: DataFrame, every: int = 10, size: int = 16) -> DataFrame:
     """UDTF-style expansion: one row per sampled frame (mapInPandas may
     emit more rows than it receives — the Spark-side contract a real
-    ffmpeg-backed sampler would use unchanged)."""
+    ffmpeg-backed sampler would use unchanged).
+
+    Frame synthesis runs BATCHED over every (video, frame) pair of the
+    Arrow batch — one broadcast over an (n_pairs, size²) array instead
+    of a per-row, per-frame Python loop (VERDICT r2 #6, the same
+    batching image/audio features got in r1 #8). Per-row Python touches
+    only the payload header bytes — the seam where a real demuxer would
+    run. Bit-identical to the old per-frame _fake_decode_image path
+    (golden-hash pytest): frame f's seed is the uint8 sum of
+    (payload + f_le32)[:64] right-padded with zeros, reproduced here as
+    s0(payload) + the f bytes that land inside the 64-byte window.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "media_id": pd.Series([], dtype="int64"),
+                "frame_idx": pd.Series([], dtype="int32"),
+                "frame": pd.Series([], dtype="object"),
+            }
+        )
         for b in batches:
-            out = []
-            for r in b.itertuples():
-                if r.kind != "video":
-                    continue
+            vids = b[b["kind"] == "video"]
+            if len(vids) == 0:
+                yield empty
+                continue
+            if not FAKE_CODECS:
+                raise NotImplementedError("real video codec not available in this environment")
+            ids_l, fidx_l, seed_l = [], [], []
+            for r in vids.itertuples():
                 n = int(r.meta["n_frames"]) if r.meta["n_frames"] else 0
-                for f in range(0, n, every):
-                    frame = _fake_decode_image(r.payload + f.to_bytes(4, "little"), size, size)
-                    out.append((r.media_id, f, frame.tobytes()))
-            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame"])
+                f = np.arange(0, n, every, dtype=np.int64)
+                if f.size == 0:
+                    continue
+                payload = bytes(r.payload)
+                base = payload[:64].ljust(64, b"\0")
+                s0 = np.frombuffer(base, dtype=np.uint8).astype(np.uint64).sum()
+                # the 4 little-endian f bytes occupy positions
+                # len(payload)..len(payload)+3 of payload+f_le32; only
+                # those inside [:64] contribute to the seed sum
+                s = np.full(f.size, s0, dtype=np.uint64)
+                for k in range(min(4, max(0, 64 - len(payload)))):
+                    s += ((f >> (8 * k)) & 0xFF).astype(np.uint64)
+                ids_l.append(np.full(f.size, r.media_id, dtype=np.int64))
+                fidx_l.append(f)
+                seed_l.append(s)
+            if not ids_l:
+                yield empty
+                continue
+            ids = np.concatenate(ids_l)
+            fidx = np.concatenate(fidx_l)
+            seeds = np.concatenate(seed_l)
+            idx = np.arange(size * size, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                px = (
+                    idx[None, :] * np.uint64(2654435761)
+                    + (seeds * np.uint64(40503))[:, None]
+                ) >> np.uint64(24)
+            frames = (px & np.uint64(0xFF)).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": fidx.astype(np.int32),
+                    "frame": [frames[i].tobytes() for i in range(len(ids))],
+                }
+            )
 
     return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 

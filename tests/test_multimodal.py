@@ -42,6 +42,33 @@ def test_video_frame_sample_expands_rows(spark):
     assert all(len(bytes(r.frame)) == 256 for r in rows)
 
 
+def test_video_frames_match_per_frame_decode(spark):
+    # the batched synthesis must be BIT-identical to decoding each
+    # frame independently via _fake_decode_image(payload + f_le32) —
+    # including short payloads, where the frame index bytes land inside
+    # the 64-byte seed window and change the pixels per frame
+    rows = [
+        (0, "video", b"\x07" * 5, {"width": None, "height": None, "sample_rate": None, "n_frames": 25}),
+        (1, "video", b"\xfe" * 128, {"width": None, "height": None, "sample_rate": None, "n_frames": 7}),
+        (2, "image", b"\x01" * 16, {"width": 4, "height": 4, "sample_rate": None, "n_frames": None}),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = sorted(
+        (r.media_id, r.frame_idx, bytes(r.frame))
+        for r in M.video_frame_sample(media, every=10, size=16).collect()
+    )
+    expected = sorted(
+        (mid, f, M._fake_decode_image(payload + f.to_bytes(4, "little"), 16, 16).tobytes())
+        for mid, kind, payload, meta in rows
+        if kind == "video"
+        for f in range(0, meta["n_frames"], 10)
+    )
+    assert got == expected
+    # short payload: per-frame bytes genuinely differ (seed window hit)
+    frames0 = [fr for mid, _, fr in got if mid == 0]
+    assert len(set(frames0)) == len(frames0)
+
+
 def test_stub_seam_raises_without_fake_codecs(monkeypatch):
     monkeypatch.setattr(M, "FAKE_CODECS", False)
     try:
