@@ -123,6 +123,49 @@ TILE_SQL = (
 )
 
 
+def quadkey_of(lat: Column, lon: Column, level: int = 8) -> Column:
+    """Quadtree tile key over the equirectangular grid, MSB-first with
+    the standard slippy/Bing digit convention (digit = x_bit + 2·y_bit,
+    so a level-(k−1) key is the level-k key's prefix — parents are
+    substrings, pyramids roll up with substr).
+
+    Deliberate divergence from Bing's tile system: Bing projects
+    through Web-Mercator (ln/tan), which is not bit-reproducible across
+    engines; this key uses the same plate-carrée mapping as the tile
+    grid above, keeping the oracle exact. Pure codegen arithmetic.
+    """
+    n = 1 << level
+    x = F.least(
+        F.greatest(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n).cast("int"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    y = F.least(
+        F.greatest(F.floor((F.lit(90.0) - lat) / F.lit(180.0) * n).cast("int"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    digits = [
+        (
+            F.shiftright(x, k).bitwiseAND(F.lit(1))
+            + F.lit(2) * F.shiftright(y, k).bitwiseAND(F.lit(1))
+        ).cast("string")
+        for k in range(level - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def quadkey_sql(lat: str, lon: str, level: int = 8) -> str:
+    """DuckDB mirror of :func:`quadkey_of` (identical double expression
+    → identical floor → identical digits)."""
+    n = 1 << level
+    x = f"least(greatest(cast(floor(({lon} + 180.0) / 360.0 * {n}) as int), 0), {n - 1})"
+    y = f"least(greatest(cast(floor((90.0 - {lat}) / 180.0 * {n}) as int), 0), {n - 1})"
+    digits = " || ".join(
+        f"cast((({x} >> {k}) & 1) + 2 * (({y} >> {k}) & 1) as varchar)"
+        for k in range(level - 1, -1, -1)
+    )
+    return "(" + digits + ")"
+
+
 def tile_bounds(tile_id: str) -> tuple[float, float, float, float]:
     """(min_lon, min_lat, max_lon, max_lat) of a tile id — driver-side."""
     ix = int(tile_id[1:3])

@@ -4966,6 +4966,201 @@ def skyline_customers(spark, sf_dir):
     ).select("nation", "c_custkey", "spend_cents", "n_orders")
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch 1: sub-document chunk dedup + quadkey pyramid
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKS = 12  # tokens per pseudo-paragraph
+_CHUNK_DUP_MAX_PCT = 50  # drop a doc once >50% of its chunks are owned elsewhere
+
+
+@register(
+    "chunk_dedup_docs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+), chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(t, (i - 1) * {_CHUNK_TOKS} + 1, i * {_CHUNK_TOKS}), ' ') AS chunk
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, cast(ceil(len(t) / {_CHUNK_TOKS}.0) as int))) AS i) g
+), hashed AS (
+  SELECT doc_id, chunk_idx, {{h}} AS h FROM chunks
+), owner AS (
+  SELECT h, min(doc_id) AS owner_id FROM hashed GROUP BY h
+)
+SELECT hashed.doc_id,
+       cast(count(*) as bigint) AS n_chunks,
+       cast(sum(CASE WHEN o.owner_id < hashed.doc_id THEN 1 ELSE 0 END) as bigint) AS n_dup_chunks,
+       (100 * sum(CASE WHEN o.owner_id < hashed.doc_id THEN 1 ELSE 0 END)
+          <= {_CHUNK_DUP_MAX_PCT} * count(*)) AS keep
+FROM hashed JOIN owner o USING (h)
+GROUP BY hashed.doc_id
+""".format(h=D.MD5_LONG_SQL.format(x="chunk")),
+)
+def chunk_dedup_docs(spark, sf_dir):
+    """Sub-document (chunk-level) dedup — the CCNet/RefinedWeb line-dedup
+    shape at pseudo-paragraph granularity: split each doc's token stream
+    into fixed 12-token chunks, hash each chunk, give every distinct
+    chunk one owner (min doc_id), and drop docs where >50% of chunks are
+    owned elsewhere. Catches boilerplate-heavy pages that document-level
+    MinHash misses (the dup mass is spread across many partial matches).
+
+    Scale shape: one explode pass over the corpus (chunking is
+    codegen'd array ops inside the scan stage), one hash aggregate for
+    owners keyed by chunk hash (map-side combinable), one shuffle join
+    back on the hash, one per-doc rollup. No self-join — candidate
+    volume is linear in corpus chunks, unlike pairwise dedup."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK_TOKS))).cast("int")
+    chunks = (
+        d.select("doc_id", toks.alias("t"), n_chunks.alias("nc"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("nc"))).alias("chunk_idx"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("t"), (F.col("chunk_idx") - 1) * _CHUNK_TOKS + 1, _CHUNK_TOKS),
+            ).alias("chunk"),
+        )
+    )
+    hashed = chunks.select("doc_id", D.md5_long(F.col("chunk")).alias("h"))
+    owner = hashed.groupBy("h").agg(F.min("doc_id").alias("owner_id"))
+    dup = F.when(F.col("owner_id") < F.col("doc_id"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        hashed.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            (100 * F.col("n_dup_chunks") <= _CHUNK_DUP_MAX_PCT * F.col("n_chunks")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+@register(
+    "quadkey_pyramid_customers",
+    f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), qk AS (
+  SELECT c_custkey, {{qk8}} AS qk8 FROM pts
+)
+SELECT substr(qk8, 1, 4) AS qk4,
+       cast(count(*) as bigint) AS n,
+       cast(count(DISTINCT qk8) as bigint) AS n_leaf_tiles,
+       min(qk8) AS first_leaf
+FROM qk GROUP BY qk4
+""".format(qk8=C.quadkey_sql("lat", "lon", 8)),
+)
+def quadkey_pyramid_customers(spark, sf_dir):
+    """Quadkey tile pyramid: encode customers at level 8 and roll up to
+    level 4 with substr — the prefix IS the parent key, so every
+    pyramid level is a substring aggregate, no re-encode and no join
+    (the property that makes quadkeys the storage layout of slippy-map
+    tile servers). functions/cells.quadkey_of; pure codegen digits,
+    oracle bit-exact."""
+    c = load(spark, sf_dir, "customer")
+    qk = c.select(
+        C.quadkey_of(
+            C.derived_lat(F.col("c_custkey")), C.derived_lon(F.col("c_custkey")), 8
+        ).alias("qk8")
+    )
+    return (
+        qk.groupBy(F.substring("qk8", 1, 4).alias("qk4"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("qk8").alias("n_leaf_tiles"),
+            F.min("qk8").alias("first_leaf"),
+        )
+    )
+
+
+# messy-URL synthesis: deterministic per-doc case noise, default ports,
+# dot segments, unsorted query params, fragments — the canonicalizer's
+# obstacle course, mirrored textually in SQL
+_MESSY_URL_SQL = """concat(
+  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'https' ELSE 'Https' END,
+  '://',
+  CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,
+  '.Example.COM',
+  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+  '/', lang, '/./docs//doc-', cast(doc_id as varchar),
+  '?b=', cast(doc_id % 7 as varchar), '&a=', cast(doc_id % 3 as varchar),
+  CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END)"""
+
+
+@register(
+    "url_canonicalize_docs",
+    f"""
+WITH raw AS (
+  SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents WHERE doc_id < 400
+), parts AS (
+  SELECT doc_id,
+         lower(split_part(url, '://', 1)) AS scheme,
+         lower(split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1)) AS host,
+         list_filter(
+           regexp_split_to_array(split_part(split_part(url, '?', 1), '://', 2), '/')[2:],
+           seg -> seg <> '' AND seg <> '.') AS segs,
+         split_part(split_part(url, '?', 2), '#', 1) AS query
+  FROM raw
+)
+SELECT doc_id,
+       scheme || '://' || host || '/' || array_to_string(segs, '/') ||
+         CASE WHEN query <> '' THEN '?' || array_to_string(list_sort(regexp_split_to_array(query, '&')), '&')
+              ELSE '' END AS canon_url
+FROM parts
+""",
+)
+def url_canonicalize_docs(spark, sf_dir):
+    """URL canonicalization (RFC 3986 normalizations a crawl dedup
+    needs): lowercase scheme+host, drop the https default port, remove
+    '.' and empty path segments (collapse '//', strip '/./'), sort
+    query parameters, strip fragments. One pass of codegen string/array
+    ops inside the scan stage — no UDF, no shuffle; at crawl scale this
+    runs before the URL-level exact dedup (dedup_exact_docs) so near-
+    identical URLs collide. Synthesis plants every obstacle
+    deterministically; the oracle replays parse+normalize textually."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    url = F.expr(_MESSY_URL_SQL.replace(" as varchar)", " as string)"))
+    raw = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.split(F.col("url"), "://")[0])
+    after_scheme = F.split(F.col("url"), "://")[1]
+    authority = F.split(after_scheme, "/")[0]
+    host = F.lower(F.split(authority, ":")[0])
+    path_q = F.split(F.col("url"), r"\?")
+    path_part = F.split(path_q[0], "://")[1]
+    segs = F.slice(F.split(path_part, "/"), 2, 1000)
+    norm_segs = F.filter(segs, lambda s: (s != "") & (s != "."))
+    query = F.split(F.coalesce(F.element_at(path_q, 2), F.lit("")), "#")[0]
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.lit("/"),
+        F.concat_ws("/", norm_segs),
+        F.when(
+            query != "",
+            F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(F.split(query, "&")))),
+        ).otherwise(F.lit("")),
+    )
+    return raw.select("doc_id", canon.alias("canon_url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
