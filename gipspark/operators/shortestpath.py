@@ -1,0 +1,67 @@
+"""K-round Bellman-Ford (bounded-hop cheapest path) over an edge table.
+
+The distributed single-source shortest path shape: keep a (node, dist)
+frontier table, and each round relax EVERY edge leaving the current
+table (one shuffle join on src), union with the current distances, and
+take the per-node min (one hash aggregate). Integer weights keep the
+result bit-exact and oracle-replayable as an unrolled recursion.
+
+Why rounds, not a priority queue: Dijkstra's queue is inherently
+sequential; Bellman-Ford rounds are the textbook distributed
+formulation (Pregel/GraphX SSSP) — each round is one candidate-bounded
+shuffle, and K rounds bound both work and the oracle's recursion depth.
+For full convergence set ``converge=True``: iterate until a round adds
+no improvement (≤ diameter rounds), with localCheckpoint cutting
+lineage every round (components.py discipline).
+
+At 10^12 edges: the edge table shuffles once per round on src; the
+distance table is bounded by the reachable set; nothing is collected
+to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def khop_cheapest(
+    edges: DataFrame,
+    source: int,
+    k: int,
+    converge: bool = False,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(node, dist) of the cheapest ≤k-hop path from ``source`` over
+    ``edges`` (src, dst, w) with non-negative integer weights. With
+    ``converge=True``, k is ignored and rounds run until fixpoint
+    (bounded by ``max_rounds``, raising on non-convergence — the
+    components.py contract)."""
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(int(source), 0)], "node long, dist long")
+    rounds = max_rounds if converge else k
+    for r in range(rounds):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if converge:
+            # materialize once per round, cut lineage, and stop when no
+            # node improved (anti-join on the exact (node, dist) pair)
+            new = new.localCheckpoint(eager=True)
+            changed = new.join(dist, ["node", "dist"], "left_anti").limit(1).count()
+            dist = new
+            if changed == 0:
+                return dist
+        else:
+            dist = new
+    if converge:
+        raise RuntimeError(
+            f"khop_cheapest did not converge within max_rounds={max_rounds}"
+        )
+    return dist

@@ -5161,6 +5161,160 @@ def url_canonicalize_docs(spark, sf_dir):
     return raw.select("doc_id", canon.alias("canon_url"))
 
 
+# K-round Bellman-Ford over the deterministic doc link graph (same
+# edge derivation as pagerank, plus an md5-derived integer weight)
+_SP_K = 4
+_SP_EDGE_W = "1 + " + D.MD5_LONG_SQL.format(
+    x="concat('w:', cast(j as varchar), ':', cast(doc_id as varchar))"
+) + " % 100"
+
+
+def _sp_oracle_sql() -> str:
+    rounds = []
+    for i in range(_SP_K):
+        rounds.append(
+            f"""d{i + 1} AS (
+  SELECT node, cast(min(dist) as bigint) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{i} d JOIN edges e ON d.node = e.src
+  ) GROUP BY node)"""
+        )
+    return (
+        f"""
+WITH edges AS (
+  SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst,
+         cast({_SP_EDGE_W} as bigint) AS w
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+d0 AS (SELECT cast(0 as bigint) AS node, cast(0 as bigint) AS dist),
+"""
+        + ",\n".join(rounds)
+        + f"\nSELECT node, dist FROM d{_SP_K}\n"
+    )
+
+
+@register("khop_cheapest_doc_links", _sp_oracle_sql())
+def khop_cheapest_doc_links(spark, sf_dir):
+    """K-round Bellman-Ford (K-hop cheapest path) from doc 0 over the
+    deterministic weighted link graph: each round relaxes every edge
+    out of the current distance frontier and takes the per-node min —
+    operators/shortestpath.khop_cheapest. Integer weights keep both
+    engines bit-exact; bounding at K rounds makes the oracle a finite
+    unrolled recursion (full shortest path = run until fixpoint, which
+    the operator supports via converge=True; the K-round form is what
+    a 10^12-edge job runs anyway — one shuffle per round, lineage cut
+    between rounds)."""
+    from gipspark.operators.shortestpath import khop_cheapest
+
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+    ).select(
+        "src",
+        (
+            D.md5_long(
+                F.concat(F.lit("e:"), F.col("j").cast("string"), F.lit(":"), F.col("src").cast("string"))
+            )
+            % n
+        ).alias("dst"),
+        (
+            1
+            + D.md5_long(
+                F.concat(F.lit("w:"), F.col("j").cast("string"), F.lit(":"), F.col("src").cast("string"))
+            )
+            % 100
+        ).cast("long").alias("w"),
+    )
+    return khop_cheapest(edges, source=0, k=_SP_K)
+
+
+@register(
+    "dwell_cells_user",
+    f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), pos AS (
+  SELECT user_id, event_id, ts, rn,
+         user_id * 100 + (rn - 1) // 5 AS pk
+  FROM ordered
+), ll AS (
+  SELECT user_id, ts, rn,
+         {_LAT.format(k='pk')} AS lat, {_LON.format(k='pk')} AS lon
+  FROM pos
+), cells AS (
+  SELECT user_id, ts, rn,
+         cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy
+  FROM ll
+), flagged AS (
+  SELECT user_id, ts, rn, cx, cy,
+         CASE WHEN cx = lag(cx) OVER w AND cy = lag(cy) OVER w THEN 0 ELSE 1 END AS brk
+  FROM cells WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+), runs AS (
+  SELECT user_id, ts, cx, cy,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+)
+SELECT user_id, run_id, min(cx) AS cell_x, min(cy) AS cell_y,
+       min(ts) AS enter_ts, max(ts) AS exit_ts,
+       cast(count(*) as bigint) AS n_pings
+FROM runs GROUP BY user_id, run_id HAVING count(*) >= 4
+""",
+)
+def dwell_cells_user(spark, sf_dir):
+    """Stay-point / dwell detection over synthetic trajectories: pings
+    ordered per user, positions quantized to 2.5° cells, maximal runs
+    of consecutive same-cell pings collapsed with the lag-flag-cumsum
+    idiom (same as interval dissolve), dwells = runs of ≥4 pings with
+    their enter/exit times. Positions derive from a key that advances
+    every 5 pings, so the fixture has real dwell segments. One shuffle
+    on user_id shared by both windows and the final aggregate — the
+    mobility analytics op (dwell mining) at its 100 TB shape."""
+    ev = load(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id",
+        "ts",
+        F.row_number().over(w_rn).alias("rn"),
+    ).withColumn("pk", F.col("user_id") * 100 + F.floor((F.col("rn") - 1) / 5))
+    cells = pos.select(
+        "user_id",
+        "ts",
+        "rn",
+        F.floor((C.derived_lon(F.col("pk")) + 180.0) / 2.5).cast("int").alias("cx"),
+        F.floor((90.0 - C.derived_lat(F.col("pk"))) / 2.5).cast("int").alias("cy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("rn")
+    flagged = cells.withColumn(
+        "brk",
+        F.when(
+            (F.col("cx") == F.lag("cx").over(w)) & (F.col("cy") == F.lag("cy").over(w)),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("user_id", "run_id")
+        .agg(
+            F.min("cx").alias("cell_x"),
+            F.min("cy").alias("cell_y"),
+            F.min("ts").alias("enter_ts"),
+            F.max("ts").alias("exit_ts"),
+            F.count(F.lit(1)).alias("n_pings"),
+        )
+        .filter(F.col("n_pings") >= 4)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
