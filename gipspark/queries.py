@@ -5315,6 +5315,124 @@ def dwell_cells_user(spark, sf_dir):
     )
 
 
+# integer-exact k-means: coordinates in millidegree ticks (the derived
+# lat/lon are k-ticks/1000 − offset, so ticks are EXACT int64), squared
+# distances and centroid floor-division updates all in bigint — Lloyd's
+# algorithm with zero float drift, hence bit-exact across engines.
+_KM_K = 5
+_KM_ROUNDS = 3
+# ticks kept in the NON-NEGATIVE domain (no -60000/-180000 shift):
+# k-means is translation-invariant, and non-negative operands make
+# Spark floor() and DuckDB // agree (they differ on negatives:
+# trunc-toward-zero vs floor)
+_KM_LAT_TICKS = "(cast({k} as bigint) * 48271) % 120000"
+_KM_LON_TICKS = "(cast({k} as bigint) * 69621) % 360000"
+
+
+def _kmeans_oracle_sql() -> str:
+    seeds = ", ".join(
+        f"({cid}, ({cid + 1} * 48271) % 120000, ({cid + 1} * 69621) % 360000)"
+        for cid in range(_KM_K)
+    )
+    sql = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         cast({_KM_LAT_TICKS.format(k='c_custkey')} as bigint) AS py,
+         cast({_KM_LON_TICKS.format(k='c_custkey')} as bigint) AS px
+  FROM customer
+),
+c0(cid, cy, cx) AS (SELECT * FROM (VALUES {seeds}))
+"""
+    prev = "c0"
+    for r in range(1, _KM_ROUNDS + 1):
+        sql += f""",
+a{r} AS (
+  SELECT c_custkey, py, px,
+         cast(min(((py - cy) * (py - cy) + (px - cx) * (px - cx)) * {_KM_K} + cid) as bigint)
+           % {_KM_K} AS cid
+  FROM pts CROSS JOIN {prev}
+  GROUP BY c_custkey, py, px
+),
+c{r} AS (
+  SELECT p.cid,
+         coalesce(cast(sum(a.py) // count(a.py) as bigint), p.cy) AS cy,
+         coalesce(cast(sum(a.px) // count(a.px) as bigint), p.cx) AS cx
+  FROM {prev} p LEFT JOIN a{r} a ON a.cid = p.cid
+  GROUP BY p.cid, p.cy, p.cx
+)"""
+        prev = f"c{r}"
+    sql += f"""
+SELECT a.cid, cast(count(*) as bigint) AS n, min(c.cy) AS cy, min(c.cx) AS cx
+FROM a{_KM_ROUNDS} a JOIN c{_KM_ROUNDS} c ON c.cid = a.cid
+GROUP BY a.cid
+"""
+    return sql
+
+
+@register("kmeans_int_customers", _kmeans_oracle_sql())
+def kmeans_int_customers(spark, sf_dir):
+    """Distributed Lloyd's k-means, bit-exact: coordinates as integer
+    millidegree ticks (the synthetic derivation is ticks/1000 − offset,
+    so ticks are exact int64), squared distances in bigint, assignment
+    argmin as min(dist²·K + cid) % K (deterministic tie-break, no
+    arg_min), centroid update as floor-division of bigint sums — no
+    float ever enters, so partitioning/sum order cannot move a single
+    point and the DuckDB oracle replays all rounds bit-identically.
+    The float-free formulation is the trick that makes an ITERATIVE ML
+    algorithm oracle-checkable at all.
+
+    Scale shape per round: centroids are K rows broadcast into the
+    point table on a literal key (BroadcastHashJoin, not a nested
+    loop), one map-side-combinable sum/count aggregate per cluster.
+    Empty clusters keep their previous centroid."""
+    c = load(spark, sf_dir, "customer")
+    lat_t = (F.col("c_custkey").cast("long") * 48271) % 120000
+    lon_t = (F.col("c_custkey").cast("long") * 69621) % 360000
+    pts = c.select(
+        "c_custkey", lat_t.alias("py"), lon_t.alias("px"), F.lit(1).alias("__k")
+    )
+    cent = spark.createDataFrame(
+        [
+            (cid, (cid + 1) * 48271 % 120000, (cid + 1) * 69621 % 360000, 1)
+            for cid in range(_KM_K)
+        ],
+        "cid long, cy long, cx long, __k int",
+    )
+    for _ in range(_KM_ROUNDS):
+        d2 = (F.col("py") - F.col("cy")) * (F.col("py") - F.col("cy")) + (
+            F.col("px") - F.col("cx")
+        ) * (F.col("px") - F.col("cx"))
+        assigned = (
+            pts.join(F.broadcast(cent), "__k")
+            .groupBy("c_custkey", "py", "px")
+            .agg((F.min(d2 * _KM_K + F.col("cid")) % _KM_K).alias("cid"))
+        )
+        cent = (
+            cent.join(assigned, "cid", "left")
+            .groupBy("cid", "cy", "cx")
+            .agg(
+                F.sum("py").alias("sy"),
+                F.count("py").alias("ny"),
+                F.sum("px").alias("sx"),
+                F.count("px").alias("nx"),
+            )
+            .select(
+                "cid",
+                F.coalesce(F.floor(F.col("sy") / F.col("ny")).cast("long"), F.col("cy")).alias("cy"),
+                F.coalesce(F.floor(F.col("sx") / F.col("nx")).cast("long"), F.col("cx")).alias("cx"),
+                F.lit(1).alias("__k"),
+            )
+        )
+    # report the LAST round's assignment (computed against c_{R-1}),
+    # exactly what the oracle's a{R} is — not a fresh assignment vs c_R
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(cent.select("cid", "cy", "cx"), "cid")
+        .select("cid", "n", "cy", "cx")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

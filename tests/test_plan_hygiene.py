@@ -33,6 +33,7 @@ CROSS_OK = {
     "gearys_c_tiles",  # same 1-row moment broadcasts as morans
     "local_moran_hotspots",  # 1-row moment broadcast into the lattice
     "chisq_contrib_lang_source",  # 1-row grand-total broadcast into the table
+    "kmeans_int_customers",  # K=5-row centroid broadcast per round (literal key folds to NL)
 }
 
 
