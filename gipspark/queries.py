@@ -5433,6 +5433,180 @@ def kmeans_int_customers(spark, sf_dir):
     )
 
 
+@register(
+    "pip_anti_join_customers",
+    f"""
+WITH pts AS (SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon FROM customer)
+SELECT c_custkey FROM pts
+WHERE c_custkey NOT IN (SELECT c_custkey FROM ({_pip_matches_sql('pts', 'c_custkey')}))
+""",
+)
+def pip_anti_join_customers(spark, sf_dir):
+    """Spatial ANTI join — points inside NO polygon (coverage-gap
+    analysis, the complement every tiling pipeline needs for 'untiled
+    remainder' accounting). Same cell-prefilter + exact ray-cast refine
+    as pip_join, then a left-anti join of the point table against the
+    matched ids — the anti side shuffles once on the point key."""
+    from gipspark.operators.pip import pip_join
+
+    pts = _cust_pts(spark, sf_dir)
+    matched = pip_join(pts, ORACLE_POLYGONS, level=7).select("c_custkey").distinct()
+    return pts.join(matched, "c_custkey", "left_anti").select("c_custkey")
+
+
+@register(
+    "near_dedup_keep_best",
+    "WITH RECURSIVE "
+    + _neardup_ver_sql()[len("WITH ") :]
+    + """,
+edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+          UNION SELECT id_b AS src, id_a AS dst FROM ver),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+  WHERE e.dst <> re.node
+),
+members AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node
+),
+scored AS (
+  SELECT m.doc_id, m.cluster_id,
+         cast(d.n_chars as bigint) * 1000000000 + (1000000000 - m.doc_id) AS key
+  FROM members m JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT doc_id, cluster_id,
+       cast(1000000000 - max(key) OVER (PARTITION BY cluster_id) % 1000000000 as bigint) AS keep_id,
+       doc_id = 1000000000 - max(key) OVER (PARTITION BY cluster_id) % 1000000000 AS keep
+FROM scored
+""",
+)
+def near_dedup_keep_best(spark, sf_dir):
+    """Near-dup dedup with QUALITY-aware survivor selection: cluster the
+    verified near-dup graph (same closure as near_dedup_clusters), then
+    keep the highest-quality member per cluster — longest doc, ties to
+    the smallest id — instead of blindly keeping min-id. The argmax is
+    one bigint key max(n_chars·10⁹ + (10⁹ − doc_id)) windowed over the
+    cluster (exact, order-independent), which is how production corpus
+    dedup picks survivors (RefinedWeb keeps the longest). One window
+    shuffle on cluster_id after the component rounds."""
+    from gipspark.operators.components import connected_components
+
+    ver = _verified_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(ver)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    B = 1_000_000_000
+    scored = (
+        comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("n_chars").cast("long") * B + (B - F.col("doc_id"))).alias("key"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    best = F.max("key").over(w)
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        (B - best % B).cast("long").alias("keep_id"),
+        (F.col("doc_id") == (B - best % B)).alias("keep"),
+    )
+
+
+@register(
+    "raster_gradient_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+)
+SELECT g.cx, g.cy, g.v,
+       coalesce(e.v, 0) - coalesce(w.v, 0) AS gx,
+       coalesce(s.v, 0) - coalesce(n.v, 0) AS gy,
+       (coalesce(e.v, 0) - coalesce(w.v, 0)) * (coalesce(e.v, 0) - coalesce(w.v, 0))
+       + (coalesce(s.v, 0) - coalesce(n.v, 0)) * (coalesce(s.v, 0) - coalesce(n.v, 0)) AS mag2,
+       CASE WHEN coalesce(e.v, 0) = coalesce(w.v, 0) AND coalesce(s.v, 0) = coalesce(n.v, 0) THEN 'flat'
+            WHEN abs(coalesce(e.v, 0) - coalesce(w.v, 0)) >= abs(coalesce(s.v, 0) - coalesce(n.v, 0))
+              THEN (CASE WHEN coalesce(e.v, 0) > coalesce(w.v, 0) THEN 'east' ELSE 'west' END)
+            ELSE (CASE WHEN coalesce(s.v, 0) > coalesce(n.v, 0) THEN 'south' ELSE 'north' END)
+       END AS aspect
+FROM grid g
+LEFT JOIN grid e ON e.cx = g.cx + 1 AND e.cy = g.cy
+LEFT JOIN grid w ON w.cx = g.cx - 1 AND w.cy = g.cy
+LEFT JOIN grid s ON s.cx = g.cx AND s.cy = g.cy + 1
+LEFT JOIN grid n ON n.cx = g.cx AND n.cy = g.cy - 1
+""",
+)
+def raster_gradient_cells(spark, sf_dir):
+    """Raster gradient (slope/aspect — the terrain-analysis kernel) over
+    the event-density grid: central differences E−W and S−N per cell
+    via four equi-joins on shifted cell coords (hash joins over the
+    dense-cell table, which is orders of magnitude smaller than the
+    point table), integer gradient magnitude², and a trig-free 4-way
+    aspect classification. The point table collapses to cells in ONE
+    map-side-combinable aggregate; everything after is dim-scale."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    grid = (
+        pts.select(
+            F.floor((F.col("lon") + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - F.col("lat")) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    g = grid.alias("g")
+
+    def nb(name, dx, dy):
+        t = grid.alias(name)
+        return t, [
+            F.col(f"{name}.cx") == F.col("g.cx") + dx,
+            F.col(f"{name}.cy") == F.col("g.cy") + dy,
+        ]
+
+    e, e_on = nb("e", 1, 0)
+    w, w_on = nb("w", -1, 0)
+    s, s_on = nb("s", 0, 1)
+    n, n_on = nb("n", 0, -1)
+    j = (
+        g.join(e, e_on, "left")
+        .join(w, w_on, "left")
+        .join(s, s_on, "left")
+        .join(n, n_on, "left")
+    )
+    ev_, wv, sv, nv = (
+        F.coalesce(F.col(f"{x}.v"), F.lit(0)) for x in ("e", "w", "s", "n")
+    )
+    gx, gy = ev_ - wv, sv - nv
+    aspect = (
+        F.when((ev_ == wv) & (sv == nv), F.lit("flat"))
+        .when(
+            F.abs(ev_ - wv) >= F.abs(sv - nv),
+            F.when(ev_ > wv, F.lit("east")).otherwise(F.lit("west")),
+        )
+        .otherwise(F.when(sv > nv, F.lit("south")).otherwise(F.lit("north")))
+    )
+    return j.select(
+        F.col("g.cx").alias("cx"),
+        F.col("g.cy").alias("cy"),
+        F.col("g.v").alias("v"),
+        gx.alias("gx"),
+        gy.alias("gy"),
+        (gx * gx + gy * gy).alias("mag2"),
+        aspect.alias("aspect"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
