@@ -98,11 +98,18 @@ def nearest_edge(
 
 
 def nearest_edge_sql(
-    pts_cte: str, key: str, polygons: list[dict], lat: str = "lat", lon: str = "lon"
+    pts_cte: str,
+    key: str,
+    polygons: list[dict],
+    lat: str = "lat",
+    lon: str = "lon",
+    wrap_cte: str | None = None,
 ) -> str:
     """DuckDB replay: edges as VALUES, the SAME textual d² expression
     quantized to the same ticks, argmin via (ticks, poly_id) ordering.
-    The oracle may cross-join (it is not the scale path)."""
+    The oracle may cross-join (it is not the scale path). With
+    ``wrap_cte`` the final select becomes one more CTE of that name so
+    callers can keep composing (map-matching smoothing)."""
     vals = ", ".join(f"({pid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})" for pid, x1, y1, x2, y2 in _edge_rows(polygons))
     t = (
         f"greatest(0.0, least(1.0, "
@@ -112,7 +119,7 @@ def nearest_edge_sql(
     d2 = (
         f"(({lon} - cx) * ({lon} - cx) + ({lat} - cy) * ({lat} - cy))"
     )
-    return f"""
+    body = f"""
 edges(poly_id, x1, y1, x2, y2) AS (VALUES {vals}),
 proj AS (
   SELECT p.{key}, e.poly_id,
@@ -130,10 +137,14 @@ ranked AS (
   SELECT {key}, poly_id, ticks,
          row_number() OVER (PARTITION BY {key} ORDER BY ticks, poly_id) AS rn
   FROM dists
-)
-SELECT {key}, cast(poly_id as bigint) AS nearest_poly, ticks AS d2_ticks
-FROM ranked WHERE rn = 1
-"""
+)"""
+    sel = (
+        f"SELECT {key}, cast(poly_id as bigint) AS nearest_poly, ticks AS d2_ticks\n"
+        "FROM ranked WHERE rn = 1"
+    )
+    if wrap_cte is not None:
+        return f"{body},\n{wrap_cte} AS (\n{sel})"
+    return f"{body}\n{sel}\n"
 
 
 def snap_to_edge(

@@ -5607,6 +5607,81 @@ def raster_gradient_cells(spark, sf_dir):
     )
 
 
+def _map_match_oracle() -> str:
+    from gipspark.operators.distance import nearest_edge_sql
+
+    pts = (
+        "(SELECT event_id, user_id, ts, "
+        f"{_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon "
+        "FROM events)"
+    )
+    ne = nearest_edge_sql("pts", "event_id", ORACLE_POLYGONS, wrap_cte="ne")
+    return f"""
+WITH pts AS {pts},
+{ne},
+seq AS (
+  SELECT p.user_id, p.ts, p.event_id, ne.nearest_poly AS raw_poly
+  FROM pts p JOIN ne ON ne.event_id = p.event_id
+), sm AS (
+  SELECT user_id, event_id, raw_poly,
+         lag(raw_poly) OVER w AS pv, lead(raw_poly) OVER w AS nx
+  FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, raw_poly,
+       CASE WHEN pv IS NOT NULL AND pv = nx AND raw_poly <> pv THEN pv
+            ELSE raw_poly END AS matched_poly,
+       (pv IS NOT NULL AND nx IS NOT NULL AND pv = nx AND raw_poly <> pv) AS corrected
+FROM sm
+"""
+
+
+@register("map_match_smooth_events", _map_match_oracle())
+def map_match_smooth_events(spark, sf_dir):
+    """Map-matching with sequence smoothing: snap every ping to its
+    nearest boundary (the nearest_edge broadcast-fold — narrow, no
+    shuffle), then fix one-ping flickers per user trajectory: if the
+    previous and next pings matched the same feature and the current
+    one disagrees, adopt the neighbors' match (the window-expressible
+    core of HMM map matching — the full Viterbi adds transition
+    probabilities, but the flicker rule is what correct 90%+ of real
+    GPS jitter needs). One window shuffle on user_id after the narrow
+    snap stage."""
+    from gipspark.operators.distance import nearest_edge
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    ne = nearest_edge(pts, ORACLE_POLYGONS).select(
+        "user_id", "ts", "event_id", F.col("nearest_poly").alias("raw_poly")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sm = ne.select(
+        "user_id",
+        "event_id",
+        "raw_poly",
+        F.lag("raw_poly").over(w).alias("pv"),
+        F.lead("raw_poly").over(w).alias("nx"),
+    )
+    fix = (
+        F.col("pv").isNotNull()
+        & F.col("nx").isNotNull()
+        & (F.col("pv") == F.col("nx"))
+        & (F.col("raw_poly") != F.col("pv"))
+    )
+    return sm.select(
+        "user_id",
+        "event_id",
+        "raw_poly",
+        F.when(fix, F.col("pv")).otherwise(F.col("raw_poly")).alias("matched_poly"),
+        fix.alias("corrected"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
