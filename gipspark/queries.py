@@ -5682,6 +5682,94 @@ def map_match_smooth_events(spark, sf_dir):
     )
 
 
+# robots.txt-style rule table: longest matching path prefix wins; ''
+# is the root rule. Literal dim in both engines.
+_CRAWL_RULES = [
+    ("", True),
+    ("/en", True),
+    ("/en/private", False),
+    ("/de", False),
+    ("/de/docs", True),
+    ("/fr/docs", True),
+]
+_CRAWL_RULES_SQL = ", ".join(f"({p!r}, {str(a).upper()})" for p, a in _CRAWL_RULES)
+
+
+@register(
+    "crawl_policy_docs",
+    f"""
+WITH urls AS (
+  SELECT doc_id, '/' || lang || '/' ||
+         (CASE WHEN doc_id % 4 = 0 THEN 'private' ELSE 'docs' END) ||
+         '/doc-' || cast(doc_id as varchar) AS path
+  FROM documents
+),
+rules(prefix, allow) AS (VALUES {_CRAWL_RULES_SQL}),
+prefixes AS (
+  SELECT doc_id, path,
+         array_to_string(regexp_split_to_array(path, '/')[1:d + 1], '/') AS pref
+  FROM urls, LATERAL (SELECT unnest([0, 1, 2]) AS d) t
+),
+matched AS (
+  SELECT p.doc_id, p.path, r.prefix, r.allow
+  FROM prefixes p JOIN rules r ON r.prefix = p.pref
+)
+SELECT doc_id, path,
+       max(length(prefix)) AS rule_len,
+       cast(min(CASE WHEN length(prefix) = m THEN (CASE WHEN allow THEN 1 ELSE 0 END) END) as bigint) AS allow_i
+FROM (SELECT *, max(length(prefix)) OVER (PARTITION BY doc_id) AS m FROM matched)
+GROUP BY doc_id, path
+""",
+)
+def crawl_policy_docs(spark, sf_dir):
+    """robots.txt-style crawl policy join: match every URL path against
+    a rule table where the LONGEST matching prefix wins. Longest-prefix
+    match as an equi-join: each path explodes its bounded prefix chain
+    (depth ≤ 2 segments here; real robots rules are similarly shallow),
+    equi-joins the rule dim on the exact prefix, and a per-doc window
+    max picks the longest hit — no LIKE scan, no inequality join, so
+    the 10^12-row URL side shuffles only its exploded prefixes (a small
+    constant factor) against a broadcast-sized rule table."""
+    d = load(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("private")).otherwise(F.lit("docs")),
+            F.lit("/doc-"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(_CRAWL_RULES, "prefix string, allow boolean")
+    prefixes = urls.select(
+        "doc_id",
+        "path",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("d"),
+    ).select(
+        "doc_id",
+        "path",
+        F.concat_ws("/", F.slice(F.split(F.col("path"), "/"), 1, F.col("d") + 1)).alias("pref"),
+    )
+    matched = prefixes.join(
+        F.broadcast(rules.withColumnRenamed("prefix", "pref")), "pref"
+    ).select("doc_id", "path", F.col("pref").alias("prefix"), "allow")
+    w = Window.partitionBy("doc_id")
+    flagged = matched.withColumn("m", F.max(F.length("prefix")).over(w))
+    return flagged.groupBy("doc_id", "path").agg(
+        F.max(F.length("prefix")).alias("rule_len"),
+        F.min(
+            F.when(
+                F.length("prefix") == F.col("m"),
+                F.when(F.col("allow"), F.lit(1)).otherwise(F.lit(0)),
+            )
+        )
+        .cast("long")
+        .alias("allow_i"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
