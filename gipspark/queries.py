@@ -5770,6 +5770,65 @@ def crawl_policy_docs(spark, sf_dir):
     )
 
 
+@register(
+    "vocab_coverage_docs",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), head AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk FROM counts
+  ) WHERE rk <= 25
+)
+SELECT t.doc_id,
+       cast(count(*) as bigint) AS n_tokens,
+       cast(sum(CASE WHEN h.tok IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_head,
+       cast((1000000 * sum(CASE WHEN h.tok IS NOT NULL THEN 1 ELSE 0 END)) // count(*) as bigint)
+         AS head_ppm
+FROM toks t LEFT JOIN head h ON h.tok = t.tok
+GROUP BY t.doc_id
+""",
+)
+def vocab_coverage_docs(spark, sf_dir):
+    """Head-vocabulary coverage (a perplexity-proxy quality signal the
+    LM-free way): the 25 most frequent corpus terms (deterministic
+    tie-break on the term) form the head vocab; each doc reports what
+    integer fraction (ppm) of its tokens fall inside it — gibberish and
+    non-prose pages score low, boilerplate scores suspiciously high.
+    Two passes over the token explode: one map-side-combinable count
+    keyed by term, a TakeOrdered top-k (never a full sort), then a
+    broadcast semi-probe of the 25-row head into the second pass. All
+    integer — ppm via floor division, no float drift."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    head = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(25).select("tok")
+    hit = F.when(F.col("h_tok").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        toks.join(
+            F.broadcast(head.select(F.col("tok").alias("h_tok"))),
+            toks.tok == F.col("h_tok"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(hit).alias("n_head"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_head",
+            F.floor((1000000 * F.col("n_head")) / F.col("n_tokens")).cast("long").alias("head_ppm"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
