@@ -5829,6 +5829,35 @@ def vocab_coverage_docs(spark, sf_dir):
     )
 
 
+@register(
+    "string_agg_regions",
+    """
+SELECT r.r_name AS region,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       cast(count(*) as bigint) AS n
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def string_agg_regions(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg / group_concat —
+    the one aggregate every SQL surface needs and Spark spells
+    differently): collect_list is partition-order-dependent, so the
+    deterministic form is array_sort before array_join — which is also
+    the only form an oracle can hash. Broadcast dim join + one hash
+    aggregate."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
