@@ -5858,6 +5858,115 @@ def string_agg_regions(spark, sf_dir):
     )
 
 
+@register(
+    "sample_k_per_group",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         {D.MD5_LONG_SQL.format(x="concat('smp:', cast(doc_id as varchar))")} AS hk
+  FROM documents
+)
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= 20
+""",
+)
+def sample_k_per_group(spark, sf_dir):
+    """Exact-k uniform sample per stratum, reproducible: rank rows
+    inside each group by a salted md5 of the id (a fixed random
+    permutation) and keep the first k — unlike fraction-based
+    stratified_sample_docs this guarantees EXACTLY k per group, the
+    contract eval-set builders need. The rank ≤ k predicate plans as
+    WindowGroupLimit (top-k per key without materializing full
+    partitions), one shuffle on the stratum key."""
+    d = load(spark, sf_dir, "documents")
+    hk = D.md5_long(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "robust_outliers_orders",
+    f"""
+WITH it AS (
+  SELECT o_orderkey, o_orderpriority AS pri,
+         cast(round(cast(o_totalprice as {DEC}) * 100) as bigint) AS cents
+  FROM orders
+), med AS (
+  SELECT pri, cast(min(cents) as bigint) AS med_cents FROM (
+    SELECT pri, cents,
+           row_number() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS rn,
+           count(*) OVER (PARTITION BY pri) AS n
+    FROM it
+  ) WHERE 2 * rn >= n + 1 GROUP BY pri
+), dev AS (
+  SELECT it.o_orderkey, it.pri, it.cents, m.med_cents,
+         abs(it.cents - m.med_cents) AS ad
+  FROM it JOIN med m ON m.pri = it.pri
+), mad AS (
+  SELECT pri, cast(min(ad) as bigint) AS mad_cents FROM (
+    SELECT pri, ad,
+           row_number() OVER (PARTITION BY pri ORDER BY ad, o_orderkey) AS rn,
+           count(*) OVER (PARTITION BY pri) AS n
+    FROM dev
+  ) WHERE 2 * rn >= n + 1 GROUP BY pri
+)
+SELECT d.pri, cast(count(*) as bigint) AS n,
+       min(d.med_cents) AS med_cents, min(x.mad_cents) AS mad_cents,
+       cast(sum(CASE WHEN d.ad > 3 * x.mad_cents THEN 1 ELSE 0 END) as bigint) AS n_outliers
+FROM dev d JOIN mad x ON x.pri = d.pri
+GROUP BY d.pri
+""",
+)
+def robust_outliers_orders(spark, sf_dir):
+    """Robust outlier detection per group — exact integer median and
+    MAD (median absolute deviation), flagging |x − med| > 3·MAD. The
+    lower-median is rank-selected with a deterministic (value, key)
+    tie-break, so both engines pick the identical row; all arithmetic
+    in bigint cents (the weighted_median pattern extended to a
+    two-level robust statistic: med → deviations → med again). Two
+    window passes + two joins, all shuffled on the same group key."""
+    o = load(spark, sf_dir, "orders")
+    it = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+
+    def lower_median(df, val, out):
+        w = Window.partitionBy("pri").orderBy(F.col(val).asc(), F.col("o_orderkey").asc())
+        wn = Window.partitionBy("pri")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(2 * F.col("rn") >= F.col("n") + 1)
+            .groupBy("pri")
+            .agg(F.min(val).cast("long").alias(out))
+        )
+
+    med = lower_median(it, "cents", "med_cents")
+    dev = it.join(med, "pri").withColumn("ad", F.abs(F.col("cents") - F.col("med_cents")))
+    mad = lower_median(dev, "ad", "mad_cents")
+    return (
+        dev.join(mad, "pri")
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med_cents").alias("med_cents"),
+            F.min("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad_cents"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
