@@ -77,6 +77,17 @@ BENCH_QUERIES = [
     "od_matrix_daily",
     "twa_value_user",
     "skyline_customers",
+    # round 3
+    "incremental_neardup_decision",
+    "chunk_dedup_docs",
+    "kmeans_int_customers",
+    "khop_cheapest_doc_links",
+    "quadkey_pyramid_customers",
+    "raster_gradient_cells",
+    "vocab_coverage_docs",
+    "dwell_cells_user",
+    "map_match_smooth_events",
+    "fuzzy_title_join",
 ]
 
 
