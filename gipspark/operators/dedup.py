@@ -163,28 +163,36 @@ def minhash_index(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 2,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Persistable LSH index rows: (id, sig, band, bucket) — one row per
     (doc, band). Written once per corpus snapshot, this is the stored
     side of :func:`incremental_neardup`: new crawls join against it
     without ever recomputing (or even reading) old text. Band bucket =
-    md5_long of the band's joined signature slice."""
+    md5_long of the band's joined signature slice. ``carry`` names
+    extra input columns to keep on every row (the streaming twin
+    carries its event-time column through for the watermarked dedup).
+    """
     rows = n_hashes // bands
     # materialize the base shingle hashes once: ONE md5 per shingle,
     # one tokenization pass; the n_hashes signature lanes are cheap
     # integer mixes over the same array
     sh = df.select(
-        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), shingle_n).alias("__hs")
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), shingle_n).alias("__hs"),
+        *carry,
     )
     sig = sh.select(
         "id",
         F.array(*[F.array_min(F.transform(F.col("__hs"), _mix_i(i))) for i in range(n_hashes)]).alias(
             "sig"
         ),
+        *carry,
     )
     return sig.select(
         "id",
         "sig",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -198,7 +206,7 @@ def minhash_index(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "sig", *carry, "bb.band", "bb.bucket")
 
 
 def minhash_lsh_pairs(
@@ -259,37 +267,52 @@ def incremental_neardup(
     (near_dedup_decision on the new slice).
     """
     new_idx = minhash_index(new_docs, text_col, id_col, n_hashes, bands, shingle_n)
-    new_b = new_idx.select(F.col("id").alias("new_id"), "band", "bucket")
-    old_b = old_index.select(F.col("id").alias("old_id"), "band", "bucket")
-    cand = (
-        new_b.join(old_b, ["band", "bucket"])
-        .groupBy("new_id", "old_id")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+    # pairs arrive once per colliding band; countDistinct dedupes
+    ver = incremental_neardup_pairs(new_idx, old_index, n_hashes).groupBy("new_id").agg(
+        F.min("old_id").alias("dup_of"), F.countDistinct("old_id").alias("n_partners")
     )
-    new_sig = new_idx.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_n")).distinct()
-    old_sig = old_index.select(F.col("id").alias("old_id"), F.col("sig").alias("sig_o")).distinct()
-    agree = F.aggregate(
-        F.zip_with("sig_n", "sig_o", lambda a, b: (a == b).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    ver = (
-        cand.join(new_sig, "new_id")
-        .join(old_sig, "old_id")
-        .withColumn("__agree", agree)
-        .filter(2 * F.col("__agree") >= n_hashes)
-        .groupBy("new_id")
-        .agg(F.min("old_id").alias("dup_of"), F.count(F.lit(1)).alias("n_partners"))
-    )
+    new_sig = new_idx.select(F.col("id").alias("new_id")).distinct()
     return (
-        new_sig.select("new_id")
-        .join(ver, "new_id", "left")
+        new_sig.join(ver, "new_id", "left")
         .select(
             F.col("new_id").alias(id_col),
             F.col("dup_of").isNull().alias("keep"),
             "dup_of",
             F.coalesce(F.col("n_partners"), F.lit(0)).alias("n_partners"),
         )
+    )
+
+
+def incremental_neardup_pairs(
+    new_idx: DataFrame, old_index: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """Verified (new_id, old_id) pairs from a new-side minhash_index
+    frame against a stored one — the stage shared by the batch decision
+    and the streaming twin (streaming/dedup.py): band equi-join, then
+    the lane-agreement verify as a per-pair filter (no aggregate, so a
+    stream-static join stays stateless up to the final dedup). Pairs
+    may appear once per colliding band; callers dedupe (batch: the
+    groupBy; streaming: dropDuplicatesWithinWatermark)."""
+    new_b = new_idx.select(
+        F.col("id").alias("new_id"),
+        F.col("sig").alias("sig_n"),
+        "band",
+        "bucket",
+        *[c for c in new_idx.columns if c not in ("id", "sig", "band", "bucket")],
+    )
+    old_b = old_index.select(
+        F.col("id").alias("old_id"), F.col("sig").alias("sig_o"), "band", "bucket"
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_n", "sig_o", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        new_b.join(old_b, ["band", "bucket"])
+        .withColumn("__agree", agree)
+        .filter(2 * F.col("__agree") >= n_hashes)
+        .drop("band", "bucket", "sig_n", "sig_o", "__agree")
     )
 
 
