@@ -5967,6 +5967,85 @@ def robust_outliers_orders(spark, sf_dir):
     )
 
 
+# MMR (maximal marginal relevance) diversified top-k: λ = 0.5, exact
+# double parity via the same ordered fold both engines use for cosine.
+_MMR_K = 5
+
+
+def _mmr_oracle_sql() -> str:
+    def sim(a: str, b: str) -> str:
+        return (
+            f"{_DOT.format(a=a, b=b)} / (sqrt({_DOT.format(a=a, b=a)})"
+            f" * sqrt({_DOT.format(a=b, b=b)}))"
+        )
+
+    sql = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+base AS (
+  SELECT e.vec_id, e.embedding, {sim('e.embedding', 'q.embedding')} AS simq
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+),
+s1 AS (SELECT vec_id, embedding, 0.5 * simq - 0.5 * 0.0 AS score
+       FROM base ORDER BY score DESC, vec_id ASC LIMIT 1)"""
+    for t in range(2, _MMR_K + 1):
+        joins = " ".join(f"CROSS JOIN s{i} p{i}" for i in range(1, t))
+        not_in = ", ".join(f"p{i}.vec_id" for i in range(1, t))
+        sims = ", ".join(sim("b.embedding", f"p{i}.embedding") for i in range(1, t))
+        sql += f""",
+s{t} AS (
+  SELECT b.vec_id, b.embedding,
+         0.5 * b.simq - 0.5 * greatest(0.0, {sims}) AS score
+  FROM base b {joins}
+  WHERE b.vec_id NOT IN ({not_in})
+  ORDER BY score DESC, b.vec_id ASC LIMIT 1)"""
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT cast({t} as bigint) AS rank, vec_id, score FROM s{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return sql
+
+
+@register("mmr_diversified_topk", _mmr_oracle_sql())
+def mmr_diversified_topk(spark, sf_dir):
+    """Maximal marginal relevance — diversified top-k retrieval, the
+    data-curation selector that trades query relevance against
+    redundancy with already-picked items (λ=0.5):
+    score(c) = λ·sim(q,c) − (1−λ)·max(0, max_{s∈S} sim(c,s)). Each of
+    the k rounds is one NARROW pass (the newly selected vector rides as
+    a 64-double literal folded in codegen — no join, no shuffle) plus a
+    TakeOrdered argmin with a deterministic (score, id) tie-break; only
+    the k winning rows ever reach the driver (bounded, like the IVF
+    reservoir). Exactness: both engines compute the identical ordered
+    fold cosine and the identical 0.5·x − 0.5·y arithmetic, so the
+    greedy trajectory — argmax inclusive — is bit-reproducible; the
+    oracle unrolls the same k rounds as CTE chains."""
+    from gipspark.functions.vectors import cosine_sim
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    cands = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "embedding",
+        cosine_sim(F.col("embedding"), qlit).alias("simq"),
+        F.lit(0.0).alias("maxsim"),
+    )
+    picked = []
+    for t in range(1, _MMR_K + 1):
+        top = (
+            cands.withColumn("score", 0.5 * F.col("simq") - 0.5 * F.col("maxsim"))
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((t, top.vec_id, float(top.score)))
+        slit = F.array(*[F.lit(float(v)) for v in top.embedding])
+        cands = cands.filter(F.col("vec_id") != top.vec_id).withColumn(
+            "maxsim", F.greatest(F.col("maxsim"), cosine_sim(F.col("embedding"), slit))
+        )
+    return spark.createDataFrame(picked, "rank long, vec_id long, score double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
