@@ -69,6 +69,94 @@ def geohash_col(lat: Column, lon: Column, precision: int = 8) -> Column:
     return F.concat(*chars)
 
 
+# inverse of SPREAD_STEPS: compact every other bit back into 20 bits
+COMPACT_STEPS: tuple[tuple[int, int], ...] = (
+    (1, 0x3333333333333333),
+    (2, 0x0F0F0F0F0F0F0F0F),
+    (4, 0x00FF00FF00FF00FF),
+    (8, 0x0000FFFF0000FFFF),
+    (16, 0x00000000000FFFFF),
+)
+
+
+def _compact(x: Column) -> Column:
+    x = x.bitwiseAND(F.lit(0x5555555555555555))
+    for shift, mask in COMPACT_STEPS:
+        x = (x.bitwiseOR(F.shiftright(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def geohash_decode(gh: Column, precision: int = 8) -> Column:
+    """struct(lat, lon) — the CENTER of a precision-8 geohash cell.
+
+    Exact inverse of :func:`geohash_col` up to the quantization grid:
+    base32 chars → 40-bit Morton code (array_position, JVM),
+    de-interleave with the standard compaction sequence, then
+    center = lo + (q + 0.5)·span/2^20 — every step a power-of-two
+    scale, so both engines produce the identical double.
+
+    ``gh`` and the Morton code are each bound ONCE as lambda variables
+    (the shingles one-bind trick): the compact chain references its
+    input 2^5 times, and inlining the full upstream expression at every
+    reference makes Catalyst analysis blow up combinatorially.
+    """
+    if precision != 8:
+        raise ValueError("decode expects full precision-8 geohashes")
+    alphabet = F.array(*[F.lit(c) for c in BASE32])
+
+    def z_of(g: Column) -> Column:
+        z = F.lit(0).cast("long")
+        for j in range(precision):
+            idx = (F.array_position(alphabet, F.substring(g, j + 1, 1)) - 1).cast("long")
+            z = z.bitwiseOR(F.shiftleft(idx, 5 * (8 - 1 - j)))
+        return z
+
+    def center_of(zv: Column) -> Column:
+        xq = _compact(F.shiftright(zv, 1))
+        yq = _compact(zv)
+        lat = F.lit(-90.0) + (yq.cast("double") + F.lit(0.5)) * F.lit(180.0) / F.lit(
+            float(1 << QBITS)
+        )
+        lon = F.lit(-180.0) + (xq.cast("double") + F.lit(0.5)) * F.lit(360.0) / F.lit(
+            float(1 << QBITS)
+        )
+        return F.struct(lat.alias("lat"), lon.alias("lon"))
+
+    return F.transform(
+        F.array(gh), lambda g: F.transform(F.array(z_of(g)), center_of)[0]
+    )[0]
+
+
+def geohash_decode_sql(gh_expr: str, key_expr: str, table_sql: str) -> str:
+    """DuckDB mirror of :func:`geohash_decode`: returns a SELECT
+    yielding (key, dec_lat, dec_lon) over ``table_sql``."""
+    z_terms = " | ".join(
+        f"((strpos('{BASE32}', substr({gh_expr}, {j + 1}, 1)) - 1) << {5 * (8 - 1 - j)})"
+        for j in range(8)
+    )
+    steps = []
+    x, y = "x0", "y0"
+    for i, (shift, mask) in enumerate(COMPACT_STEPS):
+        nx, ny = f"x{i + 1}", f"y{i + 1}"
+        steps.append(
+            f"d{i} AS (SELECT key, (({x} | ({x} >> {shift})) & {mask}) AS {nx}, "
+            f"(({y} | ({y} >> {shift})) & {mask}) AS {ny} FROM d{'z' if i == 0 else i - 1})"
+        )
+        x, y = nx, ny
+    return f"""
+WITH dsrc AS ({table_sql}),
+dz AS (SELECT {key_expr} AS key,
+              ((({z_terms}) >> 1) & 6148914691236517205) AS x0,
+              (({z_terms}) & 6148914691236517205) AS y0
+       FROM dsrc),
+{", ".join(steps)}
+SELECT key,
+       -90.0 + (cast({y} as double) + 0.5) * 180.0 / {float(1 << QBITS)} AS dec_lat,
+       -180.0 + (cast({x} as double) + 0.5) * 360.0 / {float(1 << QBITS)} AS dec_lon
+FROM d{len(COMPACT_STEPS) - 1}
+"""
+
+
 def geohash_sql(lat_expr: str, lon_expr: str, key_expr: str, table_sql: str, precision: int = 8) -> str:
     """DuckDB oracle: same quantize→spread→interleave→base32, mirrored
     textually as a CTE chain (linear SQL size — inlining the five

@@ -6046,6 +6046,65 @@ def mmr_diversified_topk(spark, sf_dir):
     return spark.createDataFrame(picked, "rank long, vec_id long, score double")
 
 
+def _geohash_roundtrip_oracle() -> str:
+    from gipspark.functions.geohash import geohash_decode_sql, geohash_sql
+
+    enc = geohash_sql(
+        _LAT.format(k="c_custkey"),
+        _LON.format(k="c_custkey"),
+        "c_custkey",
+        "SELECT c_custkey FROM customer",
+    )
+    dec = geohash_decode_sql("gh", "key", enc)
+    half_lat = 180.0 / (1 << 21)
+    half_lon = 360.0 / (1 << 21)
+    return f"""
+WITH rt AS ({dec}),
+orig AS (SELECT c_custkey AS key,
+                {_LAT.format(k='c_custkey')} AS lat,
+                {_LON.format(k='c_custkey')} AS lon
+         FROM customer)
+SELECT o.key AS c_custkey, r.dec_lat, r.dec_lon,
+       (abs(r.dec_lat - o.lat) <= {half_lat!r} AND abs(r.dec_lon - o.lon) <= {half_lon!r}) AS ok
+FROM rt r JOIN orig o ON o.key = r.key
+"""
+
+
+@register("geohash_decode_roundtrip", _geohash_roundtrip_oracle())
+def geohash_decode_roundtrip(spark, sf_dir):
+    """Geohash DECODE (the inverse interop path: external geohashed data
+    → coordinates): base32 → 40-bit Morton code → bit compaction →
+    cell-center doubles, all power-of-two arithmetic so both engines
+    emit the identical value; the roundtrip flag asserts every decoded
+    center sits within half a quantization cell of the original point.
+    Pure codegen — array_position + shifts, no UDF, no shuffle."""
+    from gipspark.functions.geohash import geohash_decode
+
+    half_lat = 180.0 / (1 << 21)
+    half_lon = 360.0 / (1 << 21)
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    dec = pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        geohash_decode(geohash_col(F.col("lat"), F.col("lon"), 8)).alias("d"),
+    )
+    return dec.select(
+        "c_custkey",
+        F.col("d.lat").alias("dec_lat"),
+        F.col("d.lon").alias("dec_lon"),
+        (
+            (F.abs(F.col("d.lat") - F.col("lat")) <= half_lat)
+            & (F.abs(F.col("d.lon") - F.col("lon")) <= half_lon)
+        ).alias("ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -58,3 +58,35 @@ def test_matches_bisection_reference(spark, precision):
     got = _spark_geohash(spark, pts, precision)
     ref = [_geohash_ref(la, lo, precision) for la, lo in pts]
     assert got == ref
+
+
+def test_decode_roundtrip_within_half_cell(spark):
+    from gipspark.functions.geohash import QBITS, geohash_decode
+
+    rng = np.random.default_rng(17)
+    pts = [
+        (float(la), float(lo))
+        for la, lo in zip(
+            np.concatenate([rng.uniform(-90, 90, 200), [89.99, -89.99, 0.0]]),
+            np.concatenate([rng.uniform(-180, 180, 200), [179.99, -179.99, 0.0]]),
+        )
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = df.select(
+        "lat",
+        "lon",
+        geohash_decode(geohash_col(F.col("lat"), F.col("lon"), 8)).alias("d"),
+    ).collect()
+    half_lat, half_lon = 180.0 / (1 << (QBITS + 1)), 360.0 / (1 << (QBITS + 1))
+    for r in rows:
+        assert abs(r.d.lat - r.lat) <= half_lat + 1e-12, (r.lat, r.d.lat)
+        assert abs(r.d.lon - r.lon) <= half_lon + 1e-12, (r.lon, r.d.lon)
+
+
+def test_decode_known_vector(spark):
+    from gipspark.functions.geohash import geohash_decode
+
+    # u4pruydq decodes near the published (57.64911, 10.40744) example
+    df = spark.createDataFrame([("u4pruydqqvj8",)], "gh string")
+    r = df.select(geohash_decode(F.substring("gh", 1, 8)).alias("d")).collect()[0]
+    assert abs(r.d.lat - 57.64911) < 0.001 and abs(r.d.lon - 10.40744) < 0.001
