@@ -6105,6 +6105,147 @@ def geohash_decode_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "merge_upsert_customers",
+    f"""
+WITH base AS (
+  SELECT c_custkey, c_name, cast(c_acctbal as decimal(12,2)) AS bal
+  FROM customer
+), changes AS (
+  SELECT c_custkey,
+         CASE WHEN {D.MD5_LONG_SQL.format(x="concat('del:', cast(c_custkey as varchar))")} % 100 < 5 THEN 'D'
+              WHEN {D.MD5_LONG_SQL.format(x="concat('upd:', cast(c_custkey as varchar))")} % 100 < 20 THEN 'U'
+         END AS op,
+         cast(c_acctbal as decimal(12,2)) + 100 AS new_bal
+  FROM customer
+  WHERE {D.MD5_LONG_SQL.format(x="concat('chg:', cast(c_custkey as varchar))")} % 100 < 30
+), ins AS (
+  SELECT c_custkey + 10000000 AS c_custkey, 'I' AS op,
+         cast(1.00 as decimal(12,2)) AS new_bal
+  FROM customer WHERE c_custkey % 97 = 0
+), cs AS (
+  SELECT c_custkey, op, new_bal FROM changes WHERE op IS NOT NULL
+  UNION ALL SELECT c_custkey, op, new_bal FROM ins
+)
+SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+       CASE WHEN c.op = 'U' THEN cast(c.new_bal as double)
+            WHEN c.op = 'I' THEN cast(c.new_bal as double)
+            ELSE cast(b.bal as double) END AS bal,
+       coalesce(c.op, 'K') AS action
+FROM base b FULL OUTER JOIN cs c ON b.c_custkey = c.c_custkey
+WHERE c.op IS DISTINCT FROM 'D'
+""",
+)
+def merge_upsert_customers(spark, sf_dir):
+    """MERGE INTO semantics without a catalog (the Iceberg MERGE path is
+    jar-blocked in this sandbox — SURVEY §10): apply a deterministic
+    change-set (5% deletes, 20% updates, sparse inserts) to the base
+    table with ONE full-outer join on the key — matched+update rewrites
+    the value, matched+delete drops the row, unmatched insert appends,
+    everything else passes through. This is exactly the shuffle shape a
+    real MERGE plans (join on merge key, one pass); on Iceberg the same
+    frame lands via overwrite-by-filter."""
+    c = load(spark, sf_dir, "customer")
+    base = c.select("c_custkey", F.col("c_acctbal").cast("decimal(12,2)").alias("bal"))
+    h = lambda tag: D.md5_long(F.concat(F.lit(tag), F.col("c_custkey").cast("string"))) % 100  # noqa: E731
+    changes = (
+        c.filter(h("chg:") < 30)
+        .select(
+            "c_custkey",
+            F.when(h("del:") < 5, F.lit("D")).when(h("upd:") < 20, F.lit("U")).alias("op"),
+            (F.col("c_acctbal").cast("decimal(12,2)") + 100).alias("new_bal"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+    ins = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.lit(1.00).cast("decimal(12,2)").alias("new_bal"),
+    )
+    cs = changes.unionByName(ins)
+    merged = base.alias("b").join(
+        cs.alias("c"), F.col("b.c_custkey") == F.col("c.c_custkey"), "full_outer"
+    )
+    return merged.filter(
+        ~F.col("c.op").eqNullSafe("D")
+    ).select(
+        F.coalesce(F.col("b.c_custkey"), F.col("c.c_custkey")).alias("c_custkey"),
+        F.when(F.col("c.op").isin("U", "I"), F.col("c.new_bal").cast("double"))
+        .otherwise(F.col("b.bal").cast("double"))
+        .alias("bal"),
+        F.coalesce(F.col("c.op"), F.lit("K")).alias("action"),
+    )
+
+
+@register(
+    "scd2_price_history",
+    """
+WITH snaps AS (
+  SELECT p_partkey, cast(o_orderdate as date) AS snap_date,
+         cast(min(cast(round(cast(l_extendedprice as decimal(18,2)) * 100) as bigint)
+                  // cast(l_quantity as bigint)) as bigint) AS unit_price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               JOIN part ON l_partkey = p_partkey
+  WHERE p_partkey < 200
+  GROUP BY p_partkey, snap_date
+), changed AS (
+  SELECT p_partkey, snap_date, unit_price,
+         lag(unit_price) OVER w AS prev_price
+  FROM snaps WINDOW w AS (PARTITION BY p_partkey ORDER BY snap_date)
+), versions AS (
+  SELECT p_partkey, snap_date AS valid_from, unit_price
+  FROM changed WHERE prev_price IS NULL OR unit_price <> prev_price
+)
+SELECT p_partkey, valid_from,
+       coalesce(lead(valid_from) OVER (PARTITION BY p_partkey ORDER BY valid_from),
+                cast('9999-12-31' as date)) AS valid_to,
+       unit_price AS unit_cents,
+       lead(valid_from) OVER (PARTITION BY p_partkey ORDER BY valid_from) IS NULL AS is_current
+FROM versions
+""",
+)
+def scd2_price_history(spark, sf_dir):
+    """SCD type-2 history build: per-part daily price snapshots collapse
+    into validity intervals — keep only change rows (lag compare), then
+    close each version with the next version's start (lead), open-ended
+    current rows at the 9999-12-31 sentinel. Unit price in integer
+    cents via floor division (exact on both engines). Two windows + the final
+    projection all share the single shuffle on the dimension key — the
+    standard warehouse dimension-history pipeline."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    snaps = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", F.col("o_orderdate").cast("date").alias("snap_date"))
+        .agg(
+            F.min(
+                F.floor(
+                    F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+                    / F.col("l_quantity").cast("long")
+                )
+            )
+            .cast("long")
+            .alias("unit_price")
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("snap_date")
+    changed = snaps.withColumn("prev_price", F.lag("unit_price").over(w))
+    versions = changed.filter(
+        F.col("prev_price").isNull() | (F.col("unit_price") != F.col("prev_price"))
+    ).select("p_partkey", F.col("snap_date").alias("valid_from"), "unit_price")
+    w2 = Window.partitionBy("p_partkey").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return versions.select(
+        "p_partkey",
+        "valid_from",
+        F.coalesce(nxt, F.lit("9999-12-31").cast("date")).alias("valid_to"),
+        F.col("unit_price").alias("unit_cents"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
