@@ -119,3 +119,41 @@ def hits_int(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
         )
     )
+
+
+def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` iterations of "drop every node
+    with degree < k, then drop edges touching dropped nodes" over an
+    UNDIRECTED edge set (columns a, b from :func:`undirect`).
+
+    Returns (node, degree) for survivors after the last peel, with the
+    degree measured in the surviving subgraph. Full k-core = peel to
+    fixpoint (≤ n rounds); the bounded form keeps the work per round to
+    one degree aggregate + two semi-joins and makes the oracle a finite
+    unrolled recursion — at web scale the peel count is the classic
+    degeneracy-ordering sweep and converges in tens of rounds.
+    Lineage is cut per round (components.py discipline) so the plan
+    does not deepen multiplicatively.
+    """
+    cur = edges
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

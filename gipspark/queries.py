@@ -6246,6 +6246,63 @@ def scd2_price_history(spark, sf_dir):
     )
 
 
+_KCORE_K = 5
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle_sql() -> str:
+    sql = f"""
+WITH raw AS (
+  SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+e0 AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst GROUP BY a, b
+)"""
+    for r in range(_KCORE_ROUNDS):
+        sql += f""",
+deg{r} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{r} UNION ALL SELECT b AS node FROM e{r}
+  ) GROUP BY node),
+keep{r} AS (SELECT node FROM deg{r} WHERE deg >= {_KCORE_K}),
+e{r + 1} AS (
+  SELECT a, b FROM e{r}
+  WHERE a IN (SELECT node FROM keep{r}) AND b IN (SELECT node FROM keep{r}))"""
+    sql += f"""
+SELECT node, cast(count(*) as bigint) AS degree FROM (
+  SELECT a AS node FROM e{_KCORE_ROUNDS} UNION ALL SELECT b AS node FROM e{_KCORE_ROUNDS}
+) GROUP BY node HAVING count(*) >= {_KCORE_K}
+"""
+    return sql
+
+
+@register("kcore_doc_links", _kcore_oracle_sql())
+def kcore_doc_links(spark, sf_dir):
+    """Bounded k-core peeling (k=3) over the undirected doc link graph
+    — the web-graph denoising op that strips low-degree fringe before
+    community/centrality analysis. Each round = one map-side-combinable
+    degree aggregate + two semi-joins, lineage cut between rounds
+    (operators/graph.kcore); the oracle unrolls the same peels."""
+    from gipspark.operators.graph import kcore, undirect
+
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    raw = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    return kcore(undirect(raw), k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
