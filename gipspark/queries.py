@@ -6303,6 +6303,121 @@ def kcore_doc_links(spark, sf_dir):
     return kcore(undirect(raw), k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
+@register(
+    "embedding_int8_quantize",
+    f"""
+WITH scaled AS (
+  SELECT vec_id,
+         127.0 / list_max(list_transform(embedding, v -> abs(v::double))) AS scale
+  FROM embeddings WHERE vec_id < 100
+), q AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(e.embedding, v -> cast(floor(v::double * s.scale + 0.5) as bigint)) AS qvec,
+         s.scale
+  FROM embeddings e JOIN scaled s ON s.vec_id = e.vec_id
+)
+SELECT vec_id,
+       cast(list_min(qvec) as bigint) AS q_min,
+       cast(list_max(qvec) as bigint) AS q_max,
+       cast(list_reduce(qvec, (a, b) -> a + b) as bigint) AS q_sum,
+       cast(round(list_reduce(
+         list_transform(generate_series(1, len(qvec)), i ->
+           (embedding[i]::double - qvec[i] / scale)
+           * (embedding[i]::double - qvec[i] / scale)),
+         (a, b) -> a + b) * 1000000000.0, 0) as bigint) AS err_ticks
+FROM q
+""",
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the storage/bandwidth op
+    every vector pipeline runs before writing an index): per-vector
+    scale 127/max|v|, q = floor(v·scale + 0.5) — floor of identical
+    doubles, not round(), so both engines agree bit-for-bit at .5
+    boundaries — plus the reconstruction squared error in integer
+    nano-ticks via the same ordered fold as cosine. Narrow: two
+    higher-order-function passes inside the scan stage, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    absmax = F.array_max(F.transform("embedding", lambda v: F.abs(v.cast("double"))))
+    scaled = emb.select("vec_id", "embedding", (F.lit(127.0) / absmax).alias("scale"))
+    qvec = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * F.col("scale") + F.lit(0.5)).cast("long"),
+    )
+    q = scaled.select("vec_id", "embedding", "scale", qvec.alias("qvec"))
+    diff = F.zip_with(
+        "embedding",
+        "qvec",
+        lambda v, qq: (v.cast("double") - qq.cast("double") / F.col("scale"))
+        * (v.cast("double") - qq.cast("double") / F.col("scale")),
+    )
+    err = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    return q.select(
+        "vec_id",
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
+        F.round(err * 1000000000.0, 0).cast("long").alias("err_ticks"),
+    )
+
+
+@register(
+    "skew_diagnostics_lineitem",
+    """
+WITH counts AS (
+  SELECT l_suppkey AS key, count(*) AS c FROM lineitem GROUP BY key
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c ASC, key ASC) AS i,
+         count(*) OVER () AS nk, sum(c) OVER () AS tot
+  FROM counts
+)
+SELECT cast(min(nk) as bigint) AS n_keys,
+       cast(min(tot) as bigint) AS total_rows,
+       cast(max(c) as bigint) AS max_n,
+       cast(min(CASE WHEN 2 * i >= nk + 1 THEN c END) as bigint) AS p50_n,
+       cast(min(CASE WHEN 100 * i >= 99 * nk THEN c END) as bigint) AS p99_n,
+       cast((1000000 * max(c)) // min(tot) as bigint) AS top1_ppm,
+       cast(2 * sum(i * c) - (min(nk) + 1) * min(tot) as bigint) AS gini_num,
+       cast(min(nk) * min(tot) as bigint) AS gini_den
+FROM ranked
+""",
+)
+def skew_diagnostics_lineitem(spark, sf_dir):
+    """Join-key skew diagnostics — the profiling aggregate behind every
+    broadcast/salt/AQE decision (operators/skew.py picks its split from
+    exactly these statistics): per-key count distribution reduced to
+    exact integers — key count, max, lower-median and p99 counts
+    (rank-selected with deterministic tie-breaks), top-1 share in ppm,
+    and the Gini coefficient as an exact rational
+    (2·Σi·cᵢ − (n+1)·Σc) / (n·Σc) over ascending-sorted counts. One
+    count aggregate + one global-window rank; the whole profile is one
+    row regardless of table size. The global rank runs on the per-KEY
+    count table (suppliers here — dim-bounded); for billion-key domains
+    swap the exact rank for approx_percentile over the counts and keep
+    the integer shares."""
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").asc(), F.col("key").asc())
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("nk"),
+        F.sum("c").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.min("nk").cast("long").alias("n_keys"),
+        F.min("tot").cast("long").alias("total_rows"),
+        F.max("c").cast("long").alias("max_n"),
+        F.min(F.when(2 * F.col("i") >= F.col("nk") + 1, F.col("c"))).cast("long").alias("p50_n"),
+        F.min(F.when(100 * F.col("i") >= 99 * F.col("nk"), F.col("c"))).cast("long").alias("p99_n"),
+        F.floor((1000000 * F.max("c")) / F.min("tot")).cast("long").alias("top1_ppm"),
+        (2 * F.sum(F.col("i") * F.col("c")) - (F.min("nk") + 1) * F.min("tot"))
+        .cast("long")
+        .alias("gini_num"),
+        (F.min("nk") * F.min("tot")).cast("long").alias("gini_den"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
