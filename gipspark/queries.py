@@ -6418,6 +6418,112 @@ def skew_diagnostics_lineitem(spark, sf_dir):
     )
 
 
+# end-to-end curation pipeline: repetition gate → quality gate → exact
+# dedup → verified near-dup drop → exact-k per-source sample. Every
+# stage reuses an already-oracled component; the composition is the
+# point (this is the flagship LLM-corpus flow).
+_CUR_QUALITY_MIN = 0.55
+_CUR_SAMPLE_K = 10
+
+
+def _curation_oracle_sql() -> str:
+    sh3_all = D.shingles_all_sql("text", 3)
+    sh3 = D.shingles_sql("text", 3)
+    sh2 = D.shingles_sql("text", 2)
+    m = D._MASK30
+    base_hash = "(" + D.MD5_LONG_SQL.format(x="s") + f") & {m}"
+    mins = ",".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) & {m})) AS h{i}"
+        for i, (a, b) in ((j, D._mix_consts(j)) for j in range(8))
+    )
+    rep_ppm = f"(CASE WHEN len({sh3_all}) = 0 THEN 0 ELSE ((len({sh3_all}) - len({sh3})) * 1000000) // len({sh3_all}) END)"
+    smp = D.MD5_LONG_SQL.format(x="concat('cur:', cast(doc_id as varchar))")
+    return f"""
+WITH s0 AS (SELECT doc_id, source, text FROM documents),
+gate AS (
+  SELECT doc_id FROM s0
+  WHERE {rep_ppm} <= 50000 AND ({T.quality_score_sql('text')}) >= {_CUR_QUALITY_MIN}
+),
+ex AS (
+  SELECT min(s0.doc_id) AS doc_id
+  FROM s0 JOIN gate USING (doc_id) GROUP BY md5(s0.text)
+),
+surv2 AS (SELECT s0.doc_id, s0.source, s0.text FROM s0 JOIN ex USING (doc_id)),
+cbase AS (SELECT doc_id, {sh2} AS sh FROM surv2),
+chashed AS (SELECT doc_id, list_transform(sh, s -> {base_hash}) AS hs FROM cbase),
+csig AS (SELECT doc_id, {mins} FROM chashed),
+{_banded_sql('c', 8, 4)},
+ccand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cbanded a JOIN cbanded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+csz AS (SELECT doc_id, sh, len(sh) AS sz FROM cbase),
+cver AS (
+  SELECT c.id_b
+  FROM ccand c JOIN csz a ON a.doc_id = c.id_a JOIN csz b ON b.doc_id = c.id_b
+  WHERE 2 * len(list_intersect(a.sh, b.sh)) >= a.sz + b.sz - len(list_intersect(a.sh, b.sh))
+),
+surv3 AS (
+  SELECT s.doc_id, s.source FROM surv2 s
+  WHERE s.doc_id NOT IN (SELECT id_b FROM cver)
+)
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {smp}, doc_id) AS rk
+  FROM surv3
+) WHERE rk <= {_CUR_SAMPLE_K}
+"""
+
+
+@register("curation_pipeline_docs", _curation_oracle_sql())
+def curation_pipeline_docs(spark, sf_dir):
+    """The composed LLM-corpus curation flow, end to end in one plan:
+    Gopher repetition gate (scan-stage HOFs) → surface-quality gate
+    (same stage) → exact dedup (one digest hash-agg, keep min id) →
+    MinHash-LSH near-dup with exact-Jaccard verify (candidate-bounded
+    self-join, drop docs with a smaller verified partner) → exact-k
+    per-source sample (salted-md5 rank, WindowGroupLimit). Every stage
+    is an already-oracled component; what this query proves is the
+    COMPOSITION — stage order, survivor flow, and the single plan
+    Catalyst builds for it (gates pushed into the scan, one digest
+    shuffle, one band shuffle, one sample shuffle)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_tri = F.size(D.shingles_all(F.col("text"), 3))
+    n_uniq = F.size(D.shingles(F.col("text"), 3))
+    rep_ppm = F.when(n_tri == 0, F.lit(0).cast("long")).otherwise(
+        ((n_tri.cast("long") - n_uniq.cast("long")) * 1000000) / n_tri.cast("long")
+    )
+    gated = d.filter(
+        (F.floor(rep_ppm) <= 50000) & (T.quality_score(F.col("text")) >= _CUR_QUALITY_MIN)
+    )
+    keep = gated.groupBy(F.md5("text").alias("__dig")).agg(F.min("doc_id").alias("doc_id"))
+    surv2 = d.join(keep.select("doc_id"), "doc_id")
+    cand = D.minhash_lsh_pairs(surv2, n_hashes=8, bands=4, shingle_n=2).select("id_a", "id_b")
+    sh = surv2.select(
+        F.col("doc_id").alias("sid"), D.shingles(F.col("text"), 2).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    ver = (
+        cand.join(
+            sh.select(F.col("sid").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("sid").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(2 * F.col("common") >= F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    )
+    drops = ver.select(F.col("id_b").alias("doc_id")).distinct()
+    surv3 = surv2.join(drops, "doc_id", "left_anti").select("doc_id", "source")
+    smp = D.md5_long(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(smp.asc(), F.col("doc_id").asc())
+    return (
+        surv3.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _CUR_SAMPLE_K)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
