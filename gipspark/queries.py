@@ -6524,6 +6524,128 @@ def curation_pipeline_docs(spark, sf_dir):
     )
 
 
+@register(
+    "decayed_tile_heat",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         cast(ts as date) AS d FROM events
+), anchor AS (SELECT max(cast(ts as date)) AS mx FROM events)
+SELECT {C.TILE_SQL.format(lat='lat', lon='lon')} AS tile_id,
+       cast(sum(1::bigint << (30 - least(cast(a.mx - d as int), 30))) as bigint) AS heat_ticks,
+       cast(count(*) as bigint) AS n
+FROM pts CROSS JOIN anchor a
+GROUP BY tile_id
+""",
+)
+def decayed_tile_heat(spark, sf_dir):
+    """Freshness-weighted tile density: each event contributes
+    2^(30 − age_days) ticks (half-life = 1 day), so the heat map decays
+    exponentially without a single float — shifts of 1L are EXACT
+    bigints, the sum is exact, and both engines agree regardless of sum
+    order (the float version would be order-dependent). Ages clamp at
+    30 days (contribution 1 tick). Anchor = max event date (1-row
+    broadcast); one map-side-combinable aggregate on tile id."""
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    pts = ev.select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    # shiftleft's DSL binding takes only an int literal; the SQL form
+    # shifts by a column
+    ticks = F.expr("shiftleft(cast(1 as bigint), cast(30 - least(datediff(mx, d), 30) as int))")
+    return (
+        pts.crossJoin(F.broadcast(anchor))
+        .groupBy(C.tile_of(F.col("lat"), F.col("lon")).alias("tile_id"))
+        .agg(F.sum(ticks).alias("heat_ticks"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "rate_anomaly_users",
+    """
+WITH perminute AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events GROUP BY user_id, minute
+)
+SELECT user_id,
+       cast(count(*) as bigint) AS active_minutes,
+       cast(max(n) as bigint) AS peak_per_minute,
+       cast(sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END) as bigint) AS burst_minutes,
+       max(n) >= 5 AS flagged
+FROM perminute GROUP BY user_id
+""",
+)
+def rate_anomaly_users(spark, sf_dir):
+    """Rate-anomaly (bot) flags: per-user per-minute event counts, peak
+    rate, burst minutes, and a threshold flag — the abuse-detection
+    rollup every crawl/event pipeline runs. Two map-side-combinable
+    aggregates sharing the user_id shuffle."""
+    ev = load(spark, sf_dir, "events")
+    pm = ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return pm.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("active_minutes"),
+        F.max("n").alias("peak_per_minute"),
+        F.sum(F.when(F.col("n") >= 3, 1).otherwise(0)).cast("long").alias("burst_minutes"),
+        (F.max("n") >= 5).alias("flagged"),
+    )
+
+
+@register(
+    "wow_delta_orders",
+    f"""
+WITH weekly AS (
+  SELECT date_trunc('week', cast(o_orderdate as date)) AS wk, o_orderpriority AS pri,
+         cast(count(*) as bigint) AS n,
+         cast(sum(cast(round(cast(o_totalprice as {DEC}) * 100) as bigint)) as bigint) AS cents
+  FROM orders GROUP BY wk, pri
+)
+SELECT wk, pri, n, cents,
+       n - lag(n) OVER w AS n_delta,
+       cents - lag(cents) OVER w AS cents_delta,
+       CASE WHEN lag(n) OVER w IS NULL OR lag(n) OVER w = 0 THEN NULL
+            ELSE (CASE WHEN n >= lag(n) OVER w THEN 1 ELSE -1 END)
+                 * ((abs(n - lag(n) OVER w) * 10000) // lag(n) OVER w) END AS n_delta_bp
+FROM weekly WINDOW w AS (PARTITION BY pri ORDER BY wk)
+""",
+)
+def wow_delta_orders(spark, sf_dir):
+    """Week-over-week deltas per priority: weekly rollup then lag
+    windows for absolute and basis-point changes (integer floor
+    division — no float ratios). One shuffle on the group key shared by
+    the aggregate and the window."""
+    o = load(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date")).cast("date").alias("wk"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice").cast(DEC) * 100).cast("long")).alias("cents"),
+    )
+    w = Window.partitionBy("pri").orderBy("wk")
+    lag_n, lag_c = F.lag("n").over(w), F.lag("cents").over(w)
+    return weekly.select(
+        "wk",
+        "pri",
+        "n",
+        "cents",
+        (F.col("n") - lag_n).alias("n_delta"),
+        (F.col("cents") - lag_c).alias("cents_delta"),
+        F.when(lag_n.isNull() | (lag_n == 0), F.lit(None).cast("long"))
+        .otherwise(
+            # sign-split keeps the integer division non-negative, where
+            # Spark floor() and DuckDB // agree (they differ on negatives)
+            F.when(F.col("n") >= lag_n, F.lit(1)).otherwise(F.lit(-1))
+            * F.floor((F.abs(F.col("n") - lag_n) * 10000) / lag_n).cast("long")
+        )
+        .alias("n_delta_bp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

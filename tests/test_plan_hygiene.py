@@ -34,6 +34,7 @@ CROSS_OK = {
     "local_moran_hotspots",  # 1-row moment broadcast into the lattice
     "chisq_contrib_lang_source",  # 1-row grand-total broadcast into the table
     "kmeans_int_customers",  # K=5-row centroid broadcast per round (literal key folds to NL)
+    "decayed_tile_heat",  # 1-row max-date anchor broadcast into the point table
 }
 
 
