@@ -135,3 +135,16 @@ def read_incremental(
     if not added:
         return read_snapshot(spark, table_dir, sid).limit(0)
     return spark.read.parquet(*added)
+
+
+def compact_snapshots(
+    spark: SparkSession, table_dir: str, target_files: int = 4
+) -> int:
+    """Small-files compaction: rewrite the CURRENT snapshot's contents
+    into ``target_files`` files and commit the result as an overwrite
+    snapshot. Readers pinned to older ids keep working (their files are
+    immutable); the new current reads the same rows from fewer files —
+    the lake-maintenance op that keeps 10^12-row tables scannable after
+    many small appends. Returns the new snapshot id."""
+    cur = read_snapshot(spark, table_dir)
+    return commit_snapshot(cur.coalesce(target_files), table_dir, operation="overwrite")

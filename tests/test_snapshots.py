@@ -95,3 +95,18 @@ def test_composes_with_incremental_dedup(spark, tmp_path):
         ).collect()
     }
     assert out == {10: False, 11: True}
+
+
+def test_compaction_preserves_rows_and_shrinks_files(spark, tmp_path):
+    from gipspark.sources.snapshots import compact_snapshots, _load_manifest
+
+    t = str(tmp_path / "tbl")
+    for batch in ([1, 2], [3], [4, 5], [6]):
+        commit_snapshot(_docs(spark, batch).repartition(4), t, operation="append")
+    before = _load_manifest(t, current_snapshot_id(t))
+    sid = compact_snapshots(spark, t, target_files=2)
+    after = _load_manifest(t, sid)
+    assert len(after["files"]) < len(before["files"])
+    assert {r.doc_id for r in read_snapshot(spark, t).collect()} == {1, 2, 3, 4, 5, 6}
+    # time travel to the pre-compaction snapshot still works
+    assert {r.doc_id for r in read_snapshot(spark, t, sid - 1).collect()} == {1, 2, 3, 4, 5, 6}
