@@ -6646,6 +6646,123 @@ def wow_delta_orders(spark, sf_dir):
     )
 
 
+@register(
+    "table_profile_orders",
+    f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, cast(o_orderdate as date) AS d,
+         cast(round(cast(o_totalprice as {DEC}) * 100) as bigint) AS cents
+  FROM orders
+)
+SELECT 'o_custkey' AS col, cast(count(*) as bigint) AS n,
+       cast(count(o_custkey) as bigint) AS n_nonnull,
+       cast(count(DISTINCT o_custkey) as bigint) AS ndv,
+       cast(min(o_custkey) as varchar) AS min_v, cast(max(o_custkey) as varchar) AS max_v
+FROM base
+UNION ALL
+SELECT 'o_orderstatus', cast(count(*) as bigint), cast(count(o_orderstatus) as bigint),
+       cast(count(DISTINCT o_orderstatus) as bigint),
+       cast(min(o_orderstatus) as varchar), cast(max(o_orderstatus) as varchar)
+FROM base
+UNION ALL
+SELECT 'd', cast(count(*) as bigint), cast(count(d) as bigint),
+       cast(count(DISTINCT d) as bigint), cast(min(d) as varchar), cast(max(d) as varchar)
+FROM base
+UNION ALL
+SELECT 'cents', cast(count(*) as bigint), cast(count(cents) as bigint),
+       cast(count(DISTINCT cents) as bigint), cast(min(cents) as varchar), cast(max(cents) as varchar)
+FROM base
+""",
+)
+def table_profile_orders(spark, sf_dir):
+    """ANALYZE-style table profile: per-column row count, non-null
+    count, exact NDV, and min/max rendered as strings so one result
+    schema serves every column type — the statistics CBO/skew planning
+    feed on. One pass per column group, all map-side-combinable except
+    the exact distinct (which at 10^12 rows swaps to the HLL sketch
+    contract in approx_vs_exact_distinct)."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+
+    def prof(col):
+        return base.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("ndv"),
+            F.min(col).cast("string").alias("min_v"),
+            F.max(col).cast("string").alias("max_v"),
+        )
+    out = prof("o_custkey")
+    for c in ("o_orderstatus", "d", "cents"):
+        out = out.unionByName(prof(c))
+    return out
+
+
+@register(
+    "pyramid_incremental_update",
+    f"""
+WITH old_pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events WHERE event_id % 10 < 8
+), delta_pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events WHERE event_id % 10 >= 8
+), old_mv AS (
+  SELECT {C.TILE_SQL.format(lat='lat', lon='lon')} AS tile_id, count(*) AS n
+  FROM old_pts GROUP BY tile_id
+), delta_mv AS (
+  SELECT {C.TILE_SQL.format(lat='lat', lon='lon')} AS tile_id, count(*) AS n
+  FROM delta_pts GROUP BY tile_id
+)
+SELECT coalesce(o.tile_id, d.tile_id) AS tile_id,
+       cast(coalesce(o.n, 0) + coalesce(d.n, 0) as bigint) AS n,
+       cast(coalesce(d.n, 0) as bigint) AS n_delta
+FROM old_mv o FULL OUTER JOIN delta_mv d ON o.tile_id = d.tile_id
+""",
+)
+def pyramid_incremental_update(spark, sf_dir):
+    """Incremental materialized-view maintenance for the tile pyramid:
+    the stored per-tile counts (the MV, here rebuilt from the 80%
+    'old' slice — in production read back from the snapshot log) are
+    updated by aggregating ONLY the delta events and merging additively
+    with one full-outer join on tile id — never rescanning the corpus.
+    Count is an additive measure, so incremental == full recompute
+    exactly; the same merge maintains sums/heat ticks. Composes with
+    sources/snapshots.read_incremental for the delta feed."""
+    ev = load(spark, sf_dir, "events")
+
+    def mv(df):
+        return (
+            df.select(
+                C.derived_lat(F.col("event_id")).alias("lat"),
+                C.derived_lon(F.col("event_id")).alias("lon"),
+            )
+            .groupBy(C.tile_of(F.col("lat"), F.col("lon")).alias("tile_id"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    old_mv = mv(ev.filter(F.col("event_id") % 10 < 8))
+    delta_mv = mv(ev.filter(F.col("event_id") % 10 >= 8))
+    o, d = old_mv.alias("o"), delta_mv.alias("d")
+    return (
+        o.join(d, F.col("o.tile_id") == F.col("d.tile_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.tile_id"), F.col("d.tile_id")).alias("tile_id"),
+            (F.coalesce(F.col("o.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0)))
+            .cast("long")
+            .alias("n"),
+            F.coalesce(F.col("d.n"), F.lit(0)).cast("long").alias("n_delta"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
