@@ -72,3 +72,17 @@ def test_jvm_text_analysis(spark):
     assert rows[2].lang == "und"
     assert rows[0].n == 9
     assert 0.0 <= rows[2].q <= 1.0
+
+
+def test_ws_collapse_equivalence_full_bmp():
+    # the step-4 rewrite (" ".join(t.split())) must equal the spec's
+    # re.sub(r"\s+", " ", t).strip() for EVERY BMP char in whitespace
+    # position — both reduce to Py_UNICODE_ISSPACE, pinned here so a
+    # future regex/runtime change cannot silently fork the frozen spec
+    import re
+
+    ws = re.compile(r"\s+")
+    for c in range(0x3001):
+        ch = chr(c)
+        t = f"a{ch}b {ch} c{ch}"
+        assert ws.sub(" ", t).strip() == " ".join(t.split()), hex(c)
