@@ -6763,6 +6763,40 @@ def pyramid_incremental_update(spark, sf_dir):
     )
 
 
+@register(
+    "unpivot_order_measures",
+    f"""
+WITH wide AS (
+  SELECT o_orderpriority AS pri,
+         cast(count(*) as bigint) AS n_orders,
+         cast(count(DISTINCT o_custkey) as bigint) AS n_customers,
+         cast(sum(cast(round(cast(o_totalprice as {DEC}) * 100) as bigint)) as bigint) AS cents
+  FROM orders GROUP BY pri
+)
+SELECT pri, measure, value FROM wide
+UNPIVOT (value FOR measure IN (n_orders, n_customers, cents))
+""",
+)
+def unpivot_order_measures(spark, sf_dir):
+    """UNPIVOT / melt (the inverse of the inventory pivot): a wide
+    per-priority measure row becomes (pri, measure, value) long form —
+    Spark's unpivot API against DuckDB's UNPIVOT clause. Narrow
+    reshape after one aggregate; long form is what metric stores and
+    chart layers ingest."""
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.round(F.col("o_totalprice").cast(DEC) * 100).cast("long")).alias("cents"),
+    )
+    return wide.unpivot(
+        ids=["pri"],
+        values=["n_orders", "n_customers", "cents"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
