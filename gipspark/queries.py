@@ -6797,6 +6797,102 @@ def unpivot_order_measures(spark, sf_dir):
     )
 
 
+@register(
+    "trailing_window_features",
+    """
+WITH ev AS (
+  SELECT user_id, event_id, epoch(ts) AS tsec,
+         cast(round(value * 1000) as bigint) AS v_ticks
+  FROM events WHERE user_id < 30
+)
+SELECT user_id, event_id,
+       cast(count(*) OVER w7 as bigint) AS n_prev_7d,
+       cast(coalesce(sum(v_ticks) OVER w7, 0) as bigint) AS v_prev_7d,
+       cast(count(*) OVER w30 as bigint) AS n_prev_30d
+FROM ev
+WINDOW w7 AS (PARTITION BY user_id ORDER BY tsec
+              RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING),
+       w30 AS (PARTITION BY user_id ORDER BY tsec
+               RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING)
+""",
+)
+def trailing_window_features(spark, sf_dir):
+    """Point-in-time-correct trailing-window features (the ML feature
+    store's leakage-safe contract): per event, the user's event count
+    and value sum over the PREVIOUS 7 and 30 days — RANGE frames on
+    event time ending at 1 second PRECEDING, so the current row never
+    sees itself or same-second peers (no label leakage). Value in
+    integer milli-ticks. Both windows and the scan share one shuffle on
+    user_id; RANGE frames are the window feature rows-frames can't
+    express when events are irregularly spaced."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("tsec"),
+            F.round(F.col("value") * 1000).cast("long").alias("v_ticks"),
+        )
+    )
+    w7 = (
+        Window.partitionBy("user_id").orderBy("tsec").rangeBetween(-604800, -1)
+    )
+    w30 = (
+        Window.partitionBy("user_id").orderBy("tsec").rangeBetween(-2592000, -1)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w7).alias("n_prev_7d"),
+        F.coalesce(F.sum("v_ticks").over(w7), F.lit(0)).cast("long").alias("v_prev_7d"),
+        F.count(F.lit(1)).over(w30).alias("n_prev_30d"),
+    )
+
+
+@register(
+    "sequence_pattern_users",
+    """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(upper(substr(event_type, 1, 1)), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, length(s) AS n_events,
+       regexp_matches(s, 'V[^P]*C[^V]*P') AS matched
+FROM seq
+""",
+)
+def sequence_pattern_users(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence pattern matching: each user's
+    time-ordered event-type initials collapse to one string, and the
+    funnel pattern becomes a REGEX over it (view, then a click with no
+    intervening purchase, then a purchase with no restart) — row
+    pattern matching without the MATCH_RECOGNIZE clause, which Spark
+    lacks. The per-user sequence build is one aggregate (deterministic
+    struct sort = string_agg ORDER BY); the regex is a scan over the
+    dim-sized sequence table."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.upper(F.substring("event_type", 1, 1)).alias("c"))
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").alias("n_events"),
+        F.col("s").rlike("V[^P]*C[^V]*P").alias("matched"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
