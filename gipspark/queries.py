@@ -6893,6 +6893,55 @@ def sequence_pattern_users(spark, sf_dir):
     )
 
 
+@register(
+    "hll_intersection_contract",
+    """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT cast((SELECT count(*) FROM a) as bigint) AS n_a,
+       cast((SELECT count(*) FROM b) as bigint) AS n_b,
+       cast((SELECT count(*) FROM a JOIN b USING (user_id)) as bigint) AS n_both,
+       TRUE AS approx_ok
+""",
+)
+def hll_intersection_contract(spark, sf_dir):
+    """Sketch-based set-intersection estimate by inclusion–exclusion:
+    |A∩B| ≈ hll(A) + hll(B) − hll(A∪B), the mergeable-sketch identity
+    that answers audience-overlap questions at 10^12 rows without ever
+    joining the raw sets (three sketches, unioned per partition). The
+    oracle checks the contract: exact cardinalities bit-match and the
+    sketch estimate lands within 15% of |A| + |B| (inclusion–exclusion
+    compounds three sketches' error, hence the wider band than the
+    single-sketch 5%)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        a.distinct()
+        .agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(b.distinct().agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(
+            a.distinct().join(b.distinct(), "user_id").agg(F.count(F.lit(1)).alias("n_both"))
+        )
+    )
+    approx = (
+        a.agg(F.approx_count_distinct("user_id", 0.02).alias("ha"))
+        .crossJoin(b.agg(F.approx_count_distinct("user_id", 0.02).alias("hb")))
+        .crossJoin(
+            a.unionByName(b).agg(F.approx_count_distinct("user_id", 0.02).alias("hab"))
+        )
+    )
+    return exact.crossJoin(approx).select(
+        "n_a",
+        "n_b",
+        "n_both",
+        (
+            F.abs((F.col("ha") + F.col("hb") - F.col("hab")) - F.col("n_both"))
+            <= F.lit(0.15) * (F.col("n_a") + F.col("n_b"))
+        ).alias("approx_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
