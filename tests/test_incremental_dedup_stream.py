@@ -96,3 +96,69 @@ def test_stream_pairs_equal_batch(spark, tmp_path):
     assert got == batch_pairs
     assert (100, 0) in got and (101, 1) in got  # the planted near/exact dups
     assert not any(nid == 102 for nid, _ in got)  # fresh doc stays clean
+
+
+def test_stream_resumes_from_checkpoint(spark, tmp_path):
+    # run 1 sees only the first two chunks; run 2 restarts from the SAME
+    # checkpoint after two more chunks land and must process ONLY them —
+    # the operational resume contract of a long-lived dedup stream
+    idx_path = str(tmp_path / "old_index.parquet")
+    minhash_index(
+        spark.createDataFrame(OLD, "doc_id long, text string"),
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+    ).write.parquet(idx_path)
+    old_index = spark.read.parquet(idx_path)
+
+    chunks = str(tmp_path / "chunks")
+    os.makedirs(chunks, exist_ok=True)
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def write_chunk(i, doc_id, text):
+        t = pa.table(
+            {
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "text": pa.array([text], pa.string()),
+                "ts": pa.array([(BASE_TS + i * 60) * 1_000_000], pa.timestamp("us")),
+            }
+        )
+        path = os.path.join(chunks, f"chunk_{i:02d}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    def drain():
+        st = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks)
+        )
+        q = (
+            incremental_neardup_stream(
+                st, old_index, n_hashes=N_HASHES, bands=BANDS, shingle_n=SHINGLE_N
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q.recentProgress
+
+    for i, (d, t, _) in enumerate(NEW[:2]):
+        write_chunk(i, d, t)
+    drain()
+    first = {(r.new_id, r.old_id) for r in spark.read.parquet(out_dir).collect()}
+
+    for i, (d, t, _) in enumerate(NEW[2:], start=2):
+        write_chunk(i, d, t)
+    progress2 = drain()
+    # resume really skipped the old files: run 2 saw only the delta rows
+    rows_run2 = sum(p["numInputRows"] for p in progress2)
+    assert rows_run2 == len(NEW) - 2
+    final = {(r.new_id, r.old_id) for r in spark.read.parquet(out_dir).collect()}
+    assert first <= final
+    assert final == {(100, 0), (101, 1), (103, 0)}
