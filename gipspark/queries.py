@@ -6801,7 +6801,7 @@ def unpivot_order_measures(spark, sf_dir):
     "trailing_window_features",
     """
 WITH ev AS (
-  SELECT user_id, event_id, epoch(ts) AS tsec,
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec,
          cast(round(value * 1000) as bigint) AS v_ticks
   FROM events WHERE user_id < 30
 )
@@ -6939,6 +6939,61 @@ def hll_intersection_contract(spark, sf_dir):
             F.abs((F.col("ha") + F.col("hb") - F.col("hab")) - F.col("n_both"))
             <= F.lit(0.15) * (F.col("n_a") + F.col("n_b"))
         ).alias("approx_ok"),
+    )
+
+
+@register(
+    "timed_conversion_users",
+    """
+WITH fv AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+  SELECT f.user_id, f.first_view, min(e.ts) AS first_purchase
+  FROM fv f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts > f.first_view
+  GROUP BY f.user_id, f.first_view
+)
+SELECT f.user_id, f.first_view, p.first_purchase,
+       p.first_purchase IS NOT NULL
+         AND epoch_us(p.first_purchase) // 1000000 - epoch_us(f.first_view) // 1000000 <= 604800
+         AS converted_7d,
+       CASE WHEN p.first_purchase IS NOT NULL
+            THEN epoch_us(p.first_purchase) // 1000000 - epoch_us(f.first_view) // 1000000
+       END AS latency_s
+FROM fv f LEFT JOIN fp p ON p.user_id = f.user_id
+""",
+)
+def timed_conversion_users(spark, sf_dir):
+    """Timed conversion (the funnel's bounded-window variant): per user,
+    first view, first subsequent purchase, the 7-day conversion flag,
+    and the conversion latency in whole seconds. Two min-aggregates and
+    one range-filtered join, all shuffled on user_id — the attribution
+    query marketing pipelines run; the streaming twin is
+    stream_stream_attribution."""
+    ev = load(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        fv.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+            ),
+            (F.col("user_id") == F.col("pu")) & (F.col("pts") > F.col("first_view")),
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("pts").alias("first_purchase"))
+    )
+    lat = F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+    return fv.join(fp.select("user_id", "first_purchase"), "user_id", "left").select(
+        "user_id",
+        "first_view",
+        "first_purchase",
+        (F.col("first_purchase").isNotNull() & (lat <= 604800)).alias("converted_7d"),
+        F.when(F.col("first_purchase").isNotNull(), lat).alias("latency_s"),
     )
 
 
