@@ -88,12 +88,20 @@ def polygon_cover(
         # or neighbors a sample, coarse enough to stay cheap for the
         # large oracle polygons covered at level 6–8.
         sample_deg = (90.0 / (1 << level)) / 3.0 * 4.0
-    min_lon, min_lat, max_lon, max_lat = polygon_bbox(rings)
+    # sample each ring's own bbox: rings may be DISJOINT siblings (the
+    # antimeridian split emits one outer ring per strip piece), so the
+    # old rings[0]-only bbox would miss every other piece; hole rings
+    # sit inside their outer's bbox and add nothing
     pad = sample_deg
-    lons = np.arange(min_lon - pad, max_lon + pad + sample_deg, sample_deg)
-    lats = np.arange(min_lat - pad, max_lat + pad + sample_deg, sample_deg)
-    glon, glat = np.meshgrid(lons, lats)
-    cells = s2.latlng_to_cell(glat.ravel(), glon.ravel(), level)
-    cells = np.unique(cells)
+    all_cells = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        min_lon, min_lat = float(r[:, 0].min()), float(r[:, 1].min())
+        max_lon, max_lat = float(r[:, 0].max()), float(r[:, 1].max())
+        lons = np.arange(min_lon - pad, max_lon + pad + sample_deg, sample_deg)
+        lats = np.arange(min_lat - pad, max_lat + pad + sample_deg, sample_deg)
+        glon, glat = np.meshgrid(lons, lats)
+        all_cells.append(s2.latlng_to_cell(glat.ravel(), glon.ravel(), level))
+    cells = np.unique(np.concatenate(all_cells))
     ring1 = s2.grid_disk(cells, level, 1)
     return np.unique(ring1.ravel())

@@ -113,10 +113,17 @@ def pip_join(
     two; "pandas" keeps the NumPy kernel (identical rule; equality
     property-tested), useful as an oracle and for polygons so large
     that per-row edge arrays stop fitting a broadcast row.
+
+    Polygons crossing the ±180° meridian are split into in-strip
+    pieces first (geo/antimeridian.py; a no-op when nothing wraps) —
+    the planar ray cast would otherwise test the polygon's complement.
     """
+    from gipspark.geo.antimeridian import normalize_antimeridian
+
     spark = points.sparkSession
     if len({p["poly_id"] for p in polys}) != len(polys):
         raise ValueError("pip_join: poly_id values must be unique")
+    polys = normalize_antimeridian(polys)
     edges = _edges_by_pid(polys)
 
     # group polygons by cover level
