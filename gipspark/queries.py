@@ -6997,6 +6997,64 @@ def timed_conversion_users(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch: antimeridian-wrapped fence (oracle-gated)
+# ---------------------------------------------------------------------------
+
+# An octagon centered ON the ±180 seam, vertices stored wrapped into
+# [-180, 180] the way real datasets ship them (edges jump ~346° in
+# planar lon). The Spark side hands pip_join the RAW wrapped ring;
+# geo/antimeridian.py splits it into strip pieces before the ray cast.
+# The oracle replays the same deterministic split (identical Python →
+# identical float edges) as inline VALUES — bit-exact both sides.
+# Ground truth for the split itself is tests/test_antimeridian.py's
+# 180°-shifted-frame kernel comparison.
+
+
+def _wrap_lon_scalar(lon: float) -> float:
+    if lon > 180.0:
+        return lon - 360.0
+    if lon < -180.0:
+        return lon + 360.0
+    return lon
+
+
+WRAPPED_FENCE: dict = {
+    "poly_id": 7,
+    "rings": [[[_wrap_lon_scalar(x), y] for x, y in _ngon(180.0007, 5.0003, 25.0, 8)]],
+}
+
+
+def _wrapped_fence_pieces() -> list[dict]:
+    from gipspark.geo.antimeridian import normalize_antimeridian
+
+    return normalize_antimeridian([WRAPPED_FENCE])
+
+
+@register(
+    "pip_wrapped_fence",
+    f"""
+WITH pts AS (SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon FROM customer)
+SELECT p.c_custkey, e.poly_id
+FROM pts p CROSS JOIN {_poly_edges_values_sql(_wrapped_fence_pieces())}
+WHERE ((e.y1 > p.lat) != (e.y2 > p.lat))
+  AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+GROUP BY p.c_custkey, e.poly_id
+HAVING count(*) % 2 = 1
+""",
+)
+def pip_wrapped_fence(spark, sf_dir):
+    """PIP join against a polygon straddling the antimeridian — the
+    megacity-fence case a 10^12-doc web corpus hits (Fiji, Chukotka,
+    date-line shipping zones). pip_join strip-splits the wrapped ring
+    (geo/antimeridian.py) so the planar even-odd kernel stays exact;
+    the cell prefilter covers each split piece's own bbox. Same
+    broadcast-prefilter + codegen-refine plan as pip_join_customers —
+    wrapping costs nothing at scale."""
+    pts = _cust_pts(spark, sf_dir)
+    return pip_join(pts, [WRAPPED_FENCE], level=7).select("c_custkey", "poly_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

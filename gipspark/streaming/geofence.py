@@ -87,7 +87,11 @@ def fence_flags(
     lon_col: str = "lon",
 ) -> DataFrame:
     """df + (poly_id, inside) per fence — one literal-array explode,
-    works identically on batch and streaming frames."""
+    works identically on batch and streaming frames. Fences crossing
+    ±180° are strip-split first (geo/antimeridian.py; no-op otherwise)."""
+    from gipspark.geo.antimeridian import normalize_antimeridian
+
+    polys = normalize_antimeridian(polys)
     la, lo = F.col(lat_col), F.col(lon_col)
     return df.withColumn(
         "__f",

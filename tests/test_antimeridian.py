@@ -64,6 +64,27 @@ def test_pip_join_handles_wrapped_polygon(spark):
     assert got == want and len(got) > 0
 
 
+def test_fence_flags_handles_wrapped_fence(spark):
+    # the streaming geofence's literal-edge inside test normalizes too
+    # (streaming/geofence.fence_flags) — same shifted-frame ground truth
+    from gipspark.streaming.geofence import fence_flags
+
+    rng = np.random.default_rng(6)
+    lon = np.concatenate([rng.uniform(160, 179.9, 120), rng.uniform(-179.9, -160, 120), rng.uniform(-140, 140, 160)])
+    lat = rng.uniform(-20, 20, 400)
+    df = spark.createDataFrame(
+        [(i, float(la), float(lo)) for i, (la, lo) in enumerate(zip(lat, lon))],
+        "pid long, lat double, lon double",
+    )
+    got = {r.pid for r in fence_flags(df, [WRAPPED]).collect() if r.inside == 1}
+    want = {
+        i
+        for i, (la, lo) in enumerate(zip(lat, _shift_frame(lon)))
+        if -10 < lo < 10 and -10 < la < 10
+    }
+    assert got == want and len(got) > 0
+
+
 def test_non_wrapping_polys_returned_unchanged():
     plain = {"poly_id": 2, "rings": [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 0.0]]]}
     out = normalize_antimeridian([plain])
