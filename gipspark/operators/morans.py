@@ -178,3 +178,101 @@ def local_moran(cells: DataFrame) -> DataFrame:
         (F.col("dev") * F.coalesce("nbr_sum", F.lit(0))).cast("long").alias("li_num"),
     )
     return out
+
+
+STAR_OFFSETS: tuple[tuple[int, int], ...] = ROOK_OFFSETS + ((0, 0),)
+
+
+def getis_ord_star(cells: DataFrame) -> DataFrame:
+    """Per-cell Getis–Ord Gi* hotspot statistic from (gx, gy, x):
+
+        Gi* = (Σ_j w_ij x_j − x̄ W_i) / (S·√((n·W_i − W_i²)/(n−1)))
+
+    with binary rook weights INCLUDING self (the * variant). Same
+    offset-explode equi-join shape as local_moran — shuffle O(cells),
+    never a θ-join — plus one broadcast 1-row moment aggregate.
+
+    Exactness: with integer counts, num = n·Σw x − W_i·S and
+    d2 = W_i·(n − W_i) are exact bigints; d1 = n·Σx² − S² is computed
+    in DECIMAL(38,0) (DuckDB HUGEINT on the oracle side) because S²
+    passes int64 once the lattice holds ≳3·10⁹ points — the
+    chisq_contrib lesson (ADVICE r2) applied up front. The only double
+    is the final z-score, num / √(d1·d2/(n−1)), evaluated in the same
+    textual order on both engines (÷ and √ are IEEE correctly-rounded,
+    so equal integers give equal doubles).
+    """
+    stats = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+    )
+    shifted = cells.select(
+        "gx",
+        "gy",
+        "x",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in STAR_OFFSETS])
+        ).alias("o"),
+    ).select(
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+        F.col("x").alias("x_j"),
+    )
+    nbr = shifted.groupBy("gx", "gy").agg(
+        F.count("*").cast("long").alias("wi"),
+        F.sum("x_j").cast("long").alias("gsum"),
+    )
+    out = cells.join(nbr, ["gx", "gy"]).crossJoin(F.broadcast(stats))
+    dec = "decimal(38,0)"
+    num = (F.col("n") * F.col("gsum") - F.col("wi") * F.col("s")).cast("long")
+    d1 = (
+        F.col("n").cast(dec) * F.col("sx2").cast(dec) - F.col("s").cast(dec) * F.col("s").cast(dec)
+    )
+    d2 = (F.col("wi") * (F.col("n") - F.col("wi"))).cast("long")
+    return out.select(
+        "gx",
+        "gy",
+        F.col("x").cast("long").alias("x"),
+        "wi",
+        "gsum",
+        num.alias("num"),
+        d2.alias("d2"),
+        (
+            num.cast("double")
+            / F.sqrt(d1.cast("double") * d2.cast("double") / (F.col("n") - F.lit(1)).cast("double"))
+        ).alias("gi_star"),
+    )
+
+
+def mann_kendall(series: DataFrame, keys: list[str], t_col: str = "t", v_col: str = "v") -> DataFrame:
+    """Per-key Mann–Kendall trend statistic S = Σ_{i<j} sign(v_j − v_i)
+    over each key's time series — the "emerging hotspot" test a
+    space-time cube runs per cell (rising when S ≫ 0, declining ≪ 0).
+
+    Shape: one self equi-join on the key columns filtered to t₂ > t₁ —
+    quadratic only WITHIN a key's series, and a series has at most
+    #time-buckets rows (bounded by the calendar: ≤366 daily buckets a
+    year → ≤67k pairs per cell, a constant at 100 TB). The join and
+    both aggregates shuffle on the key, never on rows. Everything is
+    exact integers; keys with a single period emit (0, 0, 'flat')."""
+    a = series.select(*keys, F.col(t_col).alias("t1"), F.col(v_col).alias("v1"))
+    b = series.select(*keys, F.col(t_col).alias("t2"), F.col(v_col).alias("v2"))
+    sg = (
+        F.when(F.col("v2") > F.col("v1"), 1).when(F.col("v2") < F.col("v1"), -1).otherwise(0)
+    )
+    pairs = (
+        a.join(b, keys)
+        .filter(F.col("t2") > F.col("t1"))
+        .groupBy(*keys)
+        .agg(F.count("*").cast("long").alias("n_pairs"), F.sum(sg).cast("long").alias("s_stat"))
+    )
+    np_ = series.groupBy(*keys).agg(F.count("*").cast("long").alias("n_periods"))
+    out = np_.join(pairs, keys, "left")
+    s = F.coalesce("s_stat", F.lit(0).cast("long"))
+    return out.select(
+        *keys,
+        "n_periods",
+        F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+        s.alias("s_stat"),
+        F.when(s > 0, "rising").when(s < 0, "falling").otherwise("flat").alias("trend"),
+    )

@@ -7055,6 +7055,157 @@ def pip_wrapped_fence(spark, sf_dir):
     return pip_join(pts, [WRAPPED_FENCE], level=7).select("c_custkey", "poly_id")
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch: Gi* hotspots, Mann–Kendall trends, substring-span dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gi_star_hotspots",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), cells AS (
+  SELECT cast(floor((lon + 180.0) / {_MORAN_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MORAN_GRID}) as int) AS gy,
+         cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy
+), st AS (
+  SELECT count(*) AS n, cast(sum(x) as bigint) AS s, cast(sum(x * x) as bigint) AS sx2
+  FROM cells
+), nbr AS (
+  SELECT a.gx, a.gy, cast(count(*) as bigint) AS wi, cast(sum(b.x) as bigint) AS gsum
+  FROM cells a JOIN cells b ON (abs(a.gx - b.gx) + abs(a.gy - b.gy)) <= 1
+  GROUP BY a.gx, a.gy
+)
+SELECT c.gx, c.gy, c.x, n.wi, n.gsum,
+       cast(st.n * n.gsum - n.wi * st.s as bigint) AS num,
+       cast(n.wi * (st.n - n.wi) as bigint) AS d2,
+       cast(st.n * n.gsum - n.wi * st.s as double)
+         / sqrt(cast(cast(st.n as hugeint) * st.sx2 - cast(st.s as hugeint) * st.s as double)
+                * cast(n.wi * (st.n - n.wi) as double)
+                / cast(st.n - 1 as double)) AS gi_star
+FROM cells c JOIN nbr n ON n.gx = c.gx AND n.gy = c.gy, st
+""",
+)
+def gi_star_hotspots(spark, sf_dir):
+    """Getis–Ord Gi* z-scores over the 15° customer-density lattice —
+    the hotspot map GIS tooling draws next to the LISA one
+    (operators/morans.py getis_ord_star). Binary rook weights including
+    self; num/d2 exact bigints, the Σx²-scale moment in DECIMAL(38,0)
+    (HUGEINT on the oracle side, the chisq ADVICE lesson applied up
+    front), the z-score the only double — same textual order both
+    engines."""
+    from gipspark.operators.morans import cell_counts, getis_ord_star
+
+    pts = load(spark, sf_dir, "customer").select(
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    return getis_ord_star(cell_counts(pts, _MORAN_GRID))
+
+
+_MK_GRID = 30.0
+
+
+@register(
+    "mann_kendall_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         epoch_us(ts) // 1000000 // 86400 AS d
+  FROM events
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_MK_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MK_GRID}) as int) AS gy,
+         d, cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy, d
+), p AS (
+  SELECT a.gx, a.gy,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+  FROM c a JOIN c b ON a.gx = b.gx AND a.gy = b.gy AND b.d > a.d
+), agg AS (
+  SELECT gx, gy, cast(count(*) as bigint) AS n_pairs, cast(sum(sg) as bigint) AS s_stat
+  FROM p GROUP BY gx, gy
+), np AS (SELECT gx, gy, cast(count(*) as bigint) AS n_periods FROM c GROUP BY gx, gy)
+SELECT np.gx, np.gy, np.n_periods,
+       coalesce(agg.n_pairs, 0) AS n_pairs,
+       coalesce(agg.s_stat, 0) AS s_stat,
+       CASE WHEN coalesce(agg.s_stat, 0) > 0 THEN 'rising'
+            WHEN coalesce(agg.s_stat, 0) < 0 THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM np LEFT JOIN agg ON agg.gx = np.gx AND agg.gy = np.gy
+""",
+)
+def mann_kendall_cells(spark, sf_dir):
+    """Emerging-hotspot detection: per 30° cell, the Mann–Kendall trend
+    statistic over the cell's DAILY event counts (the space-time-cube
+    test — rising cells are where activity is growing). The pair set is
+    a self equi-join on the cell key bounded by the calendar
+    (operators/morans.py mann_kendall); exact integers end to end."""
+    from gipspark.operators.morans import mann_kendall
+
+    ev = load(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+    )
+    c = ev.groupBy(
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_MK_GRID)).cast("int").alias("gx"),
+        F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_MK_GRID)).cast("int").alias("gy"),
+        "d",
+    ).agg(F.count("*").cast("long").alias("x"))
+    return mann_kendall(c, ["gx", "gy"], t_col="d", v_col="x")
+
+
+_SPAN_W = 8
+
+
+@register(
+    "dup_span_stats",
+    f"""
+WITH spans AS (
+  SELECT doc_id, {D.MD5_LONG_SQL.format(x='g')} AS h
+  FROM (SELECT doc_id, unnest({D.shingles_all_sql('text', _SPAN_W)}) AS g FROM documents)
+), freq AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM spans GROUP BY h
+)
+SELECT s.doc_id,
+       cast(count(*) as bigint) AS n_spans,
+       cast(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) as bigint) AS n_dup,
+       cast(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) as double)
+         / cast(count(*) as double) AS dup_frac
+FROM spans s JOIN freq f ON f.h = s.h
+GROUP BY s.doc_id
+""",
+)
+def dup_span_stats(spark, sf_dir):
+    """Exact substring-span dedup profile (the Lee et al. 2022
+    "Deduplicating Training Data" shape): per doc, how many of its
+    positional 8-token spans also occur in ANOTHER document — the
+    signal span-level dedup masks on. Spans ride as md5-hashed longs
+    (never the strings) through one hash aggregate (span → distinct-doc
+    count) and one equi-join back; shuffle is O(total spans), all
+    JVM-side HOFs. Docs shorter than 8 tokens have no spans and drop
+    out on both engines."""
+    d = load(spark, sf_dir, "documents")
+    sp = d.select(
+        "doc_id", F.explode(D.shingles_all(F.col("text"), _SPAN_W)).alias("g")
+    ).select("doc_id", D.md5_long(F.col("g")).alias("h"))
+    freq = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        sp.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup"),
+            (F.sum(dup).cast("double") / F.count("*").cast("double")).alias("dup_frac"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

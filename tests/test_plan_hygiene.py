@@ -36,6 +36,7 @@ CROSS_OK = {
     "kmeans_int_customers",  # K=5-row centroid broadcast per round (literal key folds to NL)
     "decayed_tile_heat",  # 1-row max-date anchor broadcast into the point table
     "hll_intersection_contract",  # six 1-row aggregates cross-combined
+    "gi_star_hotspots",  # 1-row moment broadcast into the lattice (morans sibling)
 }
 
 
