@@ -7206,6 +7206,114 @@ def dup_span_stats(spark, sf_dir):
     )
 
 
+@register(
+    "gravity_model_flows",
+    # cell = gx*100+gy on the 10° lattice (od_matrix_daily's key); the
+    # center of cell (gx, gy) in EXACT milli-degree integers:
+    #   lon_mdeg = gx*10000 + 5000 - 180000,  lat_mdeg = 90000 - gy*10000 - 5000
+    # so the squared center distance d2 is an exact bigint — no trig
+    # anywhere near the oracle-facing columns.
+    f"""
+WITH raw AS (
+  SELECT user_id, ts, event_id,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), pts AS (
+  SELECT user_id, ts, event_id, cast(ts as date) AS day,
+         cast(floor((lon + 180.0) / 10.0) as int) * 100
+           + cast(floor((90.0 - lat) / 10.0) as int) AS cell
+  FROM raw
+), ranked AS (
+  SELECT user_id, day, cell,
+         row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM pts
+), flows AS (
+  SELECT o.cell AS origin, d.cell AS dest, cast(count(*) as bigint) AS n_trips
+  FROM (SELECT user_id, day, cell FROM ranked WHERE rn_a = 1) o
+  JOIN (SELECT user_id, day, cell FROM ranked WHERE rn_d = 1) d USING (user_id, day)
+  WHERE o.cell <> d.cell
+  GROUP BY origin, dest
+), mass AS (
+  SELECT cell, cast(count(*) as bigint) AS m FROM pts GROUP BY cell
+), geo AS (
+  SELECT f.origin, f.dest, f.n_trips, mo.m AS m_o, md.m AS m_d,
+         (cast(f.dest // 100 - f.origin // 100 as bigint) * 10000) AS dx,
+         (cast(f.origin % 100 - f.dest % 100 as bigint) * 10000) AS dy
+  FROM flows f
+  JOIN mass mo ON mo.cell = f.origin
+  JOIN mass md ON md.cell = f.dest
+)
+SELECT origin, dest, n_trips, m_o, m_d,
+       cast(dx * dx + dy * dy as bigint) AS d2_mdeg2,
+       cast(m_o * m_d as double) / cast(dx * dx + dy * dy as double) AS g_score,
+       cast(n_trips as double) * cast(dx * dx + dy * dy as double)
+         / cast(m_o * m_d as double) AS calib_k
+FROM geo
+""",
+)
+def gravity_model_flows(spark, sf_dir):
+    """Gravity spatial-interaction model over the daily OD flows: for
+    every observed origin→dest cell pair, the model score m_o·m_d/d²
+    and the per-pair calibration constant k = T·d²/(m_o·m_d) — the
+    regression input transport planners fit. Flows come from the same
+    one-pass min_by/max_by trick as od_matrix_daily; masses are one
+    hash agg; the two mass lookups are explicit broadcast equi-joins
+    (cells are dim-sized by construction). Cell-center distances are
+    exact milli-degree bigints (the lattice is axis-aligned, so no trig
+    enters any oracle-facing column); doubles appear only in the final
+    two ratios, same textual order both engines."""
+    ev = load(spark, sf_dir, "events")
+    lat = C.derived_lat(F.col("event_id"))
+    lon = C.derived_lon(F.col("event_id"))
+    pts = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.struct("ts", "event_id").alias("ord"),
+        (
+            F.floor((lon + F.lit(180.0)) / F.lit(10.0)).cast("int") * 100
+            + F.floor((F.lit(90.0) - lat) / F.lit(10.0)).cast("int")
+        ).alias("cell"),
+    )
+    ends = pts.groupBy("user_id", "day").agg(
+        F.min_by("cell", "ord").alias("origin"), F.max_by("cell", "ord").alias("dest")
+    )
+    flows = (
+        ends.filter(F.col("origin") != F.col("dest"))
+        .groupBy("origin", "dest")
+        .agg(F.count("*").cast("long").alias("n_trips"))
+    )
+    mass = pts.groupBy("cell").agg(F.count("*").cast("long").alias("m"))
+    geo = (
+        flows.join(F.broadcast(mass.select(F.col("cell").alias("origin"), F.col("m").alias("m_o"))), "origin")
+        .join(F.broadcast(mass.select(F.col("cell").alias("dest"), F.col("m").alias("m_d"))), "dest")
+        .select(
+            "origin",
+            "dest",
+            "n_trips",
+            "m_o",
+            "m_d",
+            # long before squaring: dx² reaches 1.3e11, past int32
+            ((F.expr("dest div 100") - F.expr("origin div 100")).cast("long") * F.lit(10000)).alias("dx"),
+            ((F.col("origin") % 100 - F.col("dest") % 100).cast("long") * F.lit(10000)).alias("dy"),
+        )
+    )
+    d2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    return geo.select(
+        "origin",
+        "dest",
+        "n_trips",
+        "m_o",
+        "m_d",
+        d2.cast("long").alias("d2_mdeg2"),
+        ((F.col("m_o") * F.col("m_d")).cast("double") / d2.cast("double")).alias("g_score"),
+        (
+            F.col("n_trips").cast("double") * d2.cast("double")
+            / (F.col("m_o") * F.col("m_d")).cast("double")
+        ).alias("calib_k"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
