@@ -54,3 +54,75 @@ def inventory_rollup(inv: DataFrame) -> DataFrame:
             F.grouping_id().alias("gid"),
         )
     )
+
+
+def adaptive_quadtree(
+    points: DataFrame,
+    max_occupancy: int,
+    max_depth: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Density-adaptive tiling: the coarsest variable-depth quadkey
+    tiles such that every emitted tile holds ≤ ``max_occupancy`` points
+    (tiles still overfull at ``max_depth`` are emitted as forced
+    leaves). The adaptive analogue of the fixed graticule above — what
+    a tile server builds over megacity-skewed web-doc densities.
+
+    Scale shape: ONE pass over the points (quadkey at max_depth + one
+    hash aggregate); every deeper structure is a substr pyramid rollup
+    over the depth-D *cell table* (occupied cells, orders of magnitude
+    smaller than points), and the emit rule is a per-depth broadcast
+    equi-join of a level against its parent level. Because counts nest
+    (child ≤ parent), "all ancestors overfull" reduces to "the direct
+    parent is overfull" — no recursion, no iteration, no driver loop:
+
+        emit(t, d)  ⟺  (n_t ≤ K  ∨  d = D)  ∧  (d = 1  ∨  n_parent(t) > K)
+
+    Returns (tile, depth, n); the emitted set is a prefix-free cover of
+    every occupied leaf, so Σn = |points| (asserted in tests).
+
+    Output columns are exact integers; the DuckDB oracle replays the
+    identical pyramid (quadkey digits are pure floor arithmetic both
+    engines — functions/cells.quadkey_of).
+    """
+    from gipspark.functions.cells import quadkey_of
+
+    k = int(max_occupancy)
+    levels: dict[int, DataFrame] = {
+        max_depth: points.select(
+            quadkey_of(F.col(lat_col), F.col(lon_col), max_depth).alias("qk")
+        )
+        .groupBy("qk")
+        .agg(F.count("*").cast("long").alias("n"))
+    }
+    for d in range(max_depth - 1, 0, -1):
+        levels[d] = (
+            levels[d + 1]
+            .select(F.substring("qk", 1, d).alias("qk"), "n")
+            .groupBy("qk")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    emitted = []
+    for d in range(1, max_depth + 1):
+        cur = levels[d]
+        keep_here = (F.col("n") <= k) if d < max_depth else F.lit(True)
+        if d == 1:
+            part = cur.filter(keep_here)
+        else:
+            parent = levels[d - 1].select(
+                F.col("qk").alias("pqk"), F.col("n").alias("pn")
+            )
+            part = (
+                cur.join(
+                    F.broadcast(parent),
+                    F.substring("qk", 1, d - 1) == F.col("pqk"),
+                )
+                .filter((F.col("pn") > k) & keep_here)
+                .select("qk", "n")
+            )
+        emitted.append(part.select(F.col("qk").alias("tile"), F.lit(d).alias("depth"), "n"))
+    out = emitted[0]
+    for p in emitted[1:]:
+        out = out.unionByName(p)
+    return out

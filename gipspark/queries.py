@@ -7314,6 +7314,49 @@ def gravity_model_flows(spark, sf_dir):
     )
 
 
+_AQT_K, _AQT_D = 40, 6
+
+
+def _adaptive_quadtree_sql() -> str:
+    """DuckDB replay of operators/tiles.adaptive_quadtree's pyramid."""
+    ctes = [
+        f"c{_AQT_D} AS (SELECT {C.quadkey_sql('lat', 'lon', _AQT_D)} AS qk, "
+        f"cast(count(*) as bigint) AS n FROM pts GROUP BY qk)"
+    ]
+    for d in range(_AQT_D - 1, 0, -1):
+        ctes.append(
+            f"c{d} AS (SELECT substr(qk, 1, {d}) AS qk, cast(sum(n) as bigint) AS n "
+            f"FROM c{d + 1} GROUP BY substr(qk, 1, {d}))"
+        )
+    lv = " UNION ALL ".join(
+        f"SELECT qk, {d} AS depth, n FROM c{d}" for d in range(1, _AQT_D + 1)
+    )
+    return (
+        f"WITH pts AS (SELECT {_LAT.format(k='c_custkey')} AS lat, "
+        f"{_LON.format(k='c_custkey')} AS lon FROM customer),\n"
+        + ",\n".join(ctes)
+        + f",\nlv AS ({lv})\n"
+        f"SELECT a.qk AS tile, a.depth, a.n\n"
+        f"FROM lv a LEFT JOIN lv p ON p.depth = a.depth - 1 AND p.qk = substr(a.qk, 1, a.depth - 1)\n"
+        f"WHERE (a.n <= {_AQT_K} OR a.depth = {_AQT_D}) AND (a.depth = 1 OR p.n > {_AQT_K})"
+    )
+
+
+@register("adaptive_quadtree_tiles", _adaptive_quadtree_sql())
+def adaptive_quadtree_tiles(spark, sf_dir):
+    """Density-adaptive tiling: the coarsest prefix-free quadkey cover
+    of the customer points with ≤ 40 points per tile (forced leaves at
+    depth 6) — what a tile server builds over megacity-skewed doc
+    densities. One pass over points, then substr-pyramid rollups and
+    per-depth broadcast parent joins over the CELL table; counts nest,
+    so "all ancestors overfull" collapses to one parent check
+    (operators/tiles.adaptive_quadtree)."""
+    from gipspark.operators.tiles import adaptive_quadtree
+
+    pts = _cust_pts(spark, sf_dir).select("lat", "lon")
+    return adaptive_quadtree(pts, _AQT_K, _AQT_D)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

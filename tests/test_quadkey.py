@@ -67,3 +67,29 @@ def test_matches_reference_on_random_points(spark):
         r.qk for r in df.select(quadkey_of(F.col("lat"), F.col("lon"), 8).alias("qk")).collect()
     ]
     assert got == [_ref(la, lo, 8) for la, lo in pts]
+
+
+def test_adaptive_quadtree_cover_invariants(spark):
+    # skewed cloud: half the points in one hot corner, rest uniform
+    from gipspark.operators.tiles import adaptive_quadtree
+
+    rng = np.random.default_rng(11)
+    hot = zip(rng.uniform(40, 41, 400), rng.uniform(10, 11, 400))
+    cold = zip(rng.uniform(-89, 89, 400), rng.uniform(-180, 180, 400))
+    pts = [(float(la), float(lo)) for la, lo in list(hot) + list(cold)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    rows = adaptive_quadtree(df, max_occupancy=25, max_depth=6).collect()
+    tiles = [r.tile for r in rows]
+    # exact partition of the input: counts sum to |points|
+    assert sum(r.n for r in rows) == len(pts)
+    # prefix-free: no emitted tile is an ancestor of another
+    ts = set(tiles)
+    assert len(ts) == len(tiles)
+    for t in tiles:
+        for d in range(1, len(t)):
+            assert t[:d] not in ts, f"{t[:d]} is an ancestor of {t}"
+    # occupancy bound holds except at forced max-depth leaves
+    for r in rows:
+        assert r.n <= 25 or r.depth == 6
+    # the hot corner actually forced deep splits
+    assert max(r.depth for r in rows) == 6 and min(r.depth for r in rows) < 4
