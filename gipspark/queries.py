@@ -7357,6 +7357,66 @@ def adaptive_quadtree_tiles(spark, sf_dir):
     return adaptive_quadtree(pts, _AQT_K, _AQT_D)
 
 
+# deterministic validity window per oracle polygon: poly p is "active"
+# [2024-01-01 + 3p days, +12 days) — overlapping staggered windows over
+# the events fixture's January span, so every branch (in-space+in-time,
+# in-space+out-of-time) is exercised.
+def _poly_validity() -> list[tuple[int, str, str]]:
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    out = []
+    for p in ORACLE_POLYGONS:
+        a = base + _dt.timedelta(days=3 * p["poly_id"])
+        b = a + _dt.timedelta(days=12)
+        out.append((p["poly_id"], a.strftime("%Y-%m-%d %H:%M:%S"), b.strftime("%Y-%m-%d %H:%M:%S")))
+    return out
+
+
+@register(
+    "temporal_pip_events",
+    f"""
+WITH pts AS (
+  SELECT event_id, ts,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), m AS (
+  SELECT event_id, poly_id FROM ({_pip_matches_sql('pts', 'event_id')})
+), valid AS (
+  SELECT * FROM (VALUES {','.join(f"({p}, TIMESTAMP '{a}', TIMESTAMP '{b}')" for p, a, b in _poly_validity())})
+           AS v(poly_id, t_from, t_to)
+)
+SELECT p.event_id, m.poly_id
+FROM m JOIN pts p ON p.event_id = m.event_id
+JOIN valid v ON v.poly_id = m.poly_id AND p.ts >= v.t_from AND p.ts < v.t_to
+""",
+)
+def temporal_pip_events(spark, sf_dir):
+    """Spatio-temporal containment: events inside a polygon WHILE the
+    polygon is active (staggered per-poly validity windows) — the
+    moving-geofence / seasonal-zone query. Plan: the usual broadcast
+    PIP prefilter + codegen refine, then one more broadcast equi-join
+    on poly_id carrying the interval bounds; the time filter rides in
+    the join condition so Catalyst pushes it into the probe side."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    m = pip_join(ev, ORACLE_POLYGONS, level=7).select("event_id", "ts", "poly_id")
+    valid = spark.createDataFrame(
+        [(p, a, b) for p, a, b in _poly_validity()], "poly_id int, t_from string, t_to string"
+    ).select("poly_id", F.to_timestamp("t_from").alias("t_from"), F.to_timestamp("t_to").alias("t_to"))
+    return (
+        m.join(
+            F.broadcast(valid),
+            (m.poly_id == valid.poly_id) & (m.ts >= valid.t_from) & (m.ts < valid.t_to),
+        )
+        .select("event_id", m.poly_id.alias("poly_id"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
