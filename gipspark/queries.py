@@ -7417,6 +7417,58 @@ def temporal_pip_events(spark, sf_dir):
     )
 
 
+@register(
+    "tile_presence_bitmap",
+    # day-of-January bitmask per 10° cell: bit d set ⟺ any event on
+    # 2024-01-(d+1). The events fixture spans one month, so the mask
+    # fits a bigint; the roaring-bitmap idea at its word-sized core.
+    # lat/lon bound in a CTE first — the derived-column SQL is not a
+    # fully parenthesized expression (the round-2 oracle rule)
+    f"""
+WITH raw AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon, ts
+  FROM events
+), pts AS (
+  SELECT cast(floor((lon + 180.0) / 10.0) as int) * 100
+           + cast(floor((90.0 - lat) / 10.0) as int) AS cell,
+         epoch_us(ts) // 1000000 // 86400 - 19723 AS day
+  FROM raw
+)
+SELECT cell,
+       cast(bit_or(cast(1 as bigint) << cast(day as int)) as bigint) AS day_mask,
+       cast(count(DISTINCT day) as bigint) AS n_days,
+       cast(min(day) as bigint) AS first_day, cast(max(day) as bigint) AS last_day
+FROM pts GROUP BY cell
+""",
+)
+def tile_presence_bitmap(spark, sf_dir):
+    """Per-tile presence bitmap: one bigint whose bit d says "this cell
+    had traffic on day d" — the word-sized core of a roaring-bitmap
+    index, and the cheapest way to ship per-tile activity calendars out
+    of a 10^12-row table (ONE map-side-combinable bit_or aggregate; the
+    mask then answers arbitrary day-set intersections without rescans,
+    like the HLL/CMS sketch pyramid). Day 0 = 2024-01-01 (epoch day
+    19723); the fixture's single month keeps the mask in 64 bits —
+    longer calendars shard the mask by month partition."""
+    ev = load(spark, sf_dir, "events")
+    lat = C.derived_lat(F.col("event_id"))
+    lon = C.derived_lon(F.col("event_id"))
+    pts = ev.select(
+        (
+            F.floor((lon + F.lit(180.0)) / F.lit(10.0)).cast("int") * 100
+            + F.floor((F.lit(90.0) - lat) / F.lit(10.0)).cast("int")
+        ).alias("cell"),
+        (F.expr("unix_timestamp(ts) div 86400") - F.lit(19723)).alias("day"),
+    )
+    return pts.groupBy("cell").agg(
+        # F.shiftleft only takes a literal shift; the SQL form shifts by a column
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(day as int))")).alias("day_mask"),
+        F.count_distinct("day").cast("long").alias("n_days"),
+        F.min("day").cast("long").alias("first_day"),
+        F.max("day").cast("long").alias("last_day"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
