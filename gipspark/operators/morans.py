@@ -276,3 +276,85 @@ def mann_kendall(series: DataFrame, keys: list[str], t_col: str = "t", v_col: st
         s.alias("s_stat"),
         F.when(s > 0, "rising").when(s < 0, "falling").otherwise("flat").alias("trend"),
     )
+
+
+def ripleys_k(
+    pts: DataFrame,
+    radii_mdeg: list[int],
+    area_mdeg2: float,
+    lat_col: str = "la",
+    lon_col: str = "lo",
+    id_col: str = "id",
+) -> DataFrame:
+    """Ripley's K point-pattern statistic at the given radii (planar
+    milli-degree ticks, no edge correction — documented estimator bias
+    at the study-area border):
+
+        K̂(r) = A · 2·|{(i<j): 0 < d²_ij ≤ r²}| / n²
+
+    Scale shape: NEVER the all-pairs θ-join — points land in cells as
+    wide as max(r), candidates come from a 3×3 offset-explode equi-join
+    on the cell key (every unordered pair appears exactly once after
+    id_a < id_b), and all radii share that one join: per-radius counts
+    are conditional sums in a single aggregate, unpivoted with stack().
+    Distances are exact integer ticks (coords are exact milli-degree
+    ints by construction), so pair counts are bit-exact; K̂ is the only
+    double, computed from the same integers in the same textual order
+    as the oracle."""
+    rmax = max(radii_mdeg)
+    la, lo = F.col(lat_col), F.col(lon_col)
+    cells = pts.select(
+        F.col(id_col).alias("id"),
+        la.alias("la"),
+        lo.alias("lo"),
+        F.floor(la / F.lit(float(rmax))).cast("long").alias("cx"),
+        F.floor(lo / F.lit(float(rmax))).cast("long").alias("cy"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("la").alias("la_b"),
+        F.col("lo").alias("lo_b"),
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets])
+        ).alias("o"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    ).select(
+        "id_b",
+        "la_b",
+        "lo_b",
+        (F.col("bcx") + F.col("o.dx")).alias("cx"),
+        (F.col("bcy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (
+        (F.col("la") - F.col("la_b")) * (F.col("la") - F.col("la_b"))
+        + (F.col("lo") - F.col("lo_b")) * (F.col("lo") - F.col("lo_b"))
+    )
+    cand = (
+        cells.join(b, ["cx", "cy"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(d2.alias("d2"))
+    )
+    sums = cand.agg(
+        *[
+            F.sum(F.when((F.col("d2") > 0) & (F.col("d2") <= r * r), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{r}")
+            for r in radii_mdeg
+        ]
+    )
+    stack_args = ", ".join(f"{r}, n_{r}" for r in radii_mdeg)
+    bands = sums.select(
+        F.expr(f"stack({len(radii_mdeg)}, {stack_args}) AS (r_mdeg, n_pairs)")
+    )
+    n1 = pts.agg(F.count("*").cast("long").alias("n"))
+    return bands.crossJoin(F.broadcast(n1)).select(
+        F.col("r_mdeg").cast("long").alias("r_mdeg"),
+        "n_pairs",
+        (
+            F.lit(float(area_mdeg2))
+            * (F.lit(2).cast("long") * F.col("n_pairs")).cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("k_hat"),
+    )

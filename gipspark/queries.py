@@ -7469,6 +7469,54 @@ def tile_presence_bitmap(spark, sf_dir):
     )
 
 
+_RIPLEY_R = [2000, 5000, 10000]  # milli-degree radii
+_RIPLEY_AREA = 360000.0 * 120000.0  # derived-coordinate domain, mdeg²
+
+
+@register(
+    "ripleys_k_customers",
+    # oracle is the bounded brute force (customer is dim-sized at the
+    # oracle SF); the engine side uses the 3×3 cell-offset prefilter
+    f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la,
+         (cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo
+  FROM customer
+), st AS (SELECT cast(count(*) as bigint) AS n FROM pts),
+d AS (
+  SELECT (a.la - b.la) * (a.la - b.la) + (a.lo - b.lo) * (a.lo - b.lo) AS d2
+  FROM pts a JOIN pts b ON a.id < b.id
+), agg AS (
+  SELECT {', '.join(f"cast(sum(CASE WHEN d2 > 0 AND d2 <= {r * r} THEN 1 ELSE 0 END) as bigint) AS n_{r}" for r in _RIPLEY_R)}
+  FROM d
+), bands AS (
+  {' UNION ALL '.join(f"SELECT cast({r} as bigint) AS r_mdeg, n_{r} AS n_pairs FROM agg" for r in _RIPLEY_R)}
+)
+SELECT b.r_mdeg, b.n_pairs,
+       {_RIPLEY_AREA!r} * cast(2 * b.n_pairs as double)
+         / (cast(st.n as double) * cast(st.n as double)) AS k_hat
+FROM bands b, st
+""",
+)
+def ripleys_k_customers(spark, sf_dir):
+    """Ripley's K point-pattern statistic over the customer cloud at
+    three radii (no edge correction): is the pattern clustered or
+    dispersed vs CSR? Engine side never does the all-pairs θ-join —
+    points bucket into max(r)-wide cells, candidates come from one 3×3
+    offset-explode equi-join shared by ALL radii, and distances are
+    exact integer milli-degree ticks (operators/morans.py ripleys_k).
+    The oracle is the bounded brute force."""
+    from gipspark.operators.morans import ripleys_k
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("la"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("lo"),
+    )
+    return ripleys_k(pts, _RIPLEY_R, _RIPLEY_AREA)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -293,3 +293,32 @@ def test_weighted_median_window_vs_brute(spark):
             if 2 * acc >= tw:
                 assert got[g] == c
                 break
+
+
+def test_ripleys_k_vs_brute(spark):
+    # the 3x3 cell-offset prefilter must find EXACTLY the brute-force
+    # pair counts at every radius, including pairs that straddle cell
+    # boundaries and coincident points (excluded by d2 > 0)
+    import random
+
+    from gipspark.operators.morans import ripleys_k
+
+    rng = random.Random(11)
+    pts = [(i, rng.randrange(-6000, 6000), rng.randrange(-18000, 18000)) for i in range(400)]
+    pts += [(400 + i, pts[i][1], pts[i][2]) for i in range(10)]  # coincident duplicates
+    df = spark.createDataFrame(pts, "id long, la long, lo long")
+    radii = [500, 1500, 4000]
+    area = 12000.0 * 36000.0
+
+    out = {r.r_mdeg: (r.n_pairs, r.k_hat) for r in ripleys_k(df, radii, area).collect()}
+
+    n = len(pts)
+    for r in radii:
+        brute = sum(
+            1
+            for i in range(n)
+            for j in range(i + 1, n)
+            if 0 < (pts[i][1] - pts[j][1]) ** 2 + (pts[i][2] - pts[j][2]) ** 2 <= r * r
+        )
+        assert out[r][0] == brute, f"r={r}: {out[r][0]} != brute {brute}"
+        assert out[r][1] == area * 2.0 * brute / (n * n)
