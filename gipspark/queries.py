@@ -7517,6 +7517,43 @@ def ripleys_k_customers(spark, sf_dir):
     return ripleys_k(pts, _RIPLEY_R, _RIPLEY_AREA)
 
 
+from gipspark.operators.hilbert import hilbert_sql  # noqa: E402
+
+_HILBERT_GX = f"(((cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD}) * 65536) // {C.LAT_MOD}"
+_HILBERT_GY = f"(((cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD}) * 65536) // {C.LON_MOD}"
+
+
+@register(
+    "hilbert_key_customers",
+    "WITH "
+    + hilbert_sql(
+        key_expr="c_custkey",
+        gx_expr=_HILBERT_GX,
+        gy_expr=_HILBERT_GY,
+        table_sql="SELECT c_custkey FROM customer",
+        bits=16,
+    )
+    + "\nSELECT key AS c_custkey, gx, gy, hkey FROM hilbert",
+)
+def hilbert_key_customers(spark, sf_dir):
+    """Hilbert-curve clustering key per customer point — the
+    locality-optimal layout key (vs zorder_cluster_customers' Morton):
+    sorting/bucketing files by hkey makes every lat/lon range scan
+    prune to contiguous key ranges with no Z-jumps. Grid coords are
+    exact 16-bit integer divisions of the derived milli-degree ticks
+    (`div` both engines); the 4-state machine is derived from the xy2d
+    loop at import and rendered into both engines from the same tables
+    (operators/hilbert.py), so keys are bit-exact."""
+    from gipspark.operators.hilbert import hilbert_key_df
+
+    c = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        f"(((cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD}) * 65536) div {C.LAT_MOD} as gx",
+        f"(((cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD}) * 65536) div {C.LON_MOD} as gy",
+    )
+    return hilbert_key_df(c, "gx", "gy", bits=16, out="hkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -322,3 +322,38 @@ def test_ripleys_k_vs_brute(spark):
         )
         assert out[r][0] == brute, f"r={r}: {out[r][0]} != brute {brute}"
         assert out[r][1] == area * 2.0 * brute / (n * n)
+
+
+def test_hilbert_key_matches_reference_loop(spark):
+    # exhaustive 32x32 grid at bits=5: Spark chain == xy2d loop,
+    # bijective onto [0, 1024), and true Hilbert locality (consecutive
+    # keys are edge-adjacent cells — the property Morton lacks)
+    from gipspark.operators.hilbert import hilbert_key_df, hilbert_ref
+
+    n = 32
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "gx int, gy int"
+    )
+    got = {(r.gx, r.gy): r.hkey for r in hilbert_key_df(df, bits=5).collect()}
+    assert len(got) == n * n
+    inv = {}
+    for (x, y), d in got.items():
+        assert d == hilbert_ref(x, y, 5), (x, y)
+        inv[d] = (x, y)
+    assert sorted(inv) == list(range(n * n))
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_plan_is_linear_chain(spark):
+    # the state-machine fold must NOT collapse back into one
+    # exponential expression: the formatted plan for bits=16 stays
+    # small (a 2^16-node tree would be megabytes) and stays codegen
+    from gipspark.operators.hilbert import hilbert_key_df
+
+    df = spark.range(4).selectExpr("cast(id as int) gx", "cast(id * 3 as int) gy")
+    out = hilbert_key_df(df, bits=16)
+    plan = spark._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert len(plan) < 200_000, f"plan exploded: {len(plan)} chars"
+    assert "BatchEvalPython" not in plan
