@@ -7517,6 +7517,68 @@ def ripleys_k_customers(spark, sf_dir):
     return ripleys_k(pts, _RIPLEY_R, _RIPLEY_AREA)
 
 
+_DBSCAN_EPS, _DBSCAN_MINPTS = 6000, 4
+
+
+@register(
+    "dbscan_clusters_customers",
+    # brute-force oracle (customer is dim-sized at oracle SF); WITH
+    # RECURSIVE min-reach mirrors pointer-jumping component minima.
+    # "role" quoted: reserved word in DuckDB's parser.
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id,
+         (cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la,
+         (cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo
+  FROM customer
+), pr AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM pts a JOIN pts b ON a.id <> b.id
+   AND (a.la-b.la)*(a.la-b.la) + (a.lo-b.lo)*(a.lo-b.lo) <= {_DBSCAN_EPS * _DBSCAN_EPS}
+), deg AS (
+  SELECT p.id, 1 + count(pr.ib) AS cnt FROM pts p LEFT JOIN pr ON pr.ia = p.id GROUP BY p.id
+), cores AS (SELECT id FROM deg WHERE cnt >= {_DBSCAN_MINPTS}),
+ce AS (SELECT ia, ib FROM pr
+       WHERE ia IN (SELECT id FROM cores) AND ib IN (SELECT id FROM cores)),
+reach(node, r) AS (
+  SELECT ia, ib FROM ce
+  UNION
+  SELECT re.node, e.ib FROM reach re JOIN ce e ON re.r = e.ia WHERE e.ib <> re.node
+), comp AS (
+  SELECT c.id, least(c.id, coalesce(min(r.r), c.id)) AS cluster_id
+  FROM cores c LEFT JOIN reach r ON r.node = c.id GROUP BY c.id
+), bord AS (
+  SELECT pr.ia AS id, min(comp.cluster_id) AS cluster_id
+  FROM pr JOIN comp ON pr.ib = comp.id
+  WHERE pr.ia NOT IN (SELECT id FROM cores) GROUP BY pr.ia
+)
+SELECT p.id AS id,
+       CASE WHEN comp.id IS NOT NULL THEN 'core'
+            WHEN bord.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS "role",
+       cast(coalesce(comp.cluster_id, bord.cluster_id, -1) as bigint) AS cluster_id
+FROM pts p LEFT JOIN comp ON comp.id = p.id LEFT JOIN bord ON bord.id = p.id
+""",
+)
+def dbscan_clusters_customers(spark, sf_dir):
+    """Point-level DBSCAN over the customer cloud (ε=6 mdeg-k ticks,
+    min_pts=4): core points by exact ε-ball occupancy, clusters =
+    connected components of the core–core ε-graph (pointer-jumping),
+    border attached to the smallest adjacent cluster, noise = -1.
+    ε-pairs come from the 3×3 ε-cell offset join, never all-pairs
+    (operators/dbscan.py); oracle is the bounded brute force with a
+    WITH RECURSIVE closure. At sf0.01: 292 core / 126 border / 1082
+    noise in 61 clusters — all three roles exercised."""
+    from gipspark.operators.dbscan import dbscan
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("la"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("lo"),
+    )
+    return dbscan(pts, eps=_DBSCAN_EPS, min_pts=_DBSCAN_MINPTS)
+
+
 from gipspark.operators.hilbert import hilbert_sql  # noqa: E402
 
 _HILBERT_GX = f"(((cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD}) * 65536) // {C.LAT_MOD}"

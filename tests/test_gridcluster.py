@@ -124,3 +124,68 @@ def test_pole_row_no_alias_at_cell_deg_1_8(spark):
 def test_cell_deg_below_stride_guard_raises(spark):
     with pytest.raises(ValueError, match="stride"):
         grid_cluster(_pts_df(spark, LAYOUTS["noise_only"]), cell_deg=0.1, min_points=1)
+
+
+def test_dbscan_point_level_vs_brute(spark):
+    # handcrafted geometry + randomized cloud, checked against a
+    # literal brute-force DBSCAN: exact ε-ball counts, component
+    # minima, min-adjacent border attachment, noise = -1. Includes
+    # cell-boundary-straddling pairs, a two-cluster bridge border
+    # point, coincident duplicates, and isolated noise.
+    import random
+
+    from gipspark.operators.dbscan import dbscan
+
+    rng = random.Random(23)
+    pts = [(i, rng.randrange(-20000, 20000), rng.randrange(-20000, 20000)) for i in range(300)]
+    # dense blob around (15000, 15000)
+    pts += [(300 + i, 15000 + rng.randrange(-800, 800), 15000 + rng.randrange(-800, 800)) for i in range(20)]
+    # second blob two cells away, plus a border point between blobs
+    pts += [(320 + i, -15000 + rng.randrange(-500, 500), -15000 + rng.randrange(-500, 500)) for i in range(10)]
+    pts += [(330, 15950, 15950)]  # likely border of blob 1
+    pts += [(331, pts[300][1], pts[300][2])]  # coincident duplicate
+    eps, min_pts = 1000, 4
+
+    got = {r.id: (r.role, r.cluster_id) for r in dbscan(
+        spark.createDataFrame(pts, "id long, la long, lo long"), eps, min_pts
+    ).collect()}
+    assert len(got) == len(pts)
+
+    # brute force
+    n = len(pts)
+    ids = [p[0] for p in pts]
+    nbr = {i: set() for i in ids}
+    for i in range(n):
+        for j in range(i + 1, n):
+            d2 = (pts[i][1] - pts[j][1]) ** 2 + (pts[i][2] - pts[j][2]) ** 2
+            if d2 <= eps * eps:
+                nbr[pts[i][0]].add(pts[j][0])
+                nbr[pts[j][0]].add(pts[i][0])
+    cores = {i for i in ids if 1 + len(nbr[i]) >= min_pts}
+    # components over core-core edges
+    comp = {i: i for i in cores}
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for i in cores:
+        for j in nbr[i]:
+            if j in cores:
+                a, b = find(i), find(j)
+                if a != b:
+                    comp[max(a, b)] = min(a, b)
+    cluster = {i: find(i) for i in cores}
+    roles = {}
+    for i in ids:
+        if i in cores:
+            roles[i] = ("core", cluster[i])
+        else:
+            adj = sorted(cluster[j] for j in nbr[i] if j in cores)
+            roles[i] = ("border", adj[0]) if adj else ("noise", -1)
+    assert got == roles
+    # the fixture must actually exercise all three roles
+    kinds = {v[0] for v in roles.values()}
+    assert kinds == {"core", "border", "noise"}
