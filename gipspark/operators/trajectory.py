@@ -153,3 +153,81 @@ def simplify_trajectory_points(
         )
 
     return points.select(*cols).groupBy(entity_col).applyInPandas(_one, schema)
+
+
+def hausdorff_pairs(
+    pts: "DataFrame",
+    block_w: int,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    lat_col: str = "la",
+    lon_col: str = "lo",
+) -> "DataFrame":
+    """Discrete (symmetric) Hausdorff distance between every blocked
+    pair of per-user point sets:
+
+        d_ab = max over a-points of min over b-points of d²
+        d_h  = greatest(d_ab, d_ba)
+
+    ``pts`` must already be CAPPED per user (the caller's documented
+    trajectory bound — e.g. the K earliest fixes by (ts, id)); with cap
+    K the per-pair cross product is ≤ K², so the join is
+    candidate-bounded, never |points|². Candidate pairs are users
+    sharing at least one ``block_w``-wide cell — the blocking that
+    keeps the pair count ∝ spatial co-occurrence rather than |users|²
+    at corpus scale. Coordinates are exact integer ticks, so d² values,
+    maxima and minima are all exact bigints.
+
+    Returns (user_a, user_b, d2_ab, d2_ba, d2_hausdorff).
+    """
+    from pyspark.sql import functions as F
+
+    u, la, lo = F.col(user_col), F.col(lat_col), F.col(lon_col)
+    p = pts.select(
+        u.alias("u"),
+        F.col(id_col).alias("pid"),
+        la.cast("long").alias("la"),
+        lo.cast("long").alias("lo"),
+    )
+    cells = p.select(
+        "u",
+        F.floor(F.col("la") / F.lit(float(block_w))).cast("long").alias("cx"),
+        F.floor(F.col("lo") / F.lit(float(block_w))).cast("long").alias("cy"),
+    ).distinct()
+    cand = (
+        cells.join(
+            cells.select(F.col("u").alias("ub"), "cx", "cy"), ["cx", "cy"]
+        )
+        .filter(F.col("u") < F.col("ub"))
+        .select(F.col("u").alias("ua"), "ub")
+        .distinct()
+    )
+    pa = p.select(F.col("u").alias("ua"), F.col("pid").alias("ea"),
+                  F.col("la").alias("la_a"), F.col("lo").alias("lo_a"))
+    pb = p.select(F.col("u").alias("ub"), F.col("pid").alias("eb"),
+                  F.col("la").alias("la_b"), F.col("lo").alias("lo_b"))
+    j = cand.join(pa, "ua").join(pb, "ub").select(
+        "ua", "ub", "ea", "eb",
+        (
+            (F.col("la_a") - F.col("la_b")) * (F.col("la_a") - F.col("la_b"))
+            + (F.col("lo_a") - F.col("lo_b")) * (F.col("lo_a") - F.col("lo_b"))
+        ).alias("d2"),
+    )
+    dab = (
+        j.groupBy("ua", "ub", "ea").agg(F.min("d2").alias("mind"))
+        .groupBy("ua", "ub").agg(F.max("mind").cast("long").alias("d2_ab"))
+    )
+    dba = (
+        j.groupBy("ua", "ub", "eb").agg(F.min("d2").alias("mind"))
+        .groupBy("ua", "ub").agg(F.max("mind").cast("long").alias("d2_ba"))
+    )
+    return (
+        dab.join(dba, ["ua", "ub"])
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            "d2_ab",
+            "d2_ba",
+            F.greatest("d2_ab", "d2_ba").alias("d2_hausdorff"),
+        )
+    )

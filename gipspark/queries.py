@@ -7517,6 +7517,62 @@ def ripleys_k_customers(spark, sf_dir):
     return ripleys_k(pts, _RIPLEY_R, _RIPLEY_AREA)
 
 
+_HAUS_K, _HAUS_W = 16, 30000
+
+
+@register(
+    "hausdorff_traj_pairs",
+    f"""
+WITH ranked AS (
+  SELECT user_id, event_id,
+         (cast(event_id as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la,
+         (cast(event_id as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), pts AS (SELECT user_id AS u, event_id AS pid, la, lo FROM ranked WHERE rn <= {_HAUS_K}),
+cells AS (SELECT DISTINCT u,
+                 cast(floor(la / {float(_HAUS_W)!r}) as bigint) AS cx,
+                 cast(floor(lo / {float(_HAUS_W)!r}) as bigint) AS cy FROM pts),
+cand AS (SELECT DISTINCT a.u AS ua, b.u AS ub
+         FROM cells a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy AND a.u < b.u),
+j AS (SELECT c.ua, c.ub, a.pid AS ea, b.pid AS eb,
+             (a.la-b.la)*(a.la-b.la) + (a.lo-b.lo)*(a.lo-b.lo) AS d2
+      FROM cand c JOIN pts a ON a.u = c.ua JOIN pts b ON b.u = c.ub),
+dab AS (SELECT ua, ub, cast(max(mind) as bigint) AS d2_ab
+        FROM (SELECT ua, ub, ea, min(d2) AS mind FROM j GROUP BY ua, ub, ea) GROUP BY ua, ub),
+dba AS (SELECT ua, ub, cast(max(mind) as bigint) AS d2_ba
+        FROM (SELECT ua, ub, eb, min(d2) AS mind FROM j GROUP BY ua, ub, eb) GROUP BY ua, ub)
+SELECT dab.ua AS user_a, dab.ub AS user_b, d2_ab, d2_ba,
+       greatest(d2_ab, d2_ba) AS d2_hausdorff
+FROM dab JOIN dba ON dab.ua = dba.ua AND dab.ub = dba.ub
+""",
+)
+def hausdorff_traj_pairs(spark, sf_dir):
+    """Discrete symmetric Hausdorff distance between user trajectories
+    (the trajectory-similarity join): each user capped to the 16
+    earliest fixes by (ts, event_id) — the documented per-trajectory
+    bound that makes the per-pair cross product ≤ K² — candidate pairs
+    blocked by shared 30k-tick cells, max-min over exact integer d².
+    operators/trajectory.py hausdorff_pairs; oracle mirrors cap,
+    blocking and both directed distances."""
+    from gipspark.operators.trajectory import hausdorff_pairs
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            ((F.col("event_id").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("la"),
+            ((F.col("event_id").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("lo"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HAUS_K)
+    )
+    return hausdorff_pairs(pts, block_w=_HAUS_W)
+
+
 _DBSCAN_EPS, _DBSCAN_MINPTS = 6000, 4
 
 

@@ -130,3 +130,36 @@ def test_point_level_variant_consistent(spark):
     assert {u: len(s) for u, s in by_user.items()} == summary
     for u, seqs in by_user.items():
         assert min(seqs) == 0 and max(seqs) == 29  # endpoints retained
+
+
+def test_hausdorff_pairs_vs_brute(spark):
+    # blocked max-min == literal brute-force Hausdorff for every pair
+    # the blocking emits; directed asymmetry exercised (a tight cluster
+    # vs a spread path gives d_ab != d_ba)
+    import random
+
+    from gipspark.operators.trajectory import hausdorff_pairs
+
+    rng = random.Random(5)
+    rows = []
+    traj = {}
+    for u in range(8):
+        k = rng.randrange(3, 9)
+        ps = [(rng.randrange(-5000, 5000), rng.randrange(-5000, 5000)) for _ in range(k)]
+        traj[u] = ps
+        rows += [(u, u * 100 + i, la, lo) for i, (la, lo) in enumerate(ps)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, la long, lo long")
+    got = {
+        (r.user_a, r.user_b): (r.d2_ab, r.d2_ba, r.d2_hausdorff)
+        for r in hausdorff_pairs(df, block_w=4000).collect()
+    }
+    assert got, "blocking produced no candidate pairs"
+
+    def directed(a, b):
+        return max(min((p[0]-q[0])**2 + (p[1]-q[1])**2 for q in b) for p in a)
+
+    for (ua, ub), (dab, dba, dh) in got.items():
+        assert dab == directed(traj[ua], traj[ub])
+        assert dba == directed(traj[ub], traj[ua])
+        assert dh == max(dab, dba)
+    assert any(v[0] != v[1] for v in got.values())
