@@ -358,3 +358,93 @@ def ripleys_k(
             / (F.col("n").cast("double") * F.col("n").cast("double"))
         ).alias("k_hat"),
     )
+
+
+def knox_test(
+    pts: DataFrame,
+    s_crit: int,
+    t_crit: int,
+    id_col: str = "id",
+    lat_col: str = "la",
+    lon_col: str = "lo",
+    t_col: str = "t",
+) -> DataFrame:
+    """Knox space-time interaction statistic (one row):
+
+        X  = |{i<j : d²_ij ≤ s² AND |Δt| ≤ τ}|
+        Ns = |close in space|, Nt = |close in time|, N = n(n-1)/2
+        knox_ratio = X / (Ns·Nt/N)   (>1 ⇒ space-time clustering)
+
+    Scale shape — two INDEPENDENT blocked self-joins, never all-pairs:
+    the spatial side reuses the ripleys_k 3×3 s-wide-cell offset join
+    (X and Ns are conditional sums of that ONE join — each unordered
+    pair appears exactly once because each point's cell is unique, so
+    the offset is determined); the temporal side is the same trick in
+    1-D: τ-wide time buckets with a 3-offset explode, so Nt shuffles ∝
+    temporal co-occupancy. All counts exact bigints; the ratio is the
+    only double, derived in fixed textual order.
+    """
+    la, lo, t = F.col(lat_col), F.col(lon_col), F.col(t_col)
+    base = pts.select(
+        F.col(id_col).alias("id"), la.alias("la"), lo.alias("lo"), t.cast("long").alias("t")
+    )
+    # spatial block (3x3 of s-wide cells), X and Ns from one join
+    sc = base.select(
+        "id", "la", "lo", "t",
+        F.floor(F.col("la") / F.lit(float(s_crit))).cast("long").alias("cx"),
+        F.floor(F.col("lo") / F.lit(float(s_crit))).cast("long").alias("cy"),
+    )
+    offs2 = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    sb = sc.select(
+        F.col("id").alias("id_b"), F.col("la").alias("la_b"),
+        F.col("lo").alias("lo_b"), F.col("t").alias("t_b"),
+        F.explode(F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs2])).alias("o"),
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+    ).select(
+        "id_b", "la_b", "lo_b", "t_b",
+        (F.col("bcx") + F.col("o.dx")).alias("cx"),
+        (F.col("bcy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (
+        (F.col("la") - F.col("la_b")) * (F.col("la") - F.col("la_b"))
+        + (F.col("lo") - F.col("lo_b")) * (F.col("lo") - F.col("lo_b"))
+    )
+    sp = (
+        sc.join(sb, ["cx", "cy"])
+        .filter(F.col("id") < F.col("id_b"))
+        .filter(d2 <= F.lit(int(s_crit) * int(s_crit)))
+        .select(
+            F.abs(F.col("t") - F.col("t_b")).alias("dt"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_space"),
+            F.sum(F.when(F.col("dt") <= t_crit, 1).otherwise(0)).cast("long").alias("x_st"),
+        )
+    )
+    # temporal block (1-D, tau-wide buckets)
+    tc = base.select("id", "t", (F.col("t") - (F.col("t") % F.lit(int(t_crit)))).alias("tb"))
+    tb = tc.select(
+        F.col("id").alias("id_b"), F.col("t").alias("t_b"),
+        F.explode(F.array(F.lit(-int(t_crit)), F.lit(0), F.lit(int(t_crit)))).alias("o"),
+        F.col("tb").alias("tbb"),
+    ).select("id_b", "t_b", (F.col("tbb") + F.col("o")).alias("tb"))
+    tm = (
+        tc.join(tb, "tb")
+        .filter(F.col("id") < F.col("id_b"))
+        .filter(F.abs(F.col("t") - F.col("t_b")) <= t_crit)
+        .agg(F.count("*").cast("long").alias("n_time"))
+    )
+    n1 = base.agg(F.count("*").cast("long").alias("n"))
+    out = sp.crossJoin(F.broadcast(tm)).crossJoin(F.broadcast(n1))
+    npairs = F.expr("n * (n - 1) div 2")  # exact bigint (n*(n-1) even)
+    expected = (
+        F.col("n_space").cast("double") * F.col("n_time").cast("double") / npairs.cast("double")
+    )
+    return out.select(
+        "n",
+        npairs.alias("n_pairs"),
+        "n_space",
+        "n_time",
+        "x_st",
+        (F.col("x_st").cast("double") / expected).alias("knox_ratio"),
+    )

@@ -7517,6 +7517,58 @@ def ripleys_k_customers(spark, sf_dir):
     return ripleys_k(pts, _RIPLEY_R, _RIPLEY_AREA)
 
 
+_KNOX_S, _KNOX_T = 5000, 604800  # 5k mdeg ticks, 7 days
+
+
+@register(
+    "knox_space_time",
+    f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         (cast(event_id as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la,
+         (cast(event_id as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo,
+         epoch_us(ts) // 1000000 AS t
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT (a.la-b.la)*(a.la-b.la) + (a.lo-b.lo)*(a.lo-b.lo) AS d2,
+         abs(a.t - b.t) AS dt
+  FROM pts a JOIN pts b ON a.id < b.id
+), agg AS (
+  SELECT cast(sum(CASE WHEN d2 <= {_KNOX_S * _KNOX_S} THEN 1 ELSE 0 END) as bigint) AS n_space,
+         cast(sum(CASE WHEN dt <= {_KNOX_T} THEN 1 ELSE 0 END) as bigint) AS n_time,
+         cast(sum(CASE WHEN d2 <= {_KNOX_S * _KNOX_S} AND dt <= {_KNOX_T} THEN 1 ELSE 0 END) as bigint) AS x_st
+  FROM p
+), st AS (SELECT cast(count(*) as bigint) AS n FROM pts)
+SELECT st.n AS n, st.n * (st.n - 1) // 2 AS n_pairs, agg.n_space, agg.n_time, agg.x_st,
+       cast(agg.x_st as double)
+         / (cast(agg.n_space as double) * cast(agg.n_time as double)
+            / cast(st.n * (st.n - 1) // 2 as double)) AS knox_ratio
+FROM agg, st
+""",
+)
+def knox_space_time(spark, sf_dir):
+    """Knox space-time interaction test over click events: are events
+    that are close in space ALSO close in time (epidemic/burst
+    signature)? X, Ns from one 3×3 s-cell offset join; Nt from the same
+    trick in 1-D (τ-wide time buckets, 3-offset explode) — never the
+    all-pairs θ-join (operators/morans.py knox_test). Counts exact
+    bigints; the oracle is the bounded brute force over the click
+    subset."""
+    from gipspark.operators.morans import knox_test
+
+    pts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("id"),
+            ((F.col("event_id").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("la"),
+            ((F.col("event_id").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("lo"),
+            F.unix_timestamp("ts").alias("t"),
+        )
+    )
+    return knox_test(pts, s_crit=_KNOX_S, t_crit=_KNOX_T)
+
+
 _HAUS_K, _HAUS_W = 16, 30000
 
 

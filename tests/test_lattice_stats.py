@@ -357,3 +357,36 @@ def test_hilbert_plan_is_linear_chain(spark):
     plan = spark._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert len(plan) < 200_000, f"plan exploded: {len(plan)} chars"
     assert "BatchEvalPython" not in plan
+
+
+def test_knox_test_vs_brute(spark):
+    # both blocked joins (3x3 spatial cells, 3-offset time buckets)
+    # must reproduce the literal all-pairs counts exactly, including
+    # pairs straddling cell and bucket boundaries
+    import random
+
+    from gipspark.operators.morans import knox_test
+
+    rng = random.Random(31)
+    pts = [
+        (i, rng.randrange(-8000, 8000), rng.randrange(-8000, 8000), rng.randrange(0, 40 * 86400))
+        for i in range(250)
+    ]
+    s_crit, t_crit = 1500, 5 * 86400
+    df = spark.createDataFrame(pts, "id long, la long, lo long, t long")
+    row = knox_test(df, s_crit, t_crit).collect()[0]
+
+    n = len(pts)
+    ns = nt = x = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d2 = (pts[i][1] - pts[j][1]) ** 2 + (pts[i][2] - pts[j][2]) ** 2
+            dt = abs(pts[i][3] - pts[j][3])
+            sp, tm = d2 <= s_crit * s_crit, dt <= t_crit
+            ns += sp
+            nt += tm
+            x += sp and tm
+    assert (row.n, row.n_pairs) == (n, n * (n - 1) // 2)
+    assert (row.n_space, row.n_time, row.x_st) == (ns, nt, x)
+    assert ns > 0 and nt > 0 and x > 0, "fixture must exercise all counts"
+    assert row.knox_ratio == x / (ns * nt / (n * (n - 1) / 2))

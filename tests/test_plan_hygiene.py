@@ -37,6 +37,7 @@ CROSS_OK = {
     "decayed_tile_heat",  # 1-row max-date anchor broadcast into the point table
     "hll_intersection_contract",  # six 1-row aggregates cross-combined
     "gi_star_hotspots",  # 1-row moment broadcast into the lattice (morans sibling)
+    "knox_space_time",  # three 1-row aggregates cross-combined into the single stat row
     "ripleys_k_customers",  # 1-row point-count aggregate broadcast into the radius bands
 }
 
