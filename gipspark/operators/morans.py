@@ -448,3 +448,54 @@ def knox_test(
         "x_st",
         (F.col("x_st").cast("double") / expected).alias("knox_ratio"),
     )
+
+
+def theil_sen(
+    series: DataFrame,
+    keys: list[str],
+    t_col: str = "t",
+    v_col: str = "x",
+) -> DataFrame:
+    """Theil–Sen slope per key group — the robust trend MAGNITUDE
+    estimator that pairs with mann_kendall's direction test: the lower
+    median of all pairwise slopes (v_j - v_i)/(t_j - t_i), t_j > t_i.
+
+    Scale shape: the pair set is a self equi-join on the group key,
+    bounded by the calendar (a daily series of D days gives D(D-1)/2
+    pairs per group — never |rows|² across groups); median selection is
+    one window rank, no driver-side sorting. Slopes are single exact
+    IEEE divisions of integer deltas, ordered with full deterministic
+    tie-breaks (slope, dv, dt, t1), so the selected median is
+    bit-reproducible across engines.
+    """
+    a = series.select(*keys, F.col(t_col).alias("t1"), F.col(v_col).alias("v1"))
+    b = series.select(
+        *[F.col(k).alias(f"__{k}") for k in keys],
+        F.col(t_col).alias("t2"),
+        F.col(v_col).alias("v2"),
+    )
+    cond = [F.col(k) == F.col(f"__{k}") for k in keys]
+    p = (
+        a.join(b, cond)
+        .filter(F.col("t2") > F.col("t1"))
+        .select(
+            *keys,
+            (F.col("v2") - F.col("v1")).cast("long").alias("dv"),
+            (F.col("t2") - F.col("t1")).cast("long").alias("dt"),
+            "t1",
+        )
+        .withColumn("slope", F.col("dv").cast("double") / F.col("dt").cast("double"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*keys).orderBy("slope", "dv", "dt", "t1")
+    cw = W.partitionBy(*keys)
+    r = p.select(
+        *keys,
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cw).alias("cnt"),
+    )
+    return r.filter(
+        F.col("rn") == F.floor((F.col("cnt") + 1) / F.lit(2)).cast("int")
+    ).select(*keys, F.col("cnt").cast("long").alias("n_pairs"), F.col("slope").alias("sen_slope"))

@@ -7517,6 +7517,55 @@ def ripleys_k_customers(spark, sf_dir):
     return ripleys_k(pts, _RIPLEY_R, _RIPLEY_AREA)
 
 
+@register(
+    "theil_sen_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         epoch_us(ts) // 1000000 // 86400 AS d
+  FROM events
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_MK_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MK_GRID}) as int) AS gy,
+         d, cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy, d
+), p AS (
+  SELECT a.gx, a.gy,
+         cast(b.x - a.x as bigint) AS dv, cast(b.d - a.d as bigint) AS dt, a.d AS t1,
+         cast(b.x - a.x as double) / cast(b.d - a.d as double) AS slope
+  FROM c a JOIN c b ON a.gx = b.gx AND a.gy = b.gy AND b.d > a.d
+), r AS (
+  SELECT gx, gy, slope,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY slope, dv, dt, t1) AS rn,
+         count(*) OVER (PARTITION BY gx, gy) AS cnt
+  FROM p
+)
+SELECT gx, gy, cast(cnt as bigint) AS n_pairs, slope AS sen_slope
+FROM r WHERE rn = (cnt + 1) // 2
+""",
+)
+def theil_sen_cells(spark, sf_dir):
+    """Theil–Sen robust trend slope per 30° cell over the cell's daily
+    event counts — the magnitude estimator paired with
+    mann_kendall_cells' direction test (the emerging-hotspot duo).
+    Pairwise slopes from a calendar-bounded self equi-join on the cell
+    key; exact lower median selected by one window rank with full
+    deterministic tie-breaks (operators/morans.py theil_sen)."""
+    from gipspark.operators.morans import theil_sen
+
+    ev = load(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+    )
+    c = ev.groupBy(
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_MK_GRID)).cast("int").alias("gx"),
+        F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_MK_GRID)).cast("int").alias("gy"),
+        "d",
+    ).agg(F.count("*").cast("long").alias("x"))
+    return theil_sen(c, ["gx", "gy"], t_col="d", v_col="x")
+
+
 _KNOX_S, _KNOX_T = 5000, 604800  # 5k mdeg ticks, 7 days
 
 

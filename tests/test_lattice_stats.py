@@ -390,3 +390,32 @@ def test_knox_test_vs_brute(spark):
     assert (row.n_space, row.n_time, row.x_st) == (ns, nt, x)
     assert ns > 0 and nt > 0 and x > 0, "fixture must exercise all counts"
     assert row.knox_ratio == x / (ns * nt / (n * (n - 1) / 2))
+
+
+def test_theil_sen_vs_brute(spark):
+    # exact lower-median of pairwise slopes, with slope ties (parallel
+    # segments at different magnitudes) exercising the tie-break chain
+    import random
+
+    from gipspark.operators.morans import theil_sen
+
+    rng = random.Random(41)
+    rows = []
+    series = {}
+    for g in range(6):
+        days = sorted(rng.sample(range(40), rng.randrange(2, 12)))
+        vals = [rng.randrange(0, 20) for _ in days]
+        series[g] = list(zip(days, vals))
+        rows += [(g, d, v) for d, v in series[g]]
+    df = spark.createDataFrame(rows, "g int, t long, x long")
+    got = {r.g: (r.n_pairs, r.sen_slope) for r in theil_sen(df, ["g"]).collect()}
+
+    for g, sv in series.items():
+        slopes = []
+        for i in range(len(sv)):
+            for j in range(i + 1, len(sv)):
+                dv, dt = sv[j][1] - sv[i][1], sv[j][0] - sv[i][0]
+                slopes.append((dv / dt, dv, dt, sv[i][0]))
+        slopes.sort()
+        want = slopes[(len(slopes) + 1) // 2 - 1][0]
+        assert got[g] == (len(slopes), want), g
