@@ -423,3 +423,59 @@ def jaccard_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("id").alias("match_id"), "jaccard", "rank")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    tau: float,
+    max_df: int,
+    min_shingles: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Asymmetric shingle containment — the quote/inclusion detector
+    Jaccard misses: C(a→b) = |S_a ∩ S_b| / |S_a| stays high when a
+    short doc is pasted inside a long one even though their Jaccard is
+    tiny. Emits ordered pairs with C ≥ tau.
+
+    Scale shape: the pair set is the inverted-index self-join — shuffle
+    ∝ Σ posting_len², NOT |docs|² — and posting lists are bounded
+    *before* the join by the stop-shingle rule: shingles appearing in
+    more than ``max_df`` docs are dropped from the index (the standard
+    boilerplate-shingle cut; at corpus scale the hot shingle IS
+    boilerplate and carries no containment signal). Containment is
+    therefore defined over the CAPPED shingle set (denominator = kept
+    set size, docs with < ``min_shingles`` kept shingles skipped) —
+    deterministic, and replayed exactly by the oracle: integer counts,
+    one double divide.
+
+    Returns (doc_a, doc_b, sz_a, common, containment) with doc_a ≠
+    doc_b — C(a→b) and C(b→a) are different rows.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    inv = base.select("id", F.explode("sh").alias("s"))
+    kept_s = inv.groupBy("s").agg(F.count("*").alias("df_cnt")).filter(
+        F.col("df_cnt") <= max_df
+    )
+    kept = inv.join(kept_s.select("s"), "s")
+    sz = kept.groupBy("id").agg(F.count("*").cast("long").alias("sz")).filter(
+        F.col("sz") >= min_shingles
+    )
+    a = kept.join(sz, "id").select(
+        F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"), "s"
+    )
+    b = kept.join(sz.select("id"), "id").select(F.col("id").alias("doc_b"), "s")
+    return (
+        a.join(b, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a")
+        .agg(F.count("*").cast("long").alias("common"))
+        .withColumn(
+            "containment", F.col("common").cast("double") / F.col("sz_a").cast("double")
+        )
+        .filter(F.col("containment") >= tau)
+        .select("doc_a", "doc_b", "sz_a", "common", "containment")
+    )

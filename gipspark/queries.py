@@ -7517,6 +7517,44 @@ def ripleys_k_customers(spark, sf_dir):
     return ripleys_k(pts, _RIPLEY_R, _RIPLEY_AREA)
 
 
+_CONT_TAU, _CONT_MAXDF, _CONT_MIN = 0.4, 50, 5
+
+
+@register(
+    "containment_pairs_docs",
+    f"""
+WITH base AS (SELECT doc_id AS id, {D.shingles_sql('text', 2)} AS sh FROM documents),
+inv AS (SELECT id, unnest(sh) AS s FROM base),
+kept_s AS (SELECT s FROM (SELECT s, count(*) AS c FROM inv GROUP BY s) WHERE c <= {_CONT_MAXDF}),
+kept AS (SELECT inv.id, inv.s FROM inv JOIN kept_s USING (s)),
+sz AS (SELECT id, cast(count(*) as bigint) AS sz FROM kept GROUP BY id
+       HAVING count(*) >= {_CONT_MIN}),
+p AS (SELECT a.id AS doc_a, b.id AS doc_b, sa.sz AS sz_a, cast(count(*) as bigint) AS common
+      FROM kept a JOIN kept b ON a.s = b.s AND a.id <> b.id
+      JOIN sz sa ON sa.id = a.id JOIN sz sb ON sb.id = b.id
+      GROUP BY a.id, b.id, sa.sz)
+SELECT doc_a, doc_b, sz_a, common,
+       cast(common as double) / cast(sz_a as double) AS containment
+FROM p WHERE cast(common as double) / cast(sz_a as double) >= {_CONT_TAU}
+""",
+)
+def containment_pairs_docs(spark, sf_dir):
+    """Asymmetric shingle-containment near-dup pairs — the
+    quote/inclusion detector (C(a→b) = |S_a∩S_b|/|S_a| catches a short
+    doc pasted inside a long one where Jaccard stays tiny). Inverted-
+    index self-join with the stop-shingle posting cap (df > 50 dropped
+    before the join — shuffle ∝ Σ posting², never |docs|²); exact
+    integer counts, one double divide
+    (operators/dedup.containment_pairs)."""
+    return D.containment_pairs(
+        load(spark, sf_dir, "documents"),
+        tau=_CONT_TAU,
+        max_df=_CONT_MAXDF,
+        min_shingles=_CONT_MIN,
+        shingle_n=2,
+    )
+
+
 @register(
     "theil_sen_cells",
     f"""

@@ -310,3 +310,34 @@ def test_concurrency_sweep_reference(spark, sf_dir):
         expected[day] = best
     got = {r.day: r.max_concurrent for r in _run(spark, sf_dir, "concurrent_sessions_daily").collect()}
     assert got == expected
+
+
+def test_containment_asymmetric_inclusion(spark):
+    # a short doc pasted verbatim inside a long one: containment
+    # (short → long) == 1.0 while Jaccard is small; reverse direction
+    # well below tau; stop-shingle cap drops boilerplate shared by all
+    from gipspark.operators.dedup import containment_pairs
+
+    boiler = "copyright footer terms apply all rights reserved"
+    short = "quantum ducks navigate rivers using starlight and maps"
+    long_extra = " ".join(f"filler{i} token{i}" for i in range(40))
+    rows = [
+        (1, short + " " + boiler),
+        (2, long_extra + " " + short + " " + boiler),
+        (3, "totally unrelated text about gardening tomatoes " + boiler),
+        (4, "another unrelated entry on bicycle maintenance " + boiler),
+        (5, "more unrelated words concerning pottery glazing " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.sz_a, r.common, r.containment)
+        for r in containment_pairs(df, tau=0.5, max_df=3, min_shingles=3, shingle_n=2).collect()
+    }
+    # short→long fully contained (over kept shingles)
+    assert (1, 2) in got
+    sz_a, common, c = got[(1, 2)]
+    assert c == 1.0 and common == sz_a
+    # long→short NOT ≥ 0.5 (the asymmetry)
+    assert (2, 1) not in got
+    # unrelated docs share only boilerplate, which the df-cap drops
+    assert not any(a == 3 or b == 3 for a, b in got)
