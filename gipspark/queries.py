@@ -7517,6 +7517,72 @@ def ripleys_k_customers(spark, sf_dir):
     return ripleys_k(pts, _RIPLEY_R, _RIPLEY_AREA)
 
 
+import math as _math  # noqa: E402
+
+# study area: the derived-coordinate lat band [-60, 60] over the full
+# sphere of radius EARTH_RADIUS_M: A = 2π R² (sin60 − sin(−60)) = 2√3 π R²
+_CE_AREA_M2 = 2.0 * _math.sqrt(3.0) * _math.pi * 6371000.0 * 6371000.0
+
+
+@register(
+    "clark_evans_customers",
+    f"""
+WITH p AS (SELECT c_custkey AS id, {_LAT.format(k='c_custkey')} AS lat,
+                  {_LON.format(k='c_custkey')} AS lon FROM customer),
+d AS (SELECT a.id,
+             min({HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}) AS nn
+      FROM p a JOIN p b ON a.id <> b.id GROUP BY a.id),
+agg AS (SELECT cast(count(*) as bigint) AS n,
+               cast(sum(cast(round(nn, 0) as bigint)) as bigint) AS sum_nn_m FROM d)
+SELECT n, sum_nn_m,
+       cast(sum_nn_m as double) / cast(n as double) AS mean_nn_m,
+       0.5 * sqrt({_CE_AREA_M2!r} / cast(n as double)) AS expected_m,
+       (cast(sum_nn_m as double) / cast(n as double))
+         / (0.5 * sqrt({_CE_AREA_M2!r} / cast(n as double))) AS clark_evans_r
+FROM agg
+""",
+)
+def clark_evans_customers(spark, sf_dir):
+    """Clark–Evans nearest-neighbor index over the customer cloud:
+    R = mean observed NN distance / expected under CSR (0.5·√(A/n));
+    R < 1 clustered, ≈1 random, → 2.15 dispersed. The NN distance per
+    point reuses the exact k-ring-guaranteed kNN join with k=2 (self
+    is always rank 1 at distance 0; no coincident distinct-key points
+    exist under the derived-coordinate map for keys < 360000), so no
+    all-pairs scan ever happens; per-point NN meters are rounded to
+    integer ticks so the global sum is exact. Oracle: brute min over
+    the same haversine text."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("p_id"),
+        C.derived_lat(F.col("c_custkey")).alias("p_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("p_lon"),
+    )
+    qs = pts.select(
+        F.col("p_id").alias("q_id"),
+        F.col("p_lat").alias("q_lat"),
+        F.col("p_lon").alias("q_lon"),
+    )
+    nn = (
+        knn_join(qs, pts, k=2, n_points_hint=table_rows(sf_dir, "customer"))
+        .filter(F.col("p_id") != F.col("q_id"))
+        .groupBy("q_id")
+        .agg(F.min("dist_m").alias("nn"))
+    )
+    agg = nn.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round("nn", 0).cast("long")).cast("long").alias("sum_nn_m"),
+    )
+    mean = F.col("sum_nn_m").cast("double") / F.col("n").cast("double")
+    expected = F.lit(0.5) * F.sqrt(F.lit(_CE_AREA_M2) / F.col("n").cast("double"))
+    return agg.select(
+        "n",
+        "sum_nn_m",
+        mean.alias("mean_nn_m"),
+        expected.alias("expected_m"),
+        (mean / expected).alias("clark_evans_r"),
+    )
+
+
 _CONT_TAU, _CONT_MAXDF, _CONT_MIN = 0.4, 50, 5
 
 
