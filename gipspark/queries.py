@@ -7517,6 +7517,75 @@ def ripleys_k_customers(spark, sf_dir):
     return ripleys_k(pts, _RIPLEY_R, _RIPLEY_AREA)
 
 
+_FOCAL_OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+@register(
+    "focal_median_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+), sh AS (
+  SELECT g.cx + o.dx AS cx, g.cy + o.dy AS cy, g.v
+  FROM grid g, (VALUES {', '.join(f'({dx}, {dy})' for dx, dy in _FOCAL_OFFS)}) AS o(dx, dy)
+), ag AS (
+  SELECT t.cx, t.cy, t.v, list(s.v) AS vs
+  FROM grid t JOIN sh s ON s.cx = t.cx AND s.cy = t.cy
+  GROUP BY t.cx, t.cy, t.v
+)
+SELECT cx, cy, v,
+       list_sort(list_concat(vs, list_transform(generate_series(1, 9 - len(vs)),
+                                                x -> cast(0 as bigint))))[5] AS med9
+FROM ag
+""",
+)
+def focal_median_cells(spark, sf_dir):
+    """Focal 3×3 median filter over the event-density raster — the
+    classic salt-and-pepper denoise kernel (GDAL focal statistics),
+    sparse-raster form: absent neighbors are zero-valued pixels, so
+    each occupied cell's window is padded to 9 with zeros before the
+    exact integer median. The point table collapses to cells in ONE
+    aggregate; the neighborhood is a 9-offset explode + equi-join over
+    the dense-cell table (dim-scale, never the point table)."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    sh = grid.select(
+        "v",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in _FOCAL_OFFS])
+        ).alias("o"),
+        F.col("cx").alias("scx"),
+        F.col("cy").alias("scy"),
+    ).select(
+        (F.col("scx") + F.col("o.dx")).alias("cx"),
+        (F.col("scy") + F.col("o.dy")).alias("cy"),
+        F.col("v").alias("nv"),
+    )
+    ag = (
+        grid.join(sh, ["cx", "cy"])
+        .groupBy("cx", "cy", "v")
+        .agg(F.collect_list("nv").alias("vs"))
+    )
+    padded = F.concat(
+        F.col("vs"), F.array_repeat(F.lit(0).cast("long"), F.lit(9) - F.size("vs"))
+    )
+    return ag.select(
+        "cx", "cy", "v", F.element_at(F.sort_array(padded), 5).alias("med9")
+    )
+
+
 import math as _math  # noqa: E402
 
 # study area: the derived-coordinate lat band [-60, 60] over the full
