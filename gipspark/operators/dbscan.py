@@ -45,25 +45,41 @@ def dbscan(
     id_col: str = "id",
     lat_col: str = "la",
     lon_col: str = "lo",
+    t_col: str | None = None,
+    eps_t: int | None = None,
 ) -> DataFrame:
     """(id, role, cluster_id) for every input point.
 
     role ∈ {'core','border','noise'}; cluster_id = min core id of the
     cluster (border: min over adjacent clusters), -1 for noise.
+
+    Pass ``t_col`` + ``eps_t`` for ST-DBSCAN: the neighbor predicate
+    becomes d² ≤ ε² AND |Δt| ≤ ε_t (the standard spatio-temporal
+    extension — a burst must be compact in space AND time). The
+    temporal bound is an extra filter on the SAME spatially-blocked
+    candidate set, so the scale shape is unchanged; at extreme
+    temporal selectivity you'd block on (cell, time-bucket) instead —
+    the knox_test 1-D bucket trick composes here if needed.
     """
+    if (t_col is None) != (eps_t is None):
+        raise ValueError("t_col and eps_t must be passed together")
     la, lo = F.col(lat_col), F.col(lon_col)
+    tcols = [F.col(t_col).cast("long").alias("t")] if t_col else []
     cells = pts.select(
         F.col(id_col).alias("id"),
         la.alias("la"),
         lo.alias("lo"),
+        *tcols,
         F.floor(la / F.lit(float(eps))).cast("long").alias("cx"),
         F.floor(lo / F.lit(float(eps))).cast("long").alias("cy"),
     )
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    tb = [F.col("t").alias("t_b")] if t_col else []
     b = cells.select(
         F.col("id").alias("id_b"),
         F.col("la").alias("la_b"),
         F.col("lo").alias("lo_b"),
+        *tb,
         F.explode(
             F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets])
         ).alias("o"),
@@ -73,6 +89,7 @@ def dbscan(
         "id_b",
         "la_b",
         "lo_b",
+        *([F.col("t_b")] if t_col else []),
         (F.col("bcx") + F.col("o.dx")).alias("cx"),
         (F.col("bcy") + F.col("o.dy")).alias("cy"),
     )
@@ -84,8 +101,10 @@ def dbscan(
         cells.join(b, ["cx", "cy"])
         .filter(F.col("id") != F.col("id_b"))
         .filter(d2 <= F.lit(int(eps) * int(eps)))
-        .select("id", "id_b")
     )
+    if t_col:
+        cand = cand.filter(F.abs(F.col("t") - F.col("t_b")) <= F.lit(int(eps_t)))
+    cand = cand.select("id", "id_b")
 
     others = cand.groupBy("id").agg(F.count("*").alias("others"))
     deg = (
