@@ -7517,6 +7517,66 @@ def ripleys_k_customers(spark, sf_dir):
     return ripleys_k(pts, _RIPLEY_R, _RIPLEY_AREA)
 
 
+@register(
+    "anchor_text_topk",
+    f"""
+WITH edges AS (
+  SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+), src AS (
+  SELECT doc_id AS src,
+         (regexp_split_to_array(lower(trim(text)), '\\s+'))[1:3] AS anchor
+  FROM documents
+), terms AS (
+  SELECT e.dst, unnest(s.anchor) AS term FROM edges e JOIN src s ON s.src = e.src
+), counts AS (
+  SELECT dst, term, cast(count(*) as bigint) AS n_refs FROM terms GROUP BY dst, term
+), r AS (
+  SELECT dst, term, n_refs,
+         cast(row_number() OVER (PARTITION BY dst ORDER BY n_refs DESC, term ASC) as int) AS rank
+  FROM counts
+)
+SELECT dst, term, n_refs, rank FROM r WHERE rank <= 2
+""",
+)
+def anchor_text_topk(spark, sf_dir):
+    """Anchor-text aggregation — the web-search signal: for every link
+    target, the top-2 terms of incoming link contexts (first 3 tokens
+    of each linking doc, the deterministic anchor stand-in over the
+    md5-derived link graph shared with pagerank_doc_links). One
+    explode → one hash agg → one window top-k; at corpus scale this is
+    the classic one-shuffle postings build (anchor corpus ∝ edges,
+    never |docs|²)."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").alias("src"), F.slice(T.tokens(F.col("text")), 1, 3).alias("anchor")
+    )
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    counts = (
+        edges.join(src, "src")
+        .select("dst", F.explode("anchor").alias("term"))
+        .groupBy("dst", "term")
+        .agg(F.count("*").cast("long").alias("n_refs"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("n_refs").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("dst", "term", "n_refs", "rank")
+    )
+
+
 _STDB_EPS, _STDB_EPS_T, _STDB_MINPTS = 5000, 3 * 86400, 3
 
 
