@@ -7518,6 +7518,76 @@ def ripleys_k_customers(spark, sf_dir):
 
 
 @register(
+    "turn_stats_user",
+    f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (cast(event_id as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la,
+         (cast(event_id as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo
+  FROM events
+), seq AS (
+  SELECT user_id,
+         lag(la, 2) OVER w AS la1, lag(lo, 2) OVER w AS lo1,
+         lag(la, 1) OVER w AS la2, lag(lo, 1) OVER w AS lo2,
+         la AS la3, lo AS lo3
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tr AS (
+  SELECT user_id,
+         (la2 - la1) * (lo3 - lo2) - (lo2 - lo1) * (la3 - la2) AS cr,
+         (la2 - la1) * (la3 - la2) + (lo2 - lo1) * (lo3 - lo2) AS dt
+  FROM seq WHERE la1 IS NOT NULL
+)
+SELECT user_id,
+       cast(count(*) as bigint) AS n_turns,
+       cast(sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END) as bigint) AS n_left,
+       cast(sum(CASE WHEN cr < 0 THEN 1 ELSE 0 END) as bigint) AS n_right,
+       cast(sum(CASE WHEN cr = 0 AND dt >= 0 THEN 1 ELSE 0 END) as bigint) AS n_straight,
+       cast(sum(CASE WHEN cr = 0 AND dt < 0 THEN 1 ELSE 0 END) as bigint) AS n_uturn,
+       cast(sum(CASE WHEN cr > 0 THEN 1 WHEN cr < 0 THEN -1 ELSE 0 END) as bigint) AS turn_bias
+FROM tr GROUP BY user_id
+""",
+)
+def turn_stats_user(spark, sf_dir):
+    """Per-user turning statistics over the ordered GPS trajectory —
+    trig-free: each consecutive fix triple classifies by the SIGN of
+    the exact integer cross product (left/right/straight/U-turn via
+    dot sign), so there is no atan2 parity risk and every count is an
+    exact bigint. One shuffle on user_id shared by the double-lag
+    window and the aggregate (the trajectory_user_stats plan shape)."""
+    pts = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("la"),
+        ((F.col("event_id").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("lo"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pts.select(
+        "user_id",
+        F.lag("la", 2).over(w).alias("la1"), F.lag("lo", 2).over(w).alias("lo1"),
+        F.lag("la", 1).over(w).alias("la2"), F.lag("lo", 1).over(w).alias("lo2"),
+        F.col("la").alias("la3"), F.col("lo").alias("lo3"),
+    ).filter(F.col("la1").isNotNull())
+    cross = (F.col("la2") - F.col("la1")) * (F.col("lo3") - F.col("lo2")) - (
+        F.col("lo2") - F.col("lo1")
+    ) * (F.col("la3") - F.col("la2"))
+    dot = (F.col("la2") - F.col("la1")) * (F.col("la3") - F.col("la2")) + (
+        F.col("lo2") - F.col("lo1")
+    ) * (F.col("lo3") - F.col("lo2"))
+    tr = seq.select("user_id", cross.alias("cr"), dot.alias("dt"))
+    return tr.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("cr") > 0, 1).otherwise(0)).cast("long").alias("n_left"),
+        F.sum(F.when(F.col("cr") < 0, 1).otherwise(0)).cast("long").alias("n_right"),
+        F.sum(F.when((F.col("cr") == 0) & (F.col("dt") >= 0), 1).otherwise(0)).cast("long").alias("n_straight"),
+        F.sum(F.when((F.col("cr") == 0) & (F.col("dt") < 0), 1).otherwise(0)).cast("long").alias("n_uturn"),
+        F.sum(
+            F.when(F.col("cr") > 0, 1).when(F.col("cr") < 0, -1).otherwise(0)
+        ).cast("long").alias("turn_bias"),
+    )
+
+
+@register(
     "anchor_text_topk",
     f"""
 WITH edges AS (
