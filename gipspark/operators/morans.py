@@ -244,6 +244,68 @@ def getis_ord_star(cells: DataFrame) -> DataFrame:
     )
 
 
+def join_counts(cells: DataFrame) -> DataFrame:
+    """Join-count statistics (BB/WW/BW) over (gx, gy, x) — the
+    categorical sibling of Moran's I: mark each occupied cell Black
+    when its count is above the lattice mean, then count like/unlike
+    rook-adjacent pairs. Clustering shows as BB ≫ E[BB] and
+    BW ≪ E[BW] (the checkerboard inverts it).
+
+    Exactness: the Black marker is the integer comparison n·x > S
+    (above-mean without a division); pair counts come from the same
+    offset-explode rook equi-join as morans_i (shuffle O(cells), never
+    a θ-join), counted directed then halved with ``div 2`` (every
+    unordered pair appears exactly twice, so the halves are exact).
+    Expected counts under nonfree sampling,
+
+        E[BB] = W·nb(nb−1)/(n(n−1)),  E[BW] = 2W·nb·nw/(n(n−1)),
+
+    are the only doubles, computed from the same exact integers in the
+    same textual order both engines."""
+    stats = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    marked = cells.crossJoin(F.broadcast(stats)).select(
+        "gx", "gy", "n",
+        (F.col("n") * F.col("x") > F.col("s")).cast("int").alias("blk"),
+    )
+    shifted = marked.select(
+        "gx",
+        "gy",
+        "blk",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in ROOK_OFFSETS])
+        ).alias("o"),
+    ).select(
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+        F.col("blk").alias("blk_j"),
+    )
+    pairs = marked.join(shifted, ["gx", "gy"]).select("n", "blk", "blk_j")
+    agg = pairs.agg(
+        F.first("n").alias("n_cells"),
+        F.expr("cast(count(*) div 2 as bigint)").alias("w_links"),
+        F.expr("cast(sum(blk * blk_j) div 2 as bigint)").alias("j_bb"),
+        F.expr("cast(sum((1 - blk) * (1 - blk_j)) div 2 as bigint)").alias("j_ww"),
+        F.expr("cast(sum(blk + blk_j - 2 * blk * blk_j) div 2 as bigint)").alias("j_bw"),
+    )
+    nb = marked.agg(F.sum("blk").cast("long").alias("n_black"))
+    out = agg.crossJoin(F.broadcast(nb))
+    n_, w_, b_ = (F.col(c).cast("double") for c in ("n_cells", "w_links", "n_black"))
+    denom = n_ * (n_ - F.lit(1.0))
+    return out.select(
+        "n_cells",
+        "n_black",
+        "w_links",
+        "j_bb",
+        "j_ww",
+        "j_bw",
+        (w_ * b_ * (b_ - F.lit(1.0)) / denom).alias("e_bb"),
+        (F.lit(2.0) * w_ * b_ * (n_ - b_) / denom).alias("e_bw"),
+    )
+
+
 def mann_kendall(series: DataFrame, keys: list[str], t_col: str = "t", v_col: str = "v") -> DataFrame:
     """Per-key Mann–Kendall trend statistic S = Σ_{i<j} sign(v_j − v_i)
     over each key's time series — the "emerging hotspot" test a

@@ -8143,6 +8143,148 @@ def hilbert_key_customers(spark, sf_dir):
     return hilbert_key_df(c, "gx", "gy", bits=16, out="hkey")
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch: join-count statistics + PMI collocations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_count_stats",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), cells AS (
+  SELECT cast(floor((lon + 180.0) / {_MORAN_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MORAN_GRID}) as int) AS gy,
+         cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy
+), st AS (
+  SELECT cast(count(*) as bigint) AS n, cast(sum(x) as bigint) AS s FROM cells
+), m AS (
+  SELECT gx, gy, cast(st.n * x > st.s as int) AS blk FROM cells, st
+), p AS (
+  SELECT a.blk AS blk, b.blk AS blk_j
+  FROM m a JOIN m b ON (abs(a.gx - b.gx) + abs(a.gy - b.gy)) = 1
+), agg AS (
+  SELECT cast(count(*) // 2 as bigint) AS w_links,
+         cast(sum(blk * blk_j) // 2 as bigint) AS j_bb,
+         cast(sum((1 - blk) * (1 - blk_j)) // 2 as bigint) AS j_ww,
+         cast(sum(blk + blk_j - 2 * blk * blk_j) // 2 as bigint) AS j_bw
+  FROM p
+), nb AS (SELECT cast(sum(blk) as bigint) AS n_black FROM m)
+SELECT st.n AS n_cells, nb.n_black, agg.w_links, agg.j_bb, agg.j_ww, agg.j_bw,
+       cast(agg.w_links as double) * cast(nb.n_black as double)
+         * (cast(nb.n_black as double) - 1.0)
+         / (cast(st.n as double) * (cast(st.n as double) - 1.0)) AS e_bb,
+       2.0 * cast(agg.w_links as double) * cast(nb.n_black as double)
+         * (cast(st.n as double) - cast(nb.n_black as double))
+         / (cast(st.n as double) * (cast(st.n as double) - 1.0)) AS e_bw
+FROM agg, st, nb
+""",
+)
+def join_count_stats(spark, sf_dir):
+    """Join-count statistics over the 15° customer-density lattice —
+    the categorical spatial-autocorrelation test (BB/WW/BW rook-pair
+    counts vs their nonfree-sampling expectations) that complements
+    Moran's I when the signal is a binary marker (here: above-mean
+    density). Same offset-explode rook equi-join scale shape as the
+    whole lattice family (operators/morans.py join_counts): shuffle
+    O(cells), two 1-row broadcast moments, exact bigint pair counts
+    halved with div 2, expectations the only doubles (fixed textual
+    order both engines)."""
+    from gipspark.operators.morans import cell_counts, join_counts
+
+    pts = load(spark, sf_dir, "customer").select(
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    return join_counts(cell_counts(pts, _MORAN_GRID))
+
+
+@register(
+    "pmi_collocations_docs",
+    r"""
+WITH t AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+), uf AS (
+  SELECT w FROM (SELECT unnest(toks) AS w FROM t)
+  WHERE regexp_full_match(w, '[a-z]{3,}')
+), cx AS (
+  SELECT w, cast(count(*) as bigint) AS c FROM uf GROUP BY w
+), nt AS (SELECT cast(count(*) as bigint) AS n FROM uf),
+raw AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+  FROM t WHERE len(toks) >= 2
+), bf AS (
+  SELECT s.w1 AS w1, s.w2 AS w2 FROM raw
+  WHERE regexp_full_match(s.w1, '[a-z]{3,}') AND regexp_full_match(s.w2, '[a-z]{3,}')
+), cxy AS (
+  SELECT w1, w2, cast(count(*) as bigint) AS c_xy FROM bf GROUP BY w1, w2
+)
+SELECT w1, w2, c_xy, c1, c2, pmi_ratio FROM (
+  SELECT cxy.w1, cxy.w2, cxy.c_xy, a.c AS c1, b.c AS c2,
+         cast(cxy.c_xy as double) * cast(nt.n as double)
+           / cast(a.c as double) / cast(b.c as double) AS pmi_ratio
+  FROM cxy JOIN cx a ON cxy.w1 = a.w JOIN cx b ON cxy.w2 = b.w, nt
+  WHERE cxy.c_xy >= 3
+)
+ORDER BY pmi_ratio DESC, w1, w2 LIMIT 100
+""",
+)
+def pmi_collocations_docs(spark, sf_dir):
+    """PMI-ranked bigram collocations over the corpus — the phrase
+    detector an LLM-data pipeline runs before vocabulary / tokenizer
+    decisions (word2vec-style phrase merging). Bigrams are adjacent
+    token pairs built JVM-side with transform(sequence(...)) over the
+    token array (no explode-then-self-join, no Python), unigram and
+    bigram counts are two hash aggregates, and the vocabulary joins are
+    plain equi-joins on the word (the vocab of a 10^12-token corpus is
+    ~10^8 rows — too big to broadcast, fine to shuffle). The corpus
+    total rides as a 1-row broadcast. Ranking is by the exact rational
+    c_xy·N/(c_x·c_y) — PMI without the log, order-preserving since log
+    is monotone, computed as doubles from exact integers in the same
+    textual order both engines; global top-100 with full deterministic
+    tie-breaks plans as TakeOrderedAndProject (no full sort)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(T.tokens(F.col("text")).alias("toks"))
+    uf = t.select(F.explode("toks").alias("w")).filter(F.col("w").rlike("^[a-z]{3,}$"))
+    cx = uf.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    nt = uf.agg(F.count("*").cast("long").alias("n"))
+    bf = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] as w1, toks[i + 1] as w2))"
+                )
+            ).alias("s")
+        )
+        .select("s.w1", "s.w2")
+        .filter(F.col("w1").rlike("^[a-z]{3,}$") & F.col("w2").rlike("^[a-z]{3,}$"))
+    )
+    cxy = (
+        bf.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= 3)
+    )
+    scored = (
+        cxy.join(cx.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(cx.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "w1", "w2", "c_xy", "c1", "c2",
+            (
+                F.col("c_xy").cast("double") * F.col("n").cast("double")
+                / F.col("c1").cast("double") / F.col("c2").cast("double")
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_ratio").desc(), "w1", "w2").limit(100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
