@@ -8285,6 +8285,43 @@ def pmi_collocations_docs(spark, sf_dir):
     return scored.orderBy(F.col("pmi_ratio").desc(), "w1", "w2").limit(100)
 
 
+def _str_pack_oracle() -> str:
+    from gipspark.operators.ranking import str_pack_sql
+
+    pts = (
+        "(SELECT c_custkey, "
+        f"(cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la, "
+        f"(cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo "
+        "FROM customer)"
+    )
+    return "WITH " + str_pack_sql(pts, "la", "lo", "c_custkey", capacity=64)
+
+
+@register("str_pack_customers", _str_pack_oracle())
+def str_pack_customers(spark, sf_dir):
+    """Sort-Tile-Recursive R-tree bulk-load layout over the customer
+    cloud: every point gets a leaf page id and its page's MBR — the
+    spatial-index packing step (SpatialHadoop/Sedona's STR partitioner)
+    that complements the zorder/hilbert 1-D layout keys with true
+    rectangle pages. The x-rank that defines the vertical slabs is the
+    distributed two-phase global rank (operators/ranking.py
+    global_row_number: repartitionByRange → per-partition counts → a
+    BOUNDED ≤#partitions driver collect of offsets → within-partition
+    row_number), never a single-partition window; the y-rank partitions
+    by slab (~√(N·B) rows each). Coordinates are exact integer
+    milli-degree ticks and both ranks carry a unique tie-break, so page
+    ids and MBRs are bit-exact against the oracle's plain global-window
+    replay."""
+    from gipspark.operators.ranking import str_pack
+
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("la"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("lo"),
+    )
+    return str_pack(pts, "la", "lo", "c_custkey", capacity=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

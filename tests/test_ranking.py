@@ -1,0 +1,94 @@
+"""Distributed global rank + STR packing vs single-window brute force."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_global_row_number_matches_single_window(spark):
+    from gipspark.operators.ranking import global_row_number
+
+    rng = random.Random(11)
+    # duplicate x values on purpose: the tie-break column makes the
+    # order total, including across range-partition boundaries
+    rows = [(k, rng.randrange(50)) for k in range(2000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, x long")
+    got = {
+        r.k: r.rn
+        for r in global_row_number(df, ["x", "k"], num_partitions=7).collect()
+    }
+    want = {k: i + 1 for i, (k, _x) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))}
+    assert got == want
+
+
+def test_str_pack_vs_brute(spark):
+    from gipspark.operators.ranking import _ceil_isqrt, str_pack
+
+    rng = random.Random(13)
+    rows = [(k, rng.randrange(-1000, 1000), rng.randrange(-1000, 1000)) for k in range(700)]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    cap = 16
+    out = str_pack(df, "x", "y", "k", capacity=cap).collect()
+
+    n = len(rows)
+    leaves = (n + cap - 1) // cap
+    slabs = _ceil_isqrt(leaves)
+    rps = (n + slabs - 1) // slabs
+    by_x = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {}
+    for i, (k, x, y) in enumerate(by_x):
+        want.setdefault(i // rps, []).append((k, x, y))
+    pages = {}
+    for slab, members in want.items():
+        members.sort(key=lambda r: (r[2], r[0]))
+        for j, (k, x, y) in enumerate(members):
+            pages[k] = slab * 100000 + j // cap
+    assert {r.k: r.page_id for r in out} == pages
+    # page occupancy bound + MBR consistency
+    occ = {}
+    for r in out:
+        occ[r.page_id] = occ.get(r.page_id, 0) + 1
+        assert r.mbr_xmin <= r.x <= r.mbr_xmax
+        assert r.mbr_ymin <= r.y <= r.mbr_ymax
+    assert max(occ.values()) <= cap
+    for r in out:
+        assert r.page_rows == occ[r.page_id]
+
+
+def test_join_counts_vs_brute(spark):
+    from gipspark.operators.morans import cell_counts, join_counts
+
+    rng = random.Random(7)
+    rows = [(rng.uniform(-55.0, 55.0), rng.uniform(-170.0, 170.0)) for _ in range(900)]
+    pts = spark.createDataFrame(rows, "lat double, lon double")
+    out = join_counts(cell_counts(pts, 30.0)).collect()[0]
+
+    import math
+
+    counts = {}
+    for lat, lon in rows:
+        gx = math.floor((lon + 180.0) / 30.0)
+        gy = math.floor((90.0 - lat) / 30.0)
+        counts[(gx, gy)] = counts.get((gx, gy), 0) + 1
+    n = len(counts)
+    s = sum(counts.values())
+    blk = {k: int(n * v > s) for k, v in counts.items()}
+    bb = ww = bw = w = 0
+    for (gx, gy), bi in blk.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            bj = blk.get((gx + dx, gy + dy))
+            if bj is None:
+                continue
+            w += 1
+            if bi and bj:
+                bb += 1
+            elif not bi and not bj:
+                ww += 1
+            else:
+                bw += 1
+    nb = sum(blk.values())
+    assert (out.n_cells, out.n_black, out.w_links) == (n, nb, w // 2)
+    assert (out.j_bb, out.j_ww, out.j_bw) == (bb // 2, ww // 2, bw // 2)
+    assert out.e_bb == (w // 2) * nb * (nb - 1.0) / (n * (n - 1.0))
+    assert out.e_bw == 2.0 * (w // 2) * nb * (n - nb) / (n * (n - 1.0))
