@@ -8322,6 +8322,180 @@ def str_pack_customers(spark, sf_dir):
     return str_pack(pts, "la", "lo", "c_custkey", capacity=64)
 
 
+_D8_OFFSETS = (
+    (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+    (4, -1, 0), (5, -1, -1), (6, 0, -1), (7, 1, -1),
+)
+
+
+@register(
+    "d8_flow_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+), offs(d, dx, dy) AS (
+  VALUES {', '.join(f'({d}, {dx}, {dy})' for d, dx, dy in _D8_OFFSETS)}
+), cand AS (
+  SELECT g.cx, g.cy, g.v, o.d, n.cx AS tx, n.cy AS ty, n.v AS tv,
+         row_number() OVER (PARTITION BY g.cx, g.cy ORDER BY n.v, o.d) AS rn
+  FROM grid g JOIN offs o ON true
+  JOIN grid n ON n.cx = g.cx + o.dx AND n.cy = g.cy + o.dy
+), best AS (
+  SELECT cx, cy, v,
+         CASE WHEN tv < v THEN d ELSE -1 END AS dir,
+         CASE WHEN tv < v THEN tx END AS tx,
+         CASE WHEN tv < v THEN ty END AS ty
+  FROM cand WHERE rn = 1
+), full_grid AS (
+  SELECT g.cx, g.cy, g.v, coalesce(b.dir, -1) AS dir, b.tx, b.ty
+  FROM grid g LEFT JOIN best b ON b.cx = g.cx AND b.cy = g.cy
+), inflow AS (
+  SELECT tx AS cx, ty AS cy, cast(count(*) as bigint) AS n_in
+  FROM full_grid WHERE dir >= 0 GROUP BY tx, ty
+)
+SELECT f.cx, f.cy, f.v, f.dir, f.tx, f.ty,
+       coalesce(i.n_in, 0) AS n_in, (f.dir = -1) AS is_sink
+FROM full_grid f LEFT JOIN inflow i ON i.cx = f.cx AND i.cy = f.cy
+""",
+)
+def d8_flow_cells(spark, sf_dir):
+    """D8 flow direction over the 2.5° event-density raster — the
+    hydrology kernel (each cell drains to its strictly-lowest 8-neighbor;
+    no lower neighbor = a sink/pit) plus per-cell inflow degree, the
+    first step of flow accumulation / watershed labeling. Scale shape:
+    the point table collapses to cells in ONE map-side-combinable agg;
+    the neighbor candidates come from an 8-offset explode + equi-join
+    over the dense-cell table only (sparse-raster focal idiom, same as
+    focal_median_cells — shuffle O(cells·8), never O(points)); the
+    steepest-descent pick is a per-cell window over ≤8 rows with the
+    deterministic (value, direction) tie-break; inflow is one more
+    cell-scale agg. All-integer comparisons — no slopes, no trig."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    nbr = grid.select(
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+        F.col("v").alias("tv"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for d, dx, dy in _D8_OFFSETS
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        (F.col("ncx") - F.col("o.dx")).alias("cx"),
+        (F.col("ncy") - F.col("o.dy")).alias("cy"),
+        F.col("o.d").alias("d"),
+        F.col("ncx").alias("tx"),
+        F.col("ncy").alias("ty"),
+        "tv",
+    )
+    w = Window.partitionBy("cx", "cy").orderBy("tv", "d")
+    best = (
+        grid.join(nbr, ["cx", "cy"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cx", "cy",
+            F.when(F.col("tv") < F.col("v"), F.col("d")).otherwise(F.lit(-1)).alias("dir"),
+            F.when(F.col("tv") < F.col("v"), F.col("tx")).alias("tx"),
+            F.when(F.col("tv") < F.col("v"), F.col("ty")).alias("ty"),
+        )
+    )
+    full = grid.join(best, ["cx", "cy"], "left").select(
+        "cx", "cy", "v",
+        F.coalesce("dir", F.lit(-1)).cast("int").alias("dir"),
+        "tx", "ty",
+    )
+    inflow = (
+        full.filter(F.col("dir") >= 0)
+        .groupBy(F.col("tx").alias("icx"), F.col("ty").alias("icy"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    )
+    return full.join(
+        inflow,
+        (F.col("icx") == F.col("cx")) & (F.col("icy") == F.col("cy")),
+        "left",
+    ).select(
+        "cx", "cy", "v", "dir", "tx", "ty",
+        F.coalesce("n_in", F.lit(0).cast("long")).alias("n_in"),
+        (F.col("dir") == -1).alias("is_sink"),
+    )
+
+
+_COOC_CAP = 12  # per-doc distinct-term cap: ≤ C(12,2)=66 pairs per doc
+
+
+@register(
+    "cooccurrence_pairs_docs",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), dt AS (
+  SELECT DISTINCT doc_id, w FROM toks WHERE regexp_full_match(w, '[a-z]{{3,}}')
+), capped AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY w) AS rn FROM dt
+  ) WHERE rn <= {_COOC_CAP}
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.w < b.w
+)
+SELECT w1, w2, support FROM (
+  SELECT w1, w2, cast(count(*) as bigint) AS support FROM pairs GROUP BY w1, w2
+) WHERE support >= 3
+ORDER BY support DESC, w1, w2 LIMIT 100
+""",
+)
+def cooccurrence_pairs_docs(spark, sf_dir):
+    """Document-level term co-occurrence support counts — the
+    market-basket / co-occurrence-graph builder (word2vec doc-window,
+    topic pre-pass) that complements pmi_collocations_docs' ADJACENCY
+    pairs with BAG pairs. The quadratic step is bounded BEFORE the
+    self-join, per house rule: each doc's distinct filtered terms are
+    capped to the first {_COOC_CAP} (alphabetical — deterministic, and
+    WindowGroupLimit pushes the cap into the sort), so the within-doc
+    equi-join emits ≤ C({_COOC_CAP},2)=66 pairs per doc — linear in the
+    corpus, never |vocab|². Support counting is one hash agg; the
+    global top-100 with full tie-breaks plans as TakeOrderedAndProject."""
+    d = load(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{3,}$"))
+        .distinct()
+    )
+    wcap = Window.partitionBy("doc_id").orderBy("w")
+    capped = (
+        dt.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _COOC_CAP)
+        .select("doc_id", "w")
+    )
+    a = capped.select("doc_id", F.col("w").alias("w1"))
+    b = capped.select("doc_id", F.col("w").alias("w2"))
+    pairs = a.join(b, "doc_id").filter(F.col("w1") < F.col("w2"))
+    sup = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    return sup.orderBy(F.col("support").desc(), "w1", "w2").limit(100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
