@@ -8328,10 +8328,7 @@ _D8_OFFSETS = (
 )
 
 
-@register(
-    "d8_flow_cells",
-    f"""
-WITH pts AS (
+_D8_GRID_SQL = f"""pts AS (
   SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
 ), grid AS (
   SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
@@ -8354,27 +8351,13 @@ WITH pts AS (
 ), full_grid AS (
   SELECT g.cx, g.cy, g.v, coalesce(b.dir, -1) AS dir, b.tx, b.ty
   FROM grid g LEFT JOIN best b ON b.cx = g.cx AND b.cy = g.cy
-), inflow AS (
-  SELECT tx AS cx, ty AS cy, cast(count(*) as bigint) AS n_in
-  FROM full_grid WHERE dir >= 0 GROUP BY tx, ty
-)
-SELECT f.cx, f.cy, f.v, f.dir, f.tx, f.ty,
-       coalesce(i.n_in, 0) AS n_in, (f.dir = -1) AS is_sink
-FROM full_grid f LEFT JOIN inflow i ON i.cx = f.cx AND i.cy = f.cy
-""",
-)
-def d8_flow_cells(spark, sf_dir):
-    """D8 flow direction over the 2.5° event-density raster — the
-    hydrology kernel (each cell drains to its strictly-lowest 8-neighbor;
-    no lower neighbor = a sink/pit) plus per-cell inflow degree, the
-    first step of flow accumulation / watershed labeling. Scale shape:
-    the point table collapses to cells in ONE map-side-combinable agg;
-    the neighbor candidates come from an 8-offset explode + equi-join
-    over the dense-cell table only (sparse-raster focal idiom, same as
-    focal_median_cells — shuffle O(cells·8), never O(points)); the
-    steepest-descent pick is a per-cell window over ≤8 rows with the
-    deterministic (value, direction) tie-break; inflow is one more
-    cell-scale agg. All-integer comparisons — no slopes, no trig."""
+)"""
+
+
+def _d8_full(spark, sf_dir) -> DataFrame:
+    """(cx, cy, v, dir, tx, ty): D8 steepest-descent pointer per
+    occupied cell of the 2.5° event-density raster (dir = -1, tx/ty
+    NULL at sinks). Shared by d8_flow_cells and watershed_basins."""
     ev = load(spark, sf_dir, "events")
     grid = (
         ev.select(
@@ -8416,11 +8399,38 @@ def d8_flow_cells(spark, sf_dir):
             F.when(F.col("tv") < F.col("v"), F.col("ty")).alias("ty"),
         )
     )
-    full = grid.join(best, ["cx", "cy"], "left").select(
+    return grid.join(best, ["cx", "cy"], "left").select(
         "cx", "cy", "v",
         F.coalesce("dir", F.lit(-1)).cast("int").alias("dir"),
         "tx", "ty",
     )
+
+
+@register(
+    "d8_flow_cells",
+    f"""
+WITH {_D8_GRID_SQL}, inflow AS (
+  SELECT tx AS cx, ty AS cy, cast(count(*) as bigint) AS n_in
+  FROM full_grid WHERE dir >= 0 GROUP BY tx, ty
+)
+SELECT f.cx, f.cy, f.v, f.dir, f.tx, f.ty,
+       coalesce(i.n_in, 0) AS n_in, (f.dir = -1) AS is_sink
+FROM full_grid f LEFT JOIN inflow i ON i.cx = f.cx AND i.cy = f.cy
+""",
+)
+def d8_flow_cells(spark, sf_dir):
+    """D8 flow direction over the 2.5° event-density raster — the
+    hydrology kernel (each cell drains to its strictly-lowest 8-neighbor;
+    no lower neighbor = a sink/pit) plus per-cell inflow degree, the
+    first step of flow accumulation / watershed labeling. Scale shape:
+    the point table collapses to cells in ONE map-side-combinable agg;
+    the neighbor candidates come from an 8-offset explode + equi-join
+    over the dense-cell table only (sparse-raster focal idiom, same as
+    focal_median_cells — shuffle O(cells·8), never O(points)); the
+    steepest-descent pick is a per-cell window over ≤8 rows with the
+    deterministic (value, direction) tie-break; inflow is one more
+    cell-scale agg. All-integer comparisons — no slopes, no trig."""
+    full = _d8_full(spark, sf_dir)
     inflow = (
         full.filter(F.col("dir") >= 0)
         .groupBy(F.col("tx").alias("icx"), F.col("ty").alias("icy"))
@@ -8434,6 +8444,64 @@ def d8_flow_cells(spark, sf_dir):
         "cx", "cy", "v", "dir", "tx", "ty",
         F.coalesce("n_in", F.lit(0).cast("long")).alias("n_in"),
         (F.col("dir") == -1).alias("is_sink"),
+    )
+
+
+@register(
+    "watershed_basins",
+    f"""
+WITH RECURSIVE {_D8_GRID_SQL}, walk AS (
+  SELECT cx, cy, cx AS ccx, cy AS ccy, 0 AS hops FROM full_grid
+  UNION ALL
+  SELECT w.cx, w.cy, f.tx, f.ty, w.hops + 1
+  FROM walk w JOIN full_grid f ON f.cx = w.ccx AND f.cy = w.ccy AND f.dir >= 0
+), fin AS (
+  SELECT cx, cy, ccx AS basin_cx, ccy AS basin_cy, cast(hops as bigint) AS hops
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY cx, cy ORDER BY hops DESC) AS rn FROM walk
+  ) WHERE rn = 1
+), sz AS (
+  SELECT basin_cx, basin_cy, cast(count(*) as bigint) AS basin_size
+  FROM fin GROUP BY basin_cx, basin_cy
+)
+SELECT f.cx, f.cy, f.basin_cx, f.basin_cy, f.hops, s.basin_size
+FROM fin f JOIN sz s ON s.basin_cx = f.basin_cx AND s.basin_cy = f.basin_cy
+""",
+)
+def watershed_basins(spark, sf_dir):
+    """Watershed labeling: every raster cell resolved to its D8 sink
+    (basin outlet) with hop distance and basin size — drainage-basin
+    delineation, the canonical composition on top of d8_flow_cells.
+    The walk is NOT one-hop-per-pass: the D8 pointer graph is a
+    functional DAG (strictly decreasing density along flow), so the
+    shared pointer-doubling resolver (operators/chains.py, the redirect
+    resolver) labels depth-D paths in ⌈log₂ D⌉ equi-join rounds with
+    localCheckpoint lineage cuts. Cells encode as cx·1000+cy (both
+    coords non-negative and < 1000 on the 2.5° grid by construction);
+    the oracle replays the walk as a recursive CTE. Basin sizes are one
+    hash agg joined back broadcast (basins are dim-scale)."""
+    from gipspark.operators.chains import resolve_chains
+
+    full = _d8_full(spark, sf_dir)
+    edges = full.select(
+        (F.col("cx").cast("long") * 1000 + F.col("cy")).alias("id"),
+        F.when(
+            F.col("dir") >= 0, F.col("tx").cast("long") * 1000 + F.col("ty")
+        ).alias("next"),
+    )
+    res = resolve_chains(edges, "id", "next")
+    fin = res.selectExpr(
+        "cast(id div 1000 as int) as cx",
+        "cast(id % 1000 as int) as cy",
+        "cast(final_id div 1000 as int) as basin_cx",
+        "cast(final_id % 1000 as int) as basin_cy",
+        "cast(hops as bigint) as hops",
+    )
+    sz = fin.groupBy("basin_cx", "basin_cy").agg(
+        F.count(F.lit(1)).cast("long").alias("basin_size")
+    )
+    return fin.join(F.broadcast(sz), ["basin_cx", "basin_cy"]).select(
+        "cx", "cy", "basin_cx", "basin_cy", "hops", "basin_size"
     )
 
 
