@@ -8564,6 +8564,160 @@ def cooccurrence_pairs_docs(spark, sf_dir):
     return sup.orderBy(F.col("support").desc(), "w1", "w2").limit(100)
 
 
+_REVGEO_TICKS = 25_000_000  # d² ≤ 25 deg² (≈5° planar) fallback radius
+
+
+def _reverse_geocode_oracle() -> str:
+    from gipspark.operators.distance import nearest_edge_sql
+
+    return f"""
+WITH pts AS (SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon FROM customer),
+inside AS (
+  SELECT c_custkey, cast(min(poly_id) as bigint) AS poly_id
+  FROM ({_pip_matches_sql('pts', 'c_custkey')}) GROUP BY c_custkey
+),
+rest AS (
+  SELECT p.* FROM pts p LEFT JOIN inside i ON i.c_custkey = p.c_custkey
+  WHERE i.c_custkey IS NULL
+),
+{nearest_edge_sql('rest', 'c_custkey', ORACLE_POLYGONS, wrap_cte='near_all')}
+SELECT c_custkey, poly_id, 'inside' AS method, cast(0 as bigint) AS d2_ticks FROM inside
+UNION ALL
+SELECT r.c_custkey,
+       CASE WHEN n.d2_ticks <= {_REVGEO_TICKS} THEN n.nearest_poly END AS poly_id,
+       CASE WHEN n.d2_ticks <= {_REVGEO_TICKS} THEN 'near' ELSE 'none' END AS method,
+       CASE WHEN n.d2_ticks <= {_REVGEO_TICKS} THEN n.d2_ticks END AS d2_ticks
+FROM rest r JOIN near_all n ON n.c_custkey = r.c_custkey
+"""
+
+
+@register("reverse_geocode_customers", _reverse_geocode_oracle())
+def reverse_geocode_customers(spark, sf_dir):
+    """Reverse geocoding with fallback — the lookup shape a web-corpus
+    geotagger actually runs: points inside a fence get its id
+    ('inside'); points outside snap to the nearest boundary when within
+    the fallback radius ('near', with the exact integer-tick d²);
+    everything else is 'none'. Composition of the two existing narrow
+    kernels: the cell-prefiltered PIP join (broadcast covers + codegen
+    refine) and the codegen least-tree nearest-edge — the fallback leg
+    runs ONLY on the PIP-miss anti-join, so the expensive edge scan
+    touches just the outside points. Ambiguous containment (overlapping
+    fences) resolves deterministically to min(poly_id)."""
+    from gipspark.operators.distance import nearest_edge
+
+    pts = _cust_pts(spark, sf_dir)
+    inside = (
+        pip_join(pts, ORACLE_POLYGONS, level=7)
+        .groupBy("c_custkey")
+        .agg(F.min("poly_id").cast("long").alias("poly_id"))
+    )
+    rest = pts.join(inside.select("c_custkey"), "c_custkey", "left_anti")
+    near = nearest_edge(rest, ORACLE_POLYGONS).select(
+        "c_custkey",
+        F.when(F.col("d2_ticks") <= _REVGEO_TICKS, F.col("nearest_poly").cast("long")).alias("poly_id"),
+        F.when(F.col("d2_ticks") <= _REVGEO_TICKS, F.lit("near")).otherwise(F.lit("none")).alias("method"),
+        F.when(F.col("d2_ticks") <= _REVGEO_TICKS, F.col("d2_ticks")).alias("d2_ticks"),
+    )
+    return inside.select(
+        "c_custkey", "poly_id", F.lit("inside").alias("method"),
+        F.lit(0).cast("long").alias("d2_ticks"),
+    ).unionByName(near)
+
+
+_TFIDF_DF_CAP = 200  # stop-term postings cap for the cosine pair join
+
+
+@register(
+    "tfidf_cosine_pairs",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), filt AS (
+  SELECT doc_id, term FROM toks WHERE regexp_full_match(term, '[a-z]{{3,}}')
+), tf AS (
+  SELECT doc_id, term, cast(count(*) as bigint) AS tf FROM filt GROUP BY doc_id, term
+), df AS (
+  SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY term
+), nd AS (SELECT cast(count(DISTINCT doc_id) as bigint) AS n FROM filt),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         cast(tf.tf as hugeint) * cast((nd.n * 1000000) // df.df as hugeint) AS wt
+  FROM tf JOIN df USING (term), nd
+  WHERE df.df <= {_TFIDF_DF_CAP}
+), norm AS (
+  SELECT doc_id, sum(wt * wt) AS n2 FROM w GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS num
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, cosine FROM (
+  SELECT p.doc_a, p.doc_b,
+         cast(p.num as double) / sqrt(cast(na.n2 as double)) / sqrt(cast(nb.n2 as double)) AS cosine
+  FROM pairs p JOIN norm na ON na.doc_id = p.doc_a JOIN norm nb ON nb.doc_id = p.doc_b
+)
+ORDER BY cosine DESC, doc_a, doc_b LIMIT 100
+""",
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """TF-IDF-weighted cosine document similarity pairs — the sparse
+    lexical near-dup/recommendation join that sits between set-overlap
+    (jaccard/containment) and dense-embedding cosine. Weights are exact
+    integer ticks: wt = tf · ((N·10⁶) div df) — the idf stays a bigint
+    (N·10⁶ holds to ~9·10¹² docs), products and sums live in
+    DECIMAL(38,0) / HUGEINT so dot products and norms are bit-exact
+    both engines; cosine is the only double (three exact ints, fixed
+    textual order). Scale shape: the pair generation is an
+    inverted-index postings self-join with the df ≤ {_TFIDF_DF_CAP}
+    stop-term cap applied BEFORE the join (shuffle ∝ Σ capped-posting²,
+    never |docs|² — the containment-join discipline); norms are one
+    doc-scale agg joined back; top-100 is TakeOrderedAndProject. At
+    >10⁹-doc corpora drop the 10⁶ idf multiplier (ppm ticks) to keep
+    wt² inside 38 digits."""
+    d = load(spark, sf_dir, "documents")
+    filt = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").rlike("^[a-z]{3,}$"))
+    tf = filt.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_side = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = filt.agg(F.count_distinct("doc_id").cast("long").alias("n"))
+    dec = "decimal(38,0)"
+    w = (
+        tf.join(df_side.filter(F.col("df") <= _TFIDF_DF_CAP), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast(dec)
+                * F.expr("cast((n * 1000000) div df as bigint)").cast(dec)
+            ).cast(dec).alias("wt"),
+        )
+    )
+    norm = w.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).cast(dec).alias("n2"))
+    a = w.select(F.col("term").alias("t"), F.col("doc_id").alias("doc_a"), F.col("wt").alias("wa"))
+    b = w.select(F.col("term").alias("t"), F.col("doc_id").alias("doc_b"), F.col("wt").alias("wb"))
+    pairs = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast(dec).alias("num"))
+    )
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    out = pairs.join(na, "doc_a").join(nb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("num").cast("double")
+            / F.sqrt(F.col("na2").cast("double"))
+            / F.sqrt(F.col("nb2").cast("double"))
+        ).alias("cosine"),
+    )
+    return out.orderBy(F.col("cosine").desc(), "doc_a", "doc_b").limit(100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
