@@ -8718,6 +8718,165 @@ def tfidf_cosine_pairs(spark, sf_dir):
     return out.orderBy(F.col("cosine").desc(), "doc_a", "doc_b").limit(100)
 
 
+@register(
+    "url_templates_hosts",
+    f"""
+WITH urls AS (
+  SELECT concat(source, '.example.com') AS host,
+         concat('/', lang, '/', cast(doc_id % 13 as varchar), '/doc-',
+                cast(doc_id as varchar)) AS path
+  FROM documents
+), tpl AS (
+  SELECT host, regexp_replace(path, '[0-9]+', '{{n}}', 'g') AS template
+  FROM urls
+), counts AS (
+  SELECT host, template, cast(count(*) as bigint) AS n_urls
+  FROM tpl GROUP BY host, template
+)
+SELECT host, template, n_urls, rnk FROM (
+  SELECT host, template, n_urls,
+         cast(row_number() OVER (PARTITION BY host ORDER BY n_urls DESC, template) as int) AS rnk
+  FROM counts
+) WHERE rnk <= 3
+""",
+)
+def url_templates_hosts(spark, sf_dir):
+    """URL path-template mining per host — collapse numeric segments to
+    '{{n}}' and rank the top templates, the crawl-frontier heuristic
+    that finds pagination/ID patterns so a crawler caps per-template
+    fetch budgets. One codegen regexp inside the scan stage, one hash
+    agg, WindowGroupLimit top-3 per host — no Python, one shuffle on
+    (host, template) plus the tiny per-host window."""
+    d = load(spark, sf_dir, "documents")
+    tpl = d.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.regexp_replace(
+            F.concat(
+                F.lit("/"), F.col("lang"), F.lit("/"),
+                (F.col("doc_id") % 13).cast("string"), F.lit("/doc-"),
+                F.col("doc_id").cast("string"),
+            ),
+            "[0-9]+",
+            "{n}",
+        ).alias("template"),
+    )
+    counts = tpl.groupBy("host", "template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+    w = Window.partitionBy("host").orderBy(F.col("n_urls").desc(), "template")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("host", "template", "n_urls", "rnk")
+    )
+
+
+@register(
+    "bot_regularity_users",
+    """
+WITH ev AS (
+  SELECT user_id, cast(floor(epoch(ts)) as bigint) AS t, event_id FROM events
+), gaps AS (
+  SELECT user_id,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS d
+  FROM ev
+), agg AS (
+  SELECT user_id,
+         cast(count(d) as bigint) AS n_gaps,
+         cast(sum(d) as bigint) AS sum_gap,
+         cast(sum(cast(d as hugeint) * cast(d as hugeint)) as hugeint) AS sum_d2
+  FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_gaps, sum_gap,
+       cast(cast(n_gaps as hugeint) * sum_d2
+            - cast(sum_gap as hugeint) * cast(sum_gap as hugeint) as double) AS var_num,
+       (n_gaps >= 3 AND cast(n_gaps as hugeint) * sum_d2
+            - cast(sum_gap as hugeint) * cast(sum_gap as hugeint) = 0) AS is_regular
+FROM agg WHERE n_gaps >= 1
+""",
+)
+def bot_regularity_users(spark, sf_dir):
+    """Bot detection by inter-arrival regularity — a crawler/script
+    fires at metronome intervals, a human doesn't. Per user the
+    variance numerator n·Σd² − (Σd)² of the inter-event second gaps is
+    computed as exact integers (DECIMAL(38,0) / HUGEINT: Σd² scales
+    ~gap²·events and wraps int64 on long-lived users — the chisq
+    lesson), emitted as a correctly-rounded double; zero numerator over
+    ≥3 gaps = perfectly regular = flagged. One user_id shuffle shared
+    by the lag window and the aggregate; no floats anywhere before the
+    final cast."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").cast("long").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.select("user_id", (F.col("t") - F.lag("t").over(w)).alias("d"))
+    dec = "decimal(38,0)"
+    agg = gaps.groupBy("user_id").agg(
+        F.count("d").cast("long").alias("n_gaps"),
+        F.sum("d").cast("long").alias("sum_gap"),
+        F.sum(F.col("d").cast(dec) * F.col("d").cast(dec)).cast(dec).alias("sum_d2"),
+    )
+    var_num = (
+        F.col("n_gaps").cast(dec) * F.col("sum_d2")
+        - F.col("sum_gap").cast(dec) * F.col("sum_gap").cast(dec)
+    ).cast(dec)
+    return agg.filter(F.col("n_gaps") >= 1).select(
+        "user_id",
+        "n_gaps",
+        "sum_gap",
+        var_num.cast("double").alias("var_num"),
+        ((F.col("n_gaps") >= 3) & (var_num == 0)).alias("is_regular"),
+    )
+
+
+@register(
+    "event_path_trigrams",
+    """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+), seq AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER w AS e1,
+         lag(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT concat(e1, '>', e2, '>', e3) AS path FROM seq WHERE e1 IS NOT NULL
+)
+SELECT path, n_occurrences, rnk FROM (
+  SELECT path, cast(count(*) as bigint) AS n_occurrences,
+         cast(row_number() OVER (ORDER BY count(*) DESC, path) as int) AS rnk
+  FROM tri GROUP BY path
+) WHERE rnk <= 25
+""",
+)
+def event_path_trigrams(spark, sf_dir):
+    """Clickstream path mining: the top event-type trigrams across all
+    user sessions — the funnel-discovery pass that tells an analyst
+    which 3-step paths actually happen before they hand-build funnels
+    (funnel_view_click_purchase is the confirmatory twin). One user_id
+    shuffle for the double-lag window, one hash agg on the path string,
+    global top-25 by count with deterministic tie-break — at 100 TB the
+    agg output is |event_types|³ rows max, a constant."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    tri = seq.select(
+        F.concat(F.col("e1"), F.lit(">"), F.col("e2"), F.lit(">"), F.col("e3")).alias("path")
+    )
+    counts = tri.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    wr = Window.orderBy(F.col("n_occurrences").desc(), "path")
+    return (
+        counts.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 25)
+        .select("path", "n_occurrences", "rnk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
