@@ -8877,6 +8877,146 @@ def event_path_trigrams(spark, sf_dir):
     )
 
 
+@register(
+    "raster_regions_cells",
+    f"""
+WITH RECURSIVE pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), cells AS (
+  SELECT cast(floor((lon + 180.0) / {_MORAN_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MORAN_GRID}) as int) AS gy,
+         cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy
+), ids AS (
+  SELECT gx, gy, x, cast(gx as bigint) * 1000 + gy AS id FROM cells
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM ids a JOIN ids b ON (abs(a.gx - b.gx) + abs(a.gy - b.gy)) = 1 AND a.id < b.id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+  WHERE e.dst <> re.node
+), lbl AS (
+  SELECT node AS id, least(node, min(r)) AS region_id FROM reach GROUP BY node
+), full_lbl AS (
+  SELECT i.gx, i.gy, i.x, coalesce(l.region_id, i.id) AS region_id
+  FROM ids i LEFT JOIN lbl l ON l.id = i.id
+), sz AS (
+  SELECT region_id, cast(count(*) as bigint) AS region_cells,
+         cast(sum(x) as bigint) AS region_points
+  FROM full_lbl GROUP BY region_id
+)
+SELECT f.gx, f.gy, f.x, f.region_id, s.region_cells, s.region_points
+FROM full_lbl f JOIN sz s ON s.region_id = f.region_id
+""",
+)
+def raster_regions_cells(spark, sf_dir):
+    """Contiguous-region labeling of the occupied 15° customer lattice
+    (GDAL sieve / raster polygonization step 1): rook-connected cells
+    share a region labeled by the component's minimum cell id, with
+    region size in cells and points. Edges come from the offset-explode
+    rook equi-join (shuffle O(cells), never θ); labels from the shared
+    pointer-jumping min-label propagation (operators/components.py,
+    ⌈log d⌉ rounds, loud on non-convergence); isolated cells label
+    themselves via the left-join coalesce. Cell ids are gx·1000+gy
+    (both non-negative on this grid). Oracle: recursive reachability +
+    min, the near_dedup_clusters pattern on the lattice graph."""
+    from gipspark.operators.components import connected_components
+    from gipspark.operators.morans import ROOK_OFFSETS, cell_counts
+
+    pts = load(spark, sf_dir, "customer").select(
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    ids = cell_counts(pts, _MORAN_GRID).select(
+        "gx", "gy", F.col("x").cast("long").alias("x"),
+        (F.col("gx").cast("long") * 1000 + F.col("gy")).alias("id"),
+    )
+    shifted = ids.select(
+        F.col("id").alias("id_b"),
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in ROOK_OFFSETS])
+        ).alias("o"),
+        F.col("gx").alias("bgx"),
+        F.col("gy").alias("bgy"),
+    ).select(
+        (F.col("bgx") + F.col("o.dx")).alias("gx"),
+        (F.col("bgy") + F.col("o.dy")).alias("gy"),
+        "id_b",
+    )
+    pairs = (
+        ids.join(shifted, ["gx", "gy"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
+    )
+    lbl = connected_components(pairs)
+    full_lbl = ids.join(lbl, ids.id == lbl.node, "left").select(
+        "gx", "gy", "x", F.coalesce("comp", F.col("id")).alias("region_id")
+    )
+    sz = full_lbl.groupBy("region_id").agg(
+        F.count(F.lit(1)).cast("long").alias("region_cells"),
+        F.sum("x").cast("long").alias("region_points"),
+    )
+    return full_lbl.join(F.broadcast(sz), "region_id").select(
+        "gx", "gy", "x", "region_id", "region_cells", "region_points"
+    )
+
+
+@register(
+    "simpson_diversity_sources",
+    """
+WITH c AS (
+  SELECT source, lang, cast(count(*) as bigint) AS n
+  FROM documents GROUP BY source, lang
+), agg AS (
+  SELECT source,
+         cast(count(*) as bigint) AS n_langs,
+         cast(sum(n) as bigint) AS n_docs,
+         cast(sum(cast(n as hugeint) * (cast(n as hugeint) - 1)) as hugeint) AS num
+  FROM c GROUP BY source
+)
+SELECT source, n_langs, n_docs,
+       cast(num as double) AS num,
+       1.0 - cast(num as double)
+           / (cast(n_docs as double) * (cast(n_docs as double) - 1.0)) AS simpson
+FROM agg WHERE n_docs >= 2
+""",
+)
+def simpson_diversity_sources(spark, sf_dir):
+    """Simpson diversity index per source — the corpus-mixture monitor
+    (probability two random docs from a source differ in language),
+    chosen over Shannon entropy because it is an EXACT rational:
+    1 − Σ nᵢ(nᵢ−1)/(N(N−1)) needs no log. Σ nᵢ(nᵢ−1) runs in
+    DECIMAL(38,0)/HUGEINT (nᵢ² wraps int64 past ~3·10⁹ docs per lang);
+    the index is the only double, from the same integers in the same
+    textual order both engines. Two cheap hash aggregates, output
+    |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dec = "decimal(38,0)"
+    agg = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n").cast(dec) * (F.col("n").cast(dec) - 1)).cast(dec).alias("num_d"),
+    )
+    return agg.filter(F.col("n_docs") >= 2).select(
+        "source",
+        "n_langs",
+        "n_docs",
+        F.col("num_d").cast("double").alias("num"),
+        (
+            F.lit(1.0)
+            - F.col("num_d").cast("double")
+            / (F.col("n_docs").cast("double") * (F.col("n_docs").cast("double") - 1.0))
+        ).alias("simpson"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
