@@ -9017,6 +9017,118 @@ def simpson_diversity_sources(spark, sf_dir):
     )
 
 
+# trig-free 8-octant classifier over integer deltas — ONE textual CASE
+# used verbatim by BOTH engines (F.expr here, inlined in the oracle), so
+# cross-engine agreement is by construction; sector-vs-atan2 coverage is
+# pytest-verified (tests/test_ranking.py::test_octant_classifier).
+_OCTANT_CASE = """CASE
+ WHEN dx = 0 AND dy = 0 THEN -1
+ WHEN dy >= 0 AND dx > 0 AND dx >= dy THEN 0
+ WHEN dy > 0 AND dx >= 0 AND dy > dx THEN 1
+ WHEN dy > 0 AND dx < 0 AND dy >= -dx THEN 2
+ WHEN dy >= 0 AND dx < 0 AND -dx > dy THEN 3
+ WHEN dy < 0 AND dx <= 0 AND -dx >= -dy THEN 4
+ WHEN dy < 0 AND dx < 0 AND -dy > -dx THEN 5
+ WHEN dy < 0 AND dx >= 0 AND -dy >= dx THEN 6
+ ELSE 7
+END"""
+
+
+@register(
+    "flow_rose_cells",
+    f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (cast(event_id as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la,
+         (cast(event_id as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo
+  FROM events
+), seq AS (
+  SELECT cast(floor((lag(lo) OVER w + 180000.0) / 10000.0) as int) * 100
+           + cast(floor((60000.0 - lag(la) OVER w) / 10000.0) as int) AS cell,
+         lo - lag(lo) OVER w AS dx,
+         la - lag(la) OVER w AS dy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), cls AS (
+  SELECT cell, {_OCTANT_CASE} AS octant FROM seq WHERE dx IS NOT NULL
+)
+SELECT cell, octant, cast(count(*) as bigint) AS n_moves
+FROM cls GROUP BY cell, octant
+""",
+)
+def flow_rose_cells(spark, sf_dir):
+    """Directional flow rose per origin cell — the wind-rose of
+    movement: every consecutive ping pair classified into one of 8
+    compass octants by EXACT integer delta comparisons (the turn_stats
+    trig-free trick: sign and |dx| vs |dy| tests, one CASE expression
+    shared textually by both engines — no atan2, no boundary-ulp risk;
+    octant -1 = stationary). One user_id window shuffle, one hash agg;
+    output bounded by cells × 9."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", "ts", "event_id",
+        ((F.col("event_id").cast("long") * C.LAT_MUL) % C.LAT_MOD - 60000).alias("la"),
+        ((F.col("event_id").cast("long") * C.LON_MUL) % C.LON_MOD - 180000).alias("lo"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pts.select(
+        (
+            F.floor((F.lag("lo").over(w) + 180000.0) / 10000.0).cast("int") * 100
+            + F.floor((60000.0 - F.lag("la").over(w)) / 10000.0).cast("int")
+        ).alias("cell"),
+        (F.col("lo") - F.lag("lo").over(w)).alias("dx"),
+        (F.col("la") - F.lag("la").over(w)).alias("dy"),
+    ).filter(F.col("dx").isNotNull())
+    cls = seq.select("cell", F.expr(_OCTANT_CASE).alias("octant"))
+    return cls.groupBy("cell", "octant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves")
+    )
+
+
+@register(
+    "readability_docs",
+    r"""
+WITH m AS (
+  SELECT doc_id,
+         cast(len(regexp_split_to_array(lower(trim(text)), '\s+')) as bigint) AS words,
+         cast(greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))) as bigint) AS sentences,
+         cast(len(regexp_extract_all(lower(text), '[aeiou]+')) as bigint) AS vowel_groups
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id, words, sentences, vowel_groups,
+       206.835 - 1.015 * (cast(words as double) / cast(sentences as double))
+               - 84.6 * (cast(vowel_groups as double) / cast(words as double)) AS flesch
+FROM m WHERE words >= 1
+""",
+)
+def readability_docs(spark, sf_dir):
+    """Flesch reading-ease per document — the readability gate an LLM
+    corpus-quality pipeline runs next to the Gopher rules: words =
+    whitespace tokens (the module's token convention), sentences =
+    terminal-punctuation count (floored at 1), syllables approximated
+    by vowel groups (the standard regex heuristic). All three counts
+    are exact integers from codegen regexps inside the scan stage (no
+    shuffle at all — a pure narrow projection); the score is doubles
+    over exact ints in one fixed textual order both engines."""
+    d = load(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    m = d.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("words"),
+        F.greatest(
+            F.lit(1),
+            F.length(F.regexp_replace(F.col("text"), "[^.!?]", "")),
+        ).cast("long").alias("sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiou]+")).cast("long").alias("vowel_groups"),
+    )
+    return m.filter(F.col("words") >= 1).select(
+        "doc_id", "words", "sentences", "vowel_groups",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+            - F.lit(84.6) * (F.col("vowel_groups").cast("double") / F.col("words").cast("double"))
+        ).alias("flesch"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -56,6 +56,29 @@ def test_str_pack_vs_brute(spark):
         assert r.page_rows == occ[r.page_id]
 
 
+def test_octant_classifier(spark):
+    """The shared 8-octant CASE: total (never NULL off-origin) and each
+    sector's atan2 bearing lies within its 45° span (boundaries may go
+    to either adjacent sector by convention — both engines share the
+    same text, so the convention cancels)."""
+    import math
+
+    from gipspark.queries import _OCTANT_CASE
+
+    deltas = [(dx, dy) for dx in range(-6, 7) for dy in range(-6, 7)]
+    df = spark.createDataFrame(deltas, "dx long, dy long")
+    rows = df.selectExpr("dx", "dy", f"{_OCTANT_CASE} as o").collect()
+    centers = {0: 22.5, 1: 67.5, 2: 112.5, 3: 157.5, 4: 202.5, 5: 247.5, 6: 292.5, 7: 337.5}
+    for r in rows:
+        if (r.dx, r.dy) == (0, 0):
+            assert r.o == -1
+            continue
+        assert r.o is not None and 0 <= r.o <= 7
+        ang = math.degrees(math.atan2(r.dy, r.dx)) % 360.0
+        diff = abs((ang - centers[r.o] + 180.0) % 360.0 - 180.0)
+        assert diff <= 22.5 + 1e-9, (r.dx, r.dy, r.o, ang)
+
+
 def test_join_counts_vs_brute(spark):
     from gipspark.operators.morans import cell_counts, join_counts
 
