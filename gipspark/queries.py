@@ -9129,6 +9129,113 @@ def readability_docs(spark, sf_dir):
     )
 
 
+@register(
+    "trimmed_mean_orders",
+    """
+WITH c AS (
+  SELECT o_orderpriority, o_orderkey,
+         cast(round(o_totalprice * 100) as bigint) AS cents
+  FROM orders
+), r AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM c
+), kept AS (
+  SELECT o_orderpriority, cents, n FROM r
+  WHERE rn > n // 10 AND rn <= n - n // 10
+)
+SELECT o_orderpriority,
+       cast(max(n) as bigint) AS n_total,
+       cast(count(*) as bigint) AS n_kept,
+       cast(sum(cents) as bigint) AS sum_cents,
+       cast(sum(cents) as double) / cast(count(*) as double) / 100.0 AS trimmed_mean
+FROM kept GROUP BY o_orderpriority
+""",
+)
+def trimmed_mean_orders(spark, sf_dir):
+    """10% two-sided trimmed mean of order value per priority — the
+    robust location estimate that survives the outliers
+    robust_outliers_orders flags. Prices quantize to exact integer
+    cents BEFORE ranking (no float ties); the trim is rank-based with a
+    deterministic (cents, orderkey) order shared by both engines, so
+    the kept multiset is identical; the mean is one double from two
+    exact integers. One shuffle on the group key feeds both windows and
+    the aggregate."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rn") > F.expr("n div 10")) & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        (
+            F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0)
+        ).alias("trimmed_mean"),
+    )
+
+
+# Benford expectations as shared literals: log10 is only 1-ulp-accurate
+# (not correctly rounded) in both engines' libm, so the nine constants
+# are rendered ONCE from Python and inlined textually into both plans.
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {math.log10(1.0 + 1.0 / d)!r}" for d in range(1, 10)
+) + " END"
+
+
+@register(
+    "benford_orders",
+    f"""
+WITH d AS (
+  SELECT cast(substr(cast(cast(round(o_totalprice * 100) as bigint) as varchar), 1, 1) as int) AS digit
+  FROM orders WHERE o_totalprice > 0
+), c AS (
+  SELECT digit, cast(count(*) as bigint) AS n FROM d GROUP BY digit
+), t AS (SELECT cast(sum(n) as bigint) AS total FROM c)
+SELECT c.digit, c.n,
+       cast(c.n as double) / cast(t.total as double) AS observed,
+       {_BENFORD_CASE} AS expected
+FROM c, t
+""",
+)
+def benford_orders(spark, sf_dir):
+    """Benford's-law first-digit audit over order values — the fraud /
+    synthetic-data screen: observed leading-digit shares vs the
+    log10(1+1/d) expectation. The leading digit comes from exact
+    integer cents rendered to a string (no float formatting ambiguity);
+    shares are single divisions of exact counts; the log10(1+1/d)
+    expectations are nine Python-rendered literals inlined textually
+    into BOTH plans (libm log10 is only 1-ulp accurate, so neither
+    engine computes it). One hash agg + a 1-row total broadcast."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias("observed"),
+        F.expr(_BENFORD_CASE).alias("expected"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -36,6 +36,7 @@ CROSS_OK = {
     "join_count_stats",  # two 1-row moment broadcasts (morans sibling)
     "pmi_collocations_docs",  # 1-row corpus-total broadcast into scored
     "tfidf_cosine_pairs",  # 1-row doc-count broadcast into the weight table
+    "benford_orders",  # 1-row grand-total broadcast into the 9-digit table
     "kmeans_int_customers",  # K=5-row centroid broadcast per round (literal key folds to NL)
     "decayed_tile_heat",  # 1-row max-date anchor broadcast into the point table
     "hll_intersection_contract",  # six 1-row aggregates cross-combined
