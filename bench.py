@@ -194,43 +194,56 @@ def main() -> None:
         spark.stop()
         levels = [2, 8] + ([CPUS] if CPUS > 8 else [])
         thr = {}
-        all_walls: dict[int, list[float]] = {}
-        for cores in levels:
-            time.sleep(10)  # cooldown: decouple this level from the
-            # previous level's sustained load (host throttle hysteresis)
-            # Each level runs in a FRESH SUBPROCESS pinned to exactly
-            # `cores` physical cores BEFORE the JVM spawns (the gateway
-            # JVM outlives spark.stop(), so in-process affinity changes
-            # never reach it). In local mode python workers run outside
-            # the slot count, so an unpinned local[2] silently uses
-            # ~4+ cores of the box — inflating the small-N baseline and
-            # depressing the N→4N ratio. Pinning makes local[N] a true
-            # N-core machine (the faithful surrogate for an N-core
-            # executor) and collapses wall variance from ±20% to ±3%
-            # (idle cores no longer absorb host noise asymmetrically).
-            import subprocess
+        all_walls: dict[int, list[float]] = {c: [] for c in levels}
+        n_rows = 0
+        # INTERLEAVED rounds — (2, 8, 32), (2, 8, 32) — not (2,2),(8,8),
+        # (32,32): this host's throttle windows last minutes (memory:
+        # bench bimodality), so consecutive same-level reps let one bad
+        # window poison exactly one level and crater the ratio (observed
+        # 2→8 eff 0.337 in a throttled window vs 0.88–1.06 pinned-clean).
+        # Interleaving applies the repo's same-window A/B discipline to
+        # the scaling pair itself: every level samples every window, and
+        # the per-level min is taken across rounds.
+        for round_i in range(2):
+            for cores in levels:
+                time.sleep(10)  # cooldown: decouple from the previous
+                # level's sustained load (host throttle hysteresis)
+                # Each measurement runs in a FRESH SUBPROCESS pinned to
+                # exactly `cores` physical cores BEFORE the JVM spawns
+                # (the gateway JVM outlives spark.stop(), so in-process
+                # affinity changes never reach it). In local mode python
+                # workers run outside the slot count, so an unpinned
+                # local[2] silently uses ~4+ cores of the box —
+                # inflating the small-N baseline and depressing the
+                # N→4N ratio. Pinning makes local[N] a true N-core
+                # machine (the faithful surrogate for an N-core
+                # executor) and collapses wall variance from ±20% to
+                # ±3% (idle cores no longer absorb host noise
+                # asymmetrically).
+                import subprocess
 
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-level", str(cores), scale_docs_path],
-                capture_output=True,
-                text=True,
-                timeout=1800,
-            )
-            if proc.returncode != 0:
-                raise RuntimeError(
-                    f"scale-level child (cores={cores}) exited rc={proc.returncode}; "
-                    f"stderr tail: {proc.stderr[-2000:]}"
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--scale-level", str(cores), scale_docs_path],
+                    capture_output=True,
+                    text=True,
+                    timeout=1800,
                 )
-            json_lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
-            if not json_lines:
-                raise RuntimeError(
-                    f"scale-level child (cores={cores}) emitted no JSON; "
-                    f"stdout tail: {proc.stdout[-500:]}; stderr tail: {proc.stderr[-2000:]}"
-                )
-            child = json.loads(json_lines[-1])
-            ws, n = child["walls"], child["n"]
-            thr[cores] = n / min(ws)
-            all_walls[cores] = ws
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"scale-level child (cores={cores}) exited rc={proc.returncode}; "
+                        f"stderr tail: {proc.stderr[-2000:]}"
+                    )
+                json_lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+                if not json_lines:
+                    raise RuntimeError(
+                        f"scale-level child (cores={cores}) emitted no JSON; "
+                        f"stdout tail: {proc.stdout[-500:]}; stderr tail: {proc.stderr[-2000:]}"
+                    )
+                child = json.loads(json_lines[-1])
+                all_walls[cores].extend(child["walls"])
+                n_rows = child["n"]
+        for cores in levels:
+            thr[cores] = n_rows / min(all_walls[cores])
         scaling = {f"docs_per_sec_local{c}": round(thr[c], 1) for c in levels}
         scaling["walls"] = {f"local{c}": all_walls[c] for c in levels}
         scaling["cores_ratio"] = 4
@@ -247,20 +260,18 @@ def _scale_level_child(cores: int, docs_path: str) -> None:
 
     Affinity is set BEFORE any JVM exists, so the gateway JVM and every
     python worker it forks inherit the N-core restriction. SYMMETRIC
-    protocol across levels: 1 warmup + best-of-2, min estimator
-    (ADVICE r1); pinned walls vary ±3%, so 2 reps suffice and keep the
-    ~85 s-per-pass local[2] block short. Prints one JSON line.
+    protocol across levels: 1 warmup + 1 measured pass per child; the
+    parent interleaves two rounds over all levels and takes each
+    level's min across rounds, so a minutes-long host-throttle window
+    hits every level, not one (the same-window A/B discipline applied
+    to scaling). Prints one JSON line.
     """
     os.sched_setaffinity(0, set(sorted(os.sched_getaffinity(0))[:cores]))
     s = make_spark(cores)
     run_pipeline_once(s, docs_path)  # warmup: workers, codegen, covers
-    ws = []
-    n = 0
-    for _ in range(2):
-        w, n = run_pipeline_once(s, docs_path)
-        ws.append(round(w, 2))
+    w, n = run_pipeline_once(s, docs_path)
     s.stop()
-    print(json.dumps({"walls": ws, "n": n}))
+    print(json.dumps({"walls": [round(w, 2)], "n": n}))
 
 
 if __name__ == "__main__":

@@ -9236,6 +9236,95 @@ def benford_orders(spark, sf_dir):
     )
 
 
+@register(
+    "lagged_xcorr_events",
+    """
+WITH s AS (
+  SELECT cast(floor(epoch(ts)) as bigint) // 86400 AS day,
+         cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS x,
+         cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS y
+  FROM events GROUP BY day
+), lags(lag_days) AS (VALUES (0), (1), (2), (3), (4), (5), (6), (7)),
+p AS (
+  SELECT l.lag_days, a.x, b.y
+  FROM lags l JOIN s a ON true JOIN s b ON b.day = a.day + l.lag_days
+), agg AS (
+  SELECT lag_days,
+         cast(count(*) as bigint) AS n_days,
+         cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+         cast(sum(cast(x as hugeint) * cast(y as hugeint)) as hugeint) AS sxy,
+         cast(sum(cast(x as hugeint) * cast(x as hugeint)) as hugeint) AS sx2,
+         cast(sum(cast(y as hugeint) * cast(y as hugeint)) as hugeint) AS sy2
+  FROM p GROUP BY lag_days
+)
+SELECT lag_days, n_days, sx, sy,
+       cast(cast(n_days as hugeint) * sxy - cast(sx as hugeint) * cast(sy as hugeint) as double) AS num,
+       cast(cast(n_days as hugeint) * sxy - cast(sx as hugeint) * cast(sy as hugeint) as double)
+         / sqrt(cast(cast(n_days as hugeint) * sx2 - cast(sx as hugeint) * cast(sx as hugeint) as double))
+         / sqrt(cast(cast(n_days as hugeint) * sy2 - cast(sy as hugeint) * cast(sy as hugeint) as double)) AS pearson
+FROM agg
+""",
+)
+def lagged_xcorr_events(spark, sf_dir):
+    """Lagged cross-correlation of the daily view series against the
+    purchase series at lags 0..7 days — "do views predict purchases k
+    days out?", the demand-forecasting diagnostic. The big table
+    collapses to the daily series in ONE agg (map-side combinable);
+    lag alignment is an 8-literal explode joined back to the tiny
+    series (dim-scale, never touches the event table again). Pearson
+    moments n·Σxy−ΣxΣy etc. are exact in DECIMAL(38,0)/HUGEINT (daily
+    counts square past int64 at ~3·10⁹ events/day); the correlation is
+    doubles over those exact integers in one fixed textual order."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.expr("cast(unix_timestamp(ts) div 86400 as bigint)").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).cast("long").alias("y"),
+    )
+    lags = spark.range(8).select(F.col("id").cast("int").alias("lag_days"))
+    a = s.select("day", "x")
+    b = s.select(F.col("day").alias("bday"), "y")
+    p = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("bday") == F.col("day") + F.col("lag_days"))
+    )
+    dec = "decimal(38,0)"
+    agg = p.groupBy("lag_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec).alias("sx2"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).cast(dec).alias("sy2"),
+    )
+    num = (
+        F.col("n_days").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    ).cast(dec)
+    dx = (
+        F.col("n_days").cast(dec) * F.col("sx2")
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    ).cast(dec)
+    dy = (
+        F.col("n_days").cast(dec) * F.col("sy2")
+        - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    ).cast(dec)
+    return agg.select(
+        "lag_days",
+        "n_days",
+        "sx",
+        "sy",
+        num.cast("double").alias("num"),
+        (
+            num.cast("double")
+            / F.sqrt(dx.cast("double"))
+            / F.sqrt(dy.cast("double"))
+        ).alias("pearson"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

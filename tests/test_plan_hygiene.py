@@ -37,6 +37,7 @@ CROSS_OK = {
     "pmi_collocations_docs",  # 1-row corpus-total broadcast into scored
     "tfidf_cosine_pairs",  # 1-row doc-count broadcast into the weight table
     "benford_orders",  # 1-row grand-total broadcast into the 9-digit table
+    "lagged_xcorr_events",  # 8-row lag dim × daily series (calendar-bounded)
     "kmeans_int_customers",  # K=5-row centroid broadcast per round (literal key folds to NL)
     "decayed_tile_heat",  # 1-row max-date anchor broadcast into the point table
     "hll_intersection_contract",  # six 1-row aggregates cross-combined
