@@ -561,3 +561,96 @@ def theil_sen(
     return r.filter(
         F.col("rn") == F.floor((F.col("cnt") + 1) / F.lit(2)).cast("int")
     ).select(*keys, F.col("cnt").cast("long").alias("n_pairs"), F.col("slope").alias("sen_slope"))
+
+
+def semivariogram(
+    pts: DataFrame,
+    bin_edges_mdeg: list[int],
+    lat_col: str = "la",
+    lon_col: str = "lo",
+    id_col: str = "id",
+    val_col: str = "v",
+) -> DataFrame:
+    """Empirical (Matheron) semivariogram of a point-attached value at
+    the given distance bins (planar milli-degree ticks):
+
+        γ̂(bin) = Σ_{pairs in bin} (v_i − v_j)² / (2 · |pairs in bin|)
+
+    — the spatial-continuity diagnostic that tells you the range/sill
+    to feed IDW/kriging-style interpolators (the repo ships IDW; this
+    is how a user picks its radius).
+
+    Scale shape: identical to :func:`ripleys_k` — NEVER the all-pairs
+    θ-join. Points land in cells as wide as max(bin), every unordered
+    candidate pair appears exactly once via the 3×3 offset-explode
+    equi-join + id_a < id_b, and ALL bins share that one join; binning
+    is a CASE over exact integer d². Values must be exact integer
+    ticks; (v_i−v_j)² is summed in DECIMAL(38,0) (cents² per pair can
+    reach ~1e12; a 10^12-pair bin would wrap bigint), γ̂ is the only
+    double, computed from the same integers in the same textual order
+    as the oracle."""
+    rmax = max(bin_edges_mdeg)
+    la, lo = F.col(lat_col), F.col(lon_col)
+    cells = pts.select(
+        F.col(id_col).alias("id"),
+        la.alias("la"),
+        lo.alias("lo"),
+        F.col(val_col).alias("v"),
+        F.floor(la / F.lit(float(rmax))).cast("long").alias("cx"),
+        F.floor(lo / F.lit(float(rmax))).cast("long").alias("cy"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("la").alias("la_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("v").alias("v_b"),
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets])
+        ).alias("o"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    ).select(
+        "id_b",
+        "la_b",
+        "lo_b",
+        "v_b",
+        (F.col("bcx") + F.col("o.dx")).alias("cx"),
+        (F.col("bcy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (
+        (F.col("la") - F.col("la_b")) * (F.col("la") - F.col("la_b"))
+        + (F.col("lo") - F.col("lo_b")) * (F.col("lo") - F.col("lo_b"))
+    )
+    edges = sorted(bin_edges_mdeg)
+    bin_expr = F.when(F.col("d2") <= edges[0] * edges[0], F.lit(edges[0]).cast("long"))
+    for lo_e, hi_e in zip(edges, edges[1:]):
+        bin_expr = bin_expr.when(
+            (F.col("d2") > lo_e * lo_e) & (F.col("d2") <= hi_e * hi_e),
+            F.lit(hi_e).cast("long"),
+        )
+    cand = (
+        cells.join(b, ["cx", "cy"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            d2.alias("d2"),
+            ((F.col("v") - F.col("v_b")) * (F.col("v") - F.col("v_b")))
+            .cast("decimal(38,0)")
+            .alias("dv2"),
+        )
+        .filter((F.col("d2") > 0) & (F.col("d2") <= rmax * rmax))
+        .select(bin_expr.alias("r_mdeg"), "dv2")
+    )
+    agg = cand.groupBy("r_mdeg").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("dv2").cast("decimal(38,0)").alias("sum_dv2"),
+    )
+    return agg.select(
+        "r_mdeg",
+        "n_pairs",
+        F.col("sum_dv2").cast("double").alias("sum_dv2"),
+        (
+            F.col("sum_dv2").cast("double")
+            / (F.lit(2.0) * F.col("n_pairs").cast("double"))
+        ).alias("gamma"),
+    )

@@ -9325,6 +9325,158 @@ def lagged_xcorr_events(spark, sf_dir):
     )
 
 
+_VARIO_BINS = [2000, 5000, 10000]  # milli-degree bin upper edges
+
+
+@register(
+    "semivariogram_customers",
+    # oracle is the bounded brute force (customer is dim-sized at the
+    # oracle SF); the engine side shares Ripley's 3×3 cell-offset
+    # prefilter. Value = acctbal in exact integer cents.
+    f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la,
+         (cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo,
+         cast(round(c_acctbal * 100) as bigint) AS v
+  FROM customer
+), pr AS (
+  SELECT (a.la - b.la) * (a.la - b.la) + (a.lo - b.lo) * (a.lo - b.lo) AS d2,
+         cast((a.v - b.v) as hugeint) * cast((a.v - b.v) as hugeint) AS dv2
+  FROM pts a JOIN pts b ON a.id < b.id
+), binned AS (
+  SELECT CASE
+           WHEN d2 <= {_VARIO_BINS[0] ** 2} THEN cast({_VARIO_BINS[0]} as bigint)
+           WHEN d2 <= {_VARIO_BINS[1] ** 2} THEN cast({_VARIO_BINS[1]} as bigint)
+           ELSE cast({_VARIO_BINS[2]} as bigint)
+         END AS r_mdeg, dv2
+  FROM pr WHERE d2 > 0 AND d2 <= {_VARIO_BINS[2] ** 2}
+)
+SELECT r_mdeg,
+       cast(count(*) as bigint) AS n_pairs,
+       cast(sum(dv2) as double) AS sum_dv2,
+       cast(sum(dv2) as double) / (2.0 * cast(count(*) as double)) AS gamma
+FROM binned GROUP BY r_mdeg
+""",
+)
+def semivariogram_customers(spark, sf_dir):
+    """Empirical semivariogram of customer account balance over the
+    point cloud at three distance bins — the spatial-continuity curve
+    (nugget/range/sill) a user reads to pick the IDW/kriging radius;
+    the natural companion to idw_interpolate_probes. Engine side never
+    does the all-pairs θ-join: the 3×3 max-bin cell-offset equi-join
+    from the Ripley machinery yields every candidate pair once, exact
+    integer mdeg ticks and cents keep pair sums bit-exact
+    (operators/morans.py semivariogram), DECIMAL(38,0)/HUGEINT for the
+    squared-diff sums, γ̂ the only double. Oracle is the bounded brute
+    force."""
+    from gipspark.operators.morans import semivariogram
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("la"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("lo"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("v"),
+    )
+    return semivariogram(pts, _VARIO_BINS)
+
+
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 8  # winnowing window (guarantee: every match ≥ W+K-1 tokens is caught)
+_WIN_P = 1 << 22  # position stride inside the tie-break key (docs < 4M tokens)
+_WIN_H = 1 << 30  # hash range
+
+
+@register(
+    "winnowing_docs",
+    # winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS fingerprint):
+    # in every window of W consecutive k-gram hashes select the min,
+    # RIGHTMOST on ties — encoded as min(h*P + (P-1-pos)) so one
+    # bigint min() is the whole selection rule in both engines.
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(arr)), i -> {{'pos': i, 'g': arr[i]}})) AS u
+  FROM (SELECT doc_id, {D.shingles_all_sql('text', _WIN_K)} AS arr FROM documents)
+), seq AS (
+  SELECT doc_id, u.pos AS pos,
+         ({D.MD5_LONG_SQL.format(x='u.g')}) % {_WIN_H} AS h
+  FROM toks
+), c AS (
+  SELECT doc_id, pos, h * {_WIN_P} + ({_WIN_P - 1} - pos) AS cval FROM seq
+), w AS (
+  SELECT doc_id, pos,
+         min(cval) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS m
+  FROM c
+), fw AS (SELECT doc_id, m FROM w WHERE pos >= {_WIN_W}),
+a1 AS (SELECT doc_id, cast(count(*) as bigint) AS n_grams FROM seq GROUP BY doc_id),
+a2 AS (
+  SELECT doc_id, cast(count(*) as bigint) AS n_windows,
+         cast(count(DISTINCT m) as bigint) AS n_selected,
+         cast(sum(DISTINCT m) as bigint) AS fp_checksum
+  FROM fw GROUP BY doc_id
+)
+SELECT a1.doc_id, n_grams, n_windows, n_selected, fp_checksum,
+       cast(n_selected as double) / cast(n_windows as double) AS density
+FROM a1 JOIN a2 ON a2.doc_id = a1.doc_id
+""",
+)
+def winnowing_docs(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS algorithm): per doc,
+    the positional k-gram hashes selected by the min-per-window rule —
+    the local selection that GUARANTEES any shared substring of
+    ≥ W+K−1 tokens contributes a shared fingerprint while keeping the
+    stored set ~2/(W+1) of all grams. This is the fingerprint a
+    plagiarism/overlap index stores instead of every shingle; the repo's
+    rolling_fingerprint is the per-doc digest, this is the per-position
+    selective one.
+
+    Scale shape: tokens never leave the JVM — k-grams via HOFs in the
+    scan stage, md5-derived hashes, ONE doc_id shuffle shared by the
+    selection window and both aggregates; output is 4 ints + 1 double
+    per doc. The rightmost-on-ties rule rides inside a single bigint
+    min() (h·P + (P−1−pos)), so selection is whole-stage-codegen, not
+    a UDF. Docs shorter than W+K−1 tokens have no full window and drop
+    out on both engines."""
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.posexplode(D.shingles_all(F.col("text"), _WIN_K)).alias("pos0", "g"),
+    )
+    seq = g.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (D.md5_long(F.col("g")) % F.lit(_WIN_H)).alias("h"),
+    )
+    c = seq.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * F.lit(_WIN_P) + (F.lit(_WIN_P - 1) - F.col("pos"))).alias("cval"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(_WIN_W - 1), 0)
+    fw = (
+        c.withColumn("m", F.min("cval").over(win))
+        .filter(F.col("pos") >= _WIN_W)
+        .select("doc_id", "m")
+    )
+    a1 = seq.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    a2 = fw.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.count_distinct("m").cast("long").alias("n_selected"),
+        F.sum_distinct(F.col("m")).cast("long").alias("fp_checksum"),
+    )
+    return a1.join(a2, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_windows",
+        "n_selected",
+        "fp_checksum",
+        (F.col("n_selected").cast("double") / F.col("n_windows").cast("double")).alias(
+            "density"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
