@@ -9477,6 +9477,265 @@ def winnowing_docs(spark, sf_dir):
     )
 
 
+@register(
+    "ks_drift_sources",
+    # two-sample Kolmogorov–Smirnov: each source's doc-length ECDF vs
+    # the pooled corpus ECDF. sup|F_s − F_all| is attained at a pooled
+    # sample point, so evaluating at every distinct n_chars is exact.
+    # D numerator kept as the exact bigint |c_s·N − c_all·n_s|.
+    """
+WITH vc AS (
+  SELECT source, n_chars AS v, cast(count(*) as bigint) AS c
+  FROM documents GROUP BY source, n_chars
+), s AS (
+  SELECT source, cast(count(*) as bigint) AS n_docs FROM documents GROUP BY source
+), gvc AS (
+  SELECT n_chars AS v, cast(count(*) as bigint) AS c FROM documents GROUP BY n_chars
+), ga AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum_all FROM gvc
+), g AS (SELECT cast(count(*) as bigint) AS n_all FROM documents),
+grid AS (
+  SELECT s.source, s.n_docs, ga.v, ga.cum_all, g.n_all
+  FROM s CROSS JOIN ga CROSS JOIN g
+), cum AS (
+  SELECT source, n_docs, v, cum_all, n_all,
+         sum(coalesce(vc.c, 0)) OVER (PARTITION BY source ORDER BY v) AS cum_s
+  FROM grid LEFT JOIN vc USING (source, v)
+), dev AS (
+  SELECT source, n_docs, v,
+         abs(cum_s * n_all - cum_all * n_docs) AS dnum, n_all
+  FROM cum
+), pick AS (
+  SELECT source, n_docs, v, dnum, n_all,
+         row_number() OVER (PARTITION BY source ORDER BY dnum DESC, v ASC) AS rn
+  FROM dev
+)
+SELECT source, n_docs, cast(dnum as bigint) AS d_num, cast(v as bigint) AS v_at,
+       cast(dnum as double) / (cast(n_docs as double) * cast(n_all as double)) AS ks_d
+FROM pick WHERE rn = 1
+""",
+)
+def ks_drift_sources(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift monitor: each source's
+    document-length distribution against the pooled corpus — the
+    distribution-shift gate a curation pipeline runs per crawl snapshot
+    before mixing a source in (length drift is the cheapest proxy for a
+    template/boilerplate change). The KS numerator |c_s·N − c_all·n_s|
+    stays an exact bigint; the statistic itself is the only double; the
+    step point where the max is attained (min value on ties) is
+    reported so the drift is locatable.
+
+    Scale shape: ONE big-data pass (the groupBy(source, n_chars)
+    hash-agg, map-side partial); everything downstream is dim-scale —
+    the (source × distinct-length) grid is bounded by group cardinality
+    × the length domain, built with literal-key BroadcastHashJoins
+    (never a nested loop), and the ECDF windows partition by source.
+    The pooled-ECDF window is unpartitioned but runs over the distinct
+    length values only (domain-bounded, ≤ max doc length rows)."""
+    d = load(spark, sf_dir, "documents")
+    vc = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    s = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    gvc = d.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").cast("long").alias("c"))
+    ga = gvc.select(
+        "v", F.sum("c").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)).alias("cum_all")
+    )
+    g = d.agg(F.count("*").cast("long").alias("n_all"))
+    grid = (
+        s.withColumn("__k", F.lit(1))
+        .join(F.broadcast(ga.withColumn("__k", F.lit(1))), "__k")
+        .join(F.broadcast(g.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    cum = grid.join(vc, ["source", "v"], "left").select(
+        "source",
+        "n_docs",
+        "v",
+        "cum_all",
+        "n_all",
+        F.sum(F.coalesce(F.col("c"), F.lit(0)))
+        .over(Window.partitionBy("source").orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_s"),
+    )
+    dev = cum.select(
+        "source",
+        "n_docs",
+        "v",
+        F.abs(F.col("cum_s") * F.col("n_all") - F.col("cum_all") * F.col("n_docs")).alias("dnum"),
+        "n_all",
+    )
+    pick = dev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("dnum").desc(), F.col("v").asc())
+        ),
+    ).filter(F.col("rn") == 1)
+    return pick.select(
+        "source",
+        "n_docs",
+        F.col("dnum").cast("long").alias("d_num"),
+        F.col("v").cast("long").alias("v_at"),
+        (F.col("dnum").cast("double") / (F.col("n_docs").cast("double") * F.col("n_all").cast("double"))).alias(
+            "ks_d"
+        ),
+    )
+
+
+_CUSUM_GRID = 30.0
+
+
+@register(
+    "cusum_changepoint_cells",
+    # CUSUM change-point over each cell's daily event-count series:
+    # max_k |n·S_k − k·S_n| (the centered cumulative sum cleared of
+    # division) — exact bigints end to end, the normalized statistic
+    # the only double. k indexes OBSERVED days (gaps collapse), which
+    # both engines compute identically via row_number over day.
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         epoch_us(ts) // 1000000 // 86400 AS d
+  FROM events
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_CUSUM_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_CUSUM_GRID}) as int) AS gy,
+         d, cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy, d
+), r AS (
+  SELECT gx, gy, d,
+         cast(row_number() OVER (PARTITION BY gx, gy ORDER BY d) as bigint) AS k,
+         sum(x) OVER (PARTITION BY gx, gy ORDER BY d) AS s_k,
+         cast(count(*) OVER (PARTITION BY gx, gy) as bigint) AS n,
+         sum(x) OVER (PARTITION BY gx, gy) AS s_n
+  FROM c
+), dev AS (
+  SELECT gx, gy, d, n, s_n, abs(n * s_k - k * s_n) AS dnum FROM r
+), pick AS (
+  SELECT gx, gy, d, n, s_n, dnum,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY dnum DESC, d ASC) AS rn
+  FROM dev
+)
+SELECT gx, gy, cast(n as bigint) AS n_days, cast(s_n as bigint) AS total_events,
+       cast(dnum as bigint) AS d_num, cast(d as bigint) AS change_day,
+       cast(dnum as double) / (cast(n as double) * cast(s_n as double)) AS cusum_stat
+FROM pick WHERE rn = 1
+""",
+)
+def cusum_changepoint_cells(spark, sf_dir):
+    """CUSUM change-point detection per 30° cell: the day where each
+    cell's cumulative event count deviates most from its own uniform
+    trend — the burst-ONSET locator that complements mann_kendall_cells
+    (direction) and theil_sen_cells (magnitude): MK says a cell is
+    rising, CUSUM says since when. |n·S_k − k·S_n| clears the division
+    so the scan statistic is an exact bigint; ties resolve to the
+    earliest day; the normalized statistic is the only double.
+
+    Scale shape: one (cell, day) hash-agg over the big table, then
+    windows partitioned by cell over calendar-bounded daily series —
+    the same one-shuffle lattice pattern as the Mann–Kendall twin."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("d"),
+    )
+    c = pts.groupBy(
+        F.floor((F.col("lon") + 180.0) / F.lit(_CUSUM_GRID)).cast("int").alias("gx"),
+        F.floor((90.0 - F.col("lat")) / F.lit(_CUSUM_GRID)).cast("int").alias("gy"),
+        "d",
+    ).agg(F.count("*").cast("long").alias("x"))
+    wcell = Window.partitionBy("gx", "gy")
+    wday = wcell.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    r = c.select(
+        "gx",
+        "gy",
+        "d",
+        F.row_number().over(wcell.orderBy("d")).cast("long").alias("k"),
+        F.sum("x").over(wday).alias("s_k"),
+        F.count("*").over(wcell).cast("long").alias("n"),
+        F.sum("x").over(wcell).alias("s_n"),
+    )
+    dev = r.select(
+        "gx", "gy", "d", "n", "s_n", F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n")).alias("dnum")
+    )
+    pick = dev.withColumn(
+        "rn",
+        F.row_number().over(wcell.orderBy(F.col("dnum").desc(), F.col("d").asc())),
+    ).filter(F.col("rn") == 1)
+    return pick.select(
+        "gx",
+        "gy",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s_n").cast("long").alias("total_events"),
+        F.col("dnum").cast("long").alias("d_num"),
+        F.col("d").cast("long").alias("change_day"),
+        (F.col("dnum").cast("double") / (F.col("n").cast("double") * F.col("s_n").cast("double"))).alias(
+            "cusum_stat"
+        ),
+    )
+
+
+_BLOCK_TERMS = ["spark", "hash", "merge", "stream", "filter", "window"]
+_BLOCK_THRESHOLD = 10
+
+
+@register(
+    "blocklist_match_docs",
+    # substring occurrence counting via the length-difference identity
+    # (len(s) − len(replace(s, t, ''))) / len(t) — exact integer, no
+    # regex engine parity risk, pure codegen in the scan stage.
+    f"""
+WITH m AS (
+  SELECT doc_id,
+         {", ".join(f"cast((len(text) - len(replace(text, '{t}', ''))) as bigint) // {len(t)} AS m{i}" for i, t in enumerate(_BLOCK_TERMS))}
+  FROM documents
+)
+SELECT doc_id,
+       cast({" + ".join(f"m{i}" for i in range(len(_BLOCK_TERMS)))} as bigint) AS total_matches,
+       cast({" + ".join(f"(CASE WHEN m{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_BLOCK_TERMS)))} as bigint) AS n_terms_matched,
+       cast(greatest({", ".join(f"m{i}" for i in range(len(_BLOCK_TERMS)))}) as bigint) AS max_single,
+       cast(CASE WHEN {" + ".join(f"m{i}" for i in range(len(_BLOCK_TERMS)))} >= {_BLOCK_THRESHOLD} THEN 1 ELSE 0 END as bigint) AS blocked
+FROM m
+""",
+)
+def blocklist_match_docs(spark, sf_dir):
+    """Blocklist term matching over the corpus — the spam/NSFW/boiler-
+    plate gate every web-text curation pipeline runs before anything
+    expensive: per doc, occurrence counts for a frozen term list, how
+    many distinct terms hit, the hottest single term count, and the
+    block decision. Occurrences are counted by the length-difference
+    identity (no regex engine, no per-row Python): exact integers,
+    identical semantics in both engines.
+
+    Scale shape: pure narrow — one projection in the scan stage, all
+    whole-stage codegen, zero shuffles; the term list is a compile-time
+    literal (at a real 100 TB run the list is small enough to render
+    into the plan the same way). Overlapping occurrences follow
+    replace() semantics (non-overlapping, left-to-right) on both
+    engines by construction."""
+    d = load(spark, sf_dir, "documents")
+    ms = [
+        F.expr(
+            f"CAST((length(text) - length(replace(text, '{t}', ''))) DIV {len(t)} AS BIGINT)"
+        ).alias(f"m{i}")
+        for i, t in enumerate(_BLOCK_TERMS)
+    ]
+    m = d.select("doc_id", *ms)
+    total = sum(F.col(f"m{i}") for i in range(len(_BLOCK_TERMS)))
+    nterms = sum(
+        F.when(F.col(f"m{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        for i in range(len(_BLOCK_TERMS))
+    )
+    return m.select(
+        "doc_id",
+        total.cast("long").alias("total_matches"),
+        nterms.cast("long").alias("n_terms_matched"),
+        F.greatest(*[F.col(f"m{i}") for i in range(len(_BLOCK_TERMS))]).cast("long").alias("max_single"),
+        F.when(total >= F.lit(_BLOCK_THRESHOLD), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("blocked"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -44,6 +44,7 @@ CROSS_OK = {
     "gi_star_hotspots",  # 1-row moment broadcast into the lattice (morans sibling)
     "knox_space_time",  # three 1-row aggregates cross-combined into the single stat row
     "ripleys_k_customers",  # 1-row point-count aggregate broadcast into the radius bands
+    "ks_drift_sources",  # source-dim × distinct-length grid + 1-row total (literal key folds to NL)
 }
 
 
