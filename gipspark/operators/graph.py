@@ -157,3 +157,50 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def label_propagation(nodes: DataFrame, und: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation (community detection), integer-exact.
+
+    Every node starts labeled with its own id; each round it adopts the
+    most frequent label among its neighbors, ties to the SMALLEST label,
+    isolated nodes keep their own — all deterministic, so a fixed-round
+    unroll is an exact spec both engines can replay (no modes, no
+    randomized tie-breaks like the classic async LPA). Complements the
+    repo's other graph ops: components finds connectivity, k-core finds
+    density, LPA finds assortative communities.
+
+    Scale shape per round: one neighbor-label equi-join shuffled on the
+    edge key, one (node, label) hash-agg (map-side partial), one
+    WindowGroupLimit-style argmax window partitioned by node — the same
+    one-shuffle-per-round budget as pagerank. Rounds are a small fixed
+    constant (communities stabilize in a few sync rounds; a fixed K is
+    the deterministic contract).
+
+    Inputs: ``nodes(id)``, ``und(a, b)`` canonical undirected edges
+    (see :func:`undirect`). Returns (id, community).
+    """
+    from pyspark.sql.window import Window
+
+    both = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    labels = nodes.select("id", F.col("id").cast("long").alias("community"))
+    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("community").asc())
+    for _ in range(rounds):
+        nbr = both.join(
+            labels.select(F.col("id").alias("n"), "community"), "n"
+        ).groupBy("v", "community").agg(F.count(F.lit(1)).alias("cnt"))
+        best = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("id"), "community")
+        )
+        labels = (
+            nodes.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("community"), F.col("id").cast("long")).alias("community"),
+            )
+        )
+    return labels

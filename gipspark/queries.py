@@ -9736,6 +9736,262 @@ def blocklist_match_docs(spark, sf_dir):
     )
 
 
+_LPA_DST = D.MD5_LONG_SQL.format(
+    x="concat('l:', cast(j as varchar), ':', cast(doc_id as varchar))"
+)
+
+_LPA_ROUND_SQL = """
+nbr{r} AS (
+  SELECT e.v, l.community, cast(count(*) as bigint) AS cnt
+  FROM nb e JOIN lab{p} l ON l.id = e.n GROUP BY e.v, l.community
+),
+best{r} AS (
+  SELECT v AS id, community FROM (
+    SELECT v, community,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, community ASC) AS rn
+    FROM nbr{r}
+  ) WHERE rn = 1
+),
+lab{r} AS (
+  SELECT n.id, cast(coalesce(b.community, n.id) as bigint) AS community
+  FROM nodes n LEFT JOIN best{r} b ON b.id = n.id
+)"""
+
+
+@register(
+    "lpa_communities_links",
+    # synchronous LPA, 3 unrolled rounds, min-label tie-break — the
+    # deterministic community-detection spec both engines replay.
+    f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+edges_raw AS (
+  SELECT doc_id AS src,
+         (doc_id + 1 + {_LPA_DST} % 25) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src <> dst
+),
+nb AS (
+  SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und
+),
+lab0 AS (SELECT id, cast(id as bigint) AS community FROM nodes),
+{_LPA_ROUND_SQL.format(r=1, p=0)},
+{_LPA_ROUND_SQL.format(r=2, p=1)},
+{_LPA_ROUND_SQL.format(r=3, p=2)},
+cs AS (SELECT community, cast(count(*) as bigint) AS csize FROM lab3 GROUP BY community)
+SELECT l.id, l.community, cs.csize FROM lab3 l JOIN cs USING (community)
+""",
+)
+def lpa_communities_links(spark, sf_dir):
+    """Label-propagation communities over the deterministic local doc
+    link graph (operators/graph.py label_propagation): 3 synchronous
+    rounds, most-frequent neighbor label with min-label ties — the
+    assortative-community complement to components (connectivity),
+    k-core (density) and pagerank (centrality). Integer labels end to
+    end; the oracle replays the same unrolled rounds. One edge-key
+    join + one (node, label) hash-agg + one node-partitioned argmax
+    window per round — the pagerank per-round shuffle budget."""
+    from gipspark.operators.graph import label_propagation, undirect
+
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        (
+                            F.col("doc_id")
+                            + 1
+                            + D.md5_long(
+                                F.concat(F.lit(f"l:{j}:"), F.col("doc_id").cast("string"))
+                            )
+                            % 25
+                        )
+                        % n
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    lab = label_propagation(nodes, undirect(edges), rounds=3)
+    cs = lab.groupBy("community").agg(F.count("*").cast("long").alias("csize"))
+    return lab.join(cs, "community").select("id", "community", "csize")
+
+
+@register(
+    "mann_whitney_sources",
+    # Mann–Whitney U of each source's doc lengths vs the rest of the
+    # corpus, exact in half-ticks: 2U = Σ_v c_s(v)·(2·#rest<v + #rest=v)
+    # — computed from value-group counts and cumulative sums, never the
+    # all-pairs rank join. The common-language effect size U/(n_s·n_r)
+    # is the only double.
+    """
+WITH vc AS (
+  SELECT source, n_chars AS v, cast(count(*) as bigint) AS c
+  FROM documents GROUP BY source, n_chars
+), gvc AS (
+  SELECT n_chars AS v, cast(count(*) as bigint) AS c_all FROM documents GROUP BY n_chars
+), ga AS (
+  SELECT v, c_all, sum(c_all) OVER (ORDER BY v) - c_all AS cumall_lt FROM gvc
+), sc AS (
+  SELECT source, v, c,
+         sum(c) OVER (PARTITION BY source ORDER BY v) - c AS cums_lt
+  FROM vc
+), terms AS (
+  SELECT sc.source, sc.c * (2 * (ga.cumall_lt - sc.cums_lt) + (ga.c_all - sc.c)) AS t2,
+         sc.c AS cs
+  FROM sc JOIN ga USING (v)
+), s AS (
+  SELECT source, cast(sum(t2) as bigint) AS u2, cast(sum(cs) as bigint) AS n_s
+  FROM terms GROUP BY source
+), g AS (SELECT cast(count(*) as bigint) AS n_all FROM documents)
+SELECT source, n_s, (SELECT n_all FROM g) - n_s AS n_rest, u2,
+       cast(u2 as double) / (2.0 * cast(n_s as double) * cast((SELECT n_all FROM g) - n_s as double)) AS auc
+FROM s
+""",
+)
+def mann_whitney_sources(spark, sf_dir):
+    """Mann–Whitney U (rank-sum) test of each source's document-length
+    distribution against the rest of the corpus — the KS twin that is
+    sensitive to stochastic dominance (one source systematically longer)
+    rather than max ECDF gap. U is kept exact in half-ticks (2U is an
+    integer even with ties); the AUC effect size U/(n_s·n_rest) is the
+    only double and reads directly as P(len_s > len_rest).
+
+    Scale shape: one (source, n_chars) hash-agg over the corpus, then
+    dim-scale: per-source cumulative windows and a broadcast join on
+    the distinct-value table (domain-bounded); never an all-pairs rank
+    join. The rest-of-corpus counts come from the global value table
+    minus the source's own — no second scan."""
+    d = load(spark, sf_dir, "documents")
+    vc = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    gvc = d.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").cast("long").alias("c_all"))
+    ga = gvc.select(
+        "v",
+        "c_all",
+        (
+            F.sum("c_all").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("c_all")
+        ).alias("cumall_lt"),
+    )
+    sc = vc.select(
+        "source",
+        "v",
+        "c",
+        (
+            F.sum("c").over(
+                Window.partitionBy("source").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("c")
+        ).alias("cums_lt"),
+    )
+    terms = sc.join(F.broadcast(ga), "v").select(
+        "source",
+        (F.col("c") * (2 * (F.col("cumall_lt") - F.col("cums_lt")) + (F.col("c_all") - F.col("c")))).alias("t2"),
+        F.col("c").alias("cs"),
+    )
+    s = terms.groupBy("source").agg(
+        F.sum("t2").cast("long").alias("u2"), F.sum("cs").cast("long").alias("n_s")
+    )
+    g = d.agg(F.count("*").cast("long").alias("n_all"))
+    return (
+        s.withColumn("__k", F.lit(1))
+        .join(F.broadcast(g.withColumn("__k", F.lit(1))), "__k")
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).alias("n_rest"),
+            "u2",
+            (
+                F.col("u2").cast("double")
+                / (F.lit(2.0) * F.col("n_s").cast("double") * (F.col("n_all") - F.col("n_s")).cast("double"))
+            ).alias("auc"),
+        )
+    )
+
+
+_HRW_S = 8  # shard count before the scale-out
+
+
+def _hrw_h_sql(s: int) -> str:
+    return D.MD5_LONG_SQL.format(x=f"concat('shard:{s}:', cast(doc_id as varchar))")
+
+
+def _hrw_argmax_sql(n: int) -> str:
+    gmax = f"greatest({', '.join(f'h{s}' for s in range(n))})"
+    cases = " ".join(f"WHEN h{s} = {gmax} THEN {s}" for s in range(n))
+    return f"CASE {cases} END"
+
+
+@register(
+    "hrw_shard_assign",
+    # rendezvous (highest-random-weight) hashing: shard = argmax over
+    # shards of md5(shard:s:doc_id); adding a shard moves only the docs
+    # whose new shard wins — the minimal-disruption guarantee measured
+    # here as the per-shard moved fraction when 8 → 9.
+    f"""
+WITH h AS (
+  SELECT doc_id, {", ".join(f"{_hrw_h_sql(s)} AS h{s}" for s in range(_HRW_S + 1))}
+  FROM documents
+), a AS (
+  SELECT doc_id,
+         cast({_hrw_argmax_sql(_HRW_S)} as bigint) AS shard,
+         cast({_hrw_argmax_sql(_HRW_S + 1)} as bigint) AS shard_after
+  FROM h
+)
+SELECT shard, cast(count(*) as bigint) AS n_docs,
+       cast(sum(CASE WHEN shard <> shard_after THEN 1 ELSE 0 END) as bigint) AS n_moved,
+       cast(sum(CASE WHEN shard <> shard_after THEN 1 ELSE 0 END) as double)
+         / cast(count(*) as double) AS moved_frac
+FROM a GROUP BY shard
+""",
+)
+def hrw_shard_assign(spark, sf_dir):
+    """Rendezvous (HRW) shard assignment — how a distributed cache /
+    stateful-service tier routes keys without a coordination ring: each
+    doc goes to the shard whose md5(shard, key) weight is highest, and
+    adding a shard relocates only the keys the NEW shard wins (expected
+    1/(S+1) of them, uniformly from every old shard). The query scores
+    the 8→9 scale-out: per-shard doc counts and moved fraction.
+
+    Scale shape: pure narrow — S+1 hash columns and two argmaxes in the
+    scan-stage projection (whole-stage codegen, ties broken to the
+    lowest shard identically in both engines), then one tiny hash-agg;
+    zero joins. At 100 TB this is the shuffle-free alternative to a
+    shard-map broadcast join."""
+    d = load(spark, sf_dir, "documents")
+    hs = [
+        D.md5_long(F.concat(F.lit(f"shard:{s}:"), F.col("doc_id").cast("string"))).alias(f"h{s}")
+        for s in range(_HRW_S + 1)
+    ]
+    h = d.select("doc_id", *hs)
+
+    def argmax(n: int):
+        gmax = F.greatest(*[F.col(f"h{s}") for s in range(n)])
+        e = F.when(F.col("h0") == gmax, F.lit(0))
+        for s in range(1, n):
+            e = e.when(F.col(f"h{s}") == gmax, F.lit(s))
+        return e.cast("long")
+
+    a = h.select(
+        "doc_id", argmax(_HRW_S).alias("shard"), argmax(_HRW_S + 1).alias("shard_after")
+    )
+    moved = F.when(F.col("shard") != F.col("shard_after"), F.lit(1)).otherwise(F.lit(0))
+    return a.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(moved).cast("long").alias("n_moved"),
+        (F.sum(moved).cast("double") / F.count("*").cast("double")).alias("moved_frac"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

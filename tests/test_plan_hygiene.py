@@ -45,6 +45,7 @@ CROSS_OK = {
     "knox_space_time",  # three 1-row aggregates cross-combined into the single stat row
     "ripleys_k_customers",  # 1-row point-count aggregate broadcast into the radius bands
     "ks_drift_sources",  # source-dim × distinct-length grid + 1-row total (literal key folds to NL)
+    "mann_whitney_sources",  # 1-row corpus-total broadcast into the per-source stats
 }
 
 
