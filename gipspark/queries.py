@@ -9992,6 +9992,326 @@ def hrw_shard_assign(spark, sf_dir):
     )
 
 
+_LANGID_CM_SQL = f"""
+cm AS (
+  SELECT lang AS gold, {T.lang_id_sql('text')} AS pred, cast(count(*) as bigint) AS n
+  FROM documents GROUP BY lang, pred
+)"""
+
+
+@register(
+    "langid_eval_classes",
+    # per-class precision/recall/F1 of the heuristic lang-id against
+    # the gold lang column. f1 = 2·tp/(support + predicted) — one exact
+    # division instead of the p→r→f1 double chain.
+    f"""
+WITH {_LANGID_CM_SQL},
+rows_t AS (SELECT gold, cast(sum(n) as bigint) AS support FROM cm GROUP BY gold),
+cols_t AS (SELECT pred, cast(sum(n) as bigint) AS predicted FROM cm GROUP BY pred),
+tp AS (SELECT gold, cast(sum(n) as bigint) AS tp FROM cm WHERE gold = pred GROUP BY gold)
+SELECT r.gold AS lang, r.support,
+       coalesce(c.predicted, 0) AS predicted,
+       coalesce(tp.tp, 0) AS tp,
+       CASE WHEN coalesce(c.predicted, 0) = 0 THEN 0.0
+            ELSE cast(coalesce(tp.tp, 0) as double) / cast(c.predicted as double) END AS precision_,
+       cast(coalesce(tp.tp, 0) as double) / cast(r.support as double) AS recall_,
+       cast(2 * coalesce(tp.tp, 0) as double)
+         / cast(r.support + coalesce(c.predicted, 0) as double) AS f1
+FROM rows_t r
+LEFT JOIN cols_t c ON c.pred = r.gold
+LEFT JOIN tp ON tp.gold = r.gold
+""",
+)
+def langid_eval_classes(spark, sf_dir):
+    """Per-class evaluation of the heuristic n-gram language identifier
+    (functions/text.lang_id) against the gold ``lang`` column — the
+    classifier-quality report a curation pipeline checks before trusting
+    a lang filter at 100 TB: support, predicted count, true positives,
+    precision, recall, F1 per language. F1 uses the 2·tp/(support +
+    predicted) identity so it is ONE exact division; tp/support/predicted
+    stay bigints.
+
+    Scale shape: the only corpus-scale work is the (gold, pred)
+    confusion hash-agg (classifier runs as codegen HOFs in the scan
+    stage); everything after is class-cardinality joins."""
+    d = load(spark, sf_dir, "documents")
+    cm = d.groupBy(
+        F.col("lang").alias("gold"), T.lang_id(F.col("text")).alias("pred")
+    ).agg(F.count("*").cast("long").alias("n"))
+    rows_t = cm.groupBy("gold").agg(F.sum("n").cast("long").alias("support"))
+    cols_t = cm.groupBy(F.col("pred")).agg(F.sum("n").cast("long").alias("predicted"))
+    tp = (
+        cm.filter(F.col("gold") == F.col("pred"))
+        .groupBy("gold")
+        .agg(F.sum("n").cast("long").alias("tp"))
+    )
+    out = (
+        rows_t.join(cols_t, rows_t["gold"] == cols_t["pred"], "left")
+        .join(tp, "gold", "left")
+        .select(
+            F.col("gold").alias("lang"),
+            "support",
+            F.coalesce(F.col("predicted"), F.lit(0)).alias("predicted"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    return out.select(
+        "lang",
+        "support",
+        "predicted",
+        "tp",
+        F.when(F.col("predicted") == 0, F.lit(0.0))
+        .otherwise(F.col("tp").cast("double") / F.col("predicted").cast("double"))
+        .alias("precision_"),
+        (F.col("tp").cast("double") / F.col("support").cast("double")).alias("recall_"),
+        (
+            (2 * F.col("tp")).cast("double")
+            / (F.col("support") + F.col("predicted")).cast("double")
+        ).alias("f1"),
+    )
+
+
+@register(
+    "kappa_langid_docs",
+    # Cohen's kappa as ONE exact rational: (N·agree − Σ row·col) /
+    # (N² − Σ row·col) — numerator and denominator bigints, kappa the
+    # only double.
+    f"""
+WITH {_LANGID_CM_SQL},
+rows_t AS (SELECT gold AS cls, cast(sum(n) as bigint) AS rn FROM cm GROUP BY gold),
+cols_t AS (SELECT pred AS cls, cast(sum(n) as bigint) AS cn FROM cm GROUP BY pred),
+j AS (
+  SELECT coalesce(r.rn, 0) * coalesce(c.cn, 0) AS rc
+  FROM rows_t r FULL OUTER JOIN cols_t c USING (cls)
+),
+s AS (
+  SELECT (SELECT cast(sum(n) as bigint) FROM cm) AS n_docs,
+         (SELECT cast(coalesce(sum(n), 0) as bigint) FROM cm WHERE gold = pred) AS agree,
+         cast(sum(rc) as bigint) AS chance
+  FROM j
+)
+SELECT n_docs, agree, chance,
+       cast(n_docs * agree - chance as double) / cast(n_docs * n_docs - chance as double) AS kappa
+FROM s
+""",
+)
+def kappa_langid_docs(spark, sf_dir):
+    """Cohen's kappa between the heuristic language identifier and the
+    gold lang column — chance-corrected agreement, the single number
+    that says whether the lang filter beats guessing the majority
+    class. Rearranged to the exact rational (N·agree − Σ_c row_c·col_c)
+    / (N² − Σ_c row_c·col_c) so both moments are bigints and kappa is
+    the only double; marginals meet in a class-cardinality full-outer
+    join (pred-only classes like 'und' contribute zero because their
+    gold marginal is zero).
+
+    Scale shape: one confusion hash-agg over the corpus, then
+    class-cardinality arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    cm = d.groupBy(
+        F.col("lang").alias("gold"), T.lang_id(F.col("text")).alias("pred")
+    ).agg(F.count("*").cast("long").alias("n"))
+    rows_t = cm.groupBy(F.col("gold").alias("cls")).agg(F.sum("n").cast("long").alias("rn"))
+    cols_t = cm.groupBy(F.col("pred").alias("cls")).agg(F.sum("n").cast("long").alias("cn"))
+    j = rows_t.join(cols_t, "cls", "full_outer").select(
+        (F.coalesce(F.col("rn"), F.lit(0)) * F.coalesce(F.col("cn"), F.lit(0))).alias("rc")
+    )
+    tot = cm.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("gold") == F.col("pred"), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ch = j.agg(F.sum("rc").cast("long").alias("chance"))
+    s = (
+        tot.withColumn("__k", F.lit(1))
+        .join(F.broadcast(ch.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    return s.select(
+        "n_docs",
+        "agree",
+        "chance",
+        (
+            (F.col("n_docs") * F.col("agree") - F.col("chance")).cast("double")
+            / (F.col("n_docs") * F.col("n_docs") - F.col("chance")).cast("double")
+        ).alias("kappa"),
+    )
+
+
+_GAP_GRID = 30.0
+
+
+@register(
+    "coverage_gaps_cells",
+    # inventory completeness per cell: which cells have day-level holes
+    # in the global observation span, and how big the worst hole is.
+    # Gaps come from lead() over each cell's observed days plus the two
+    # edge gaps vs the global span — no calendar explode needed.
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         epoch_us(ts) // 1000000 // 86400 AS d
+  FROM events
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_GAP_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_GAP_GRID}) as int) AS gy,
+         d
+  FROM pts GROUP BY gx, gy, d
+), g AS (SELECT min(d) AS d0, max(d) AS d1 FROM c),
+w AS (
+  SELECT gx, gy, d,
+         lead(d) OVER (PARTITION BY gx, gy ORDER BY d) AS dn,
+         min(d) OVER (PARTITION BY gx, gy) AS dmin,
+         max(d) OVER (PARTITION BY gx, gy) AS dmax,
+         cast(count(*) OVER (PARTITION BY gx, gy) as bigint) AS active_days
+  FROM c
+), per AS (
+  SELECT gx, gy, active_days, dmin, dmax,
+         max(CASE WHEN dn IS NULL THEN 0 ELSE dn - d - 1 END) AS max_inner_gap
+  FROM w GROUP BY gx, gy, active_days, dmin, dmax
+)
+SELECT gx, gy, active_days,
+       cast((SELECT d1 - d0 + 1 FROM g) as bigint) AS span_days,
+       cast((SELECT d1 - d0 + 1 FROM g) as bigint) - active_days AS missing_days,
+       cast(greatest(max_inner_gap,
+                     dmin - (SELECT d0 FROM g),
+                     (SELECT d1 FROM g) - dmax) as bigint) AS max_gap
+FROM per
+""",
+)
+def coverage_gaps_cells(spark, sf_dir):
+    """Inventory completeness per 30° cell — the GIPS-flavored
+    "missing assets" report: for every cell, how many days of the
+    global observation span have NO events, and the worst contiguous
+    hole (counting the edges against the global first/last day). This
+    is the operational complement of inventory_matrix: that one says
+    what exists, this one says what's missing and how badly.
+
+    Scale shape: one (cell, day) hash-agg (big table collapses
+    immediately), a 1-row global-span aggregate broadcast in, and
+    lead()/min/max windows partitioned by cell over calendar-bounded
+    series — no dense calendar explode, no grid join."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("d"),
+    )
+    c = (
+        pts.groupBy(
+            F.floor((F.col("lon") + 180.0) / F.lit(_GAP_GRID)).cast("int").alias("gx"),
+            F.floor((90.0 - F.col("lat")) / F.lit(_GAP_GRID)).cast("int").alias("gy"),
+            "d",
+        )
+        .agg(F.count("*").alias("__n"))
+        .drop("__n")
+    )
+    g = c.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    wcell = Window.partitionBy("gx", "gy")
+    w = c.select(
+        "gx",
+        "gy",
+        "d",
+        F.lead("d").over(wcell.orderBy("d")).alias("dn"),
+        F.min("d").over(wcell).alias("dmin"),
+        F.max("d").over(wcell).alias("dmax"),
+        F.count("*").over(wcell).cast("long").alias("active_days"),
+    )
+    per = w.groupBy("gx", "gy", "active_days", "dmin", "dmax").agg(
+        F.max(
+            F.when(F.col("dn").isNull(), F.lit(0)).otherwise(F.col("dn") - F.col("d") - 1)
+        ).alias("max_inner_gap")
+    )
+    out = (
+        per.withColumn("__k", F.lit(1))
+        .join(F.broadcast(g.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+    )
+    return out.select(
+        "gx",
+        "gy",
+        "active_days",
+        (F.col("d1") - F.col("d0") + 1).cast("long").alias("span_days"),
+        ((F.col("d1") - F.col("d0") + 1) - F.col("active_days")).cast("long").alias("missing_days"),
+        F.greatest(
+            F.col("max_inner_gap"),
+            F.col("dmin") - F.col("d0"),
+            F.col("d1") - F.col("dmax"),
+        )
+        .cast("long")
+        .alias("max_gap"),
+    )
+
+
+@register(
+    "knn_classify_suppliers",
+    # kNN majority-vote classification: each supplier point takes the
+    # modal market segment of its 7 nearest customers (vote count desc,
+    # then lexicographically smallest segment). Oracle is the bounded
+    # brute force.
+    f"""
+WITH q AS (SELECT s_suppkey AS q_id,
+                  {_LAT.format(k='s_suppkey * 211 + 7')} AS q_lat,
+                  {_LON.format(k='s_suppkey * 211 + 7')} AS q_lon FROM supplier),
+p AS (SELECT c_custkey AS p_id, c_mktsegment AS seg,
+             {_LAT.format(k='c_custkey')} AS p_lat, {_LON.format(k='c_custkey')} AS p_lon FROM customer),
+d AS (SELECT q_id, p_id, seg,
+             {HAVERSINE_SQL.format(lat1='q_lat', lon1='q_lon', lat2='p_lat', lon2='p_lon')} AS dist_m
+      FROM q CROSS JOIN p),
+r AS (SELECT q_id, p_id, seg,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist_m ASC, p_id ASC) AS rank
+      FROM d),
+v AS (SELECT q_id, seg, cast(count(*) as bigint) AS votes FROM r WHERE rank <= 7 GROUP BY q_id, seg),
+pick AS (SELECT q_id, seg, votes,
+                row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, seg ASC) AS rn
+         FROM v)
+SELECT q_id, seg AS pred_segment, votes FROM pick WHERE rn = 1
+""",
+)
+def knn_classify_suppliers(spark, sf_dir):
+    """kNN majority-vote classification: every supplier point gets the
+    modal market segment of its 7 nearest customers — nearest-neighbor
+    label transfer (the classic spatial classifier / label-densification
+    op), composed from the exact k-ring-guaranteed kNN join
+    (operators/knn.py) plus one vote hash-agg and one argmax window;
+    ties break to the smallest segment so both engines agree. The
+    oracle replays the bounded brute force.
+
+    Scale shape: inherits knn_join's candidate-bounded expansion (never
+    all-pairs); voting adds a (query, label) hash-agg and a
+    query-partitioned WindowGroupLimit-style argmax."""
+    sup = load(spark, sf_dir, "supplier")
+    qk = F.col("s_suppkey") * 211 + 7
+    qs = sup.select(
+        F.col("s_suppkey").alias("q_id"),
+        C.derived_lat(qk).alias("q_lat"),
+        C.derived_lon(qk).alias("q_lon"),
+    )
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("p_id"),
+        F.col("c_mktsegment").alias("seg"),
+        C.derived_lat(F.col("c_custkey")).alias("p_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("p_lon"),
+    )
+    out = knn_join(
+        qs,
+        pts.select("p_id", "p_lat", "p_lon"),
+        k=7,
+        n_points_hint=table_rows(sf_dir, "customer"),
+    )
+    voted = out.join(pts.select("p_id", "seg"), "p_id").groupBy("q_id", "seg").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    pick = voted.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("seg").asc())
+        ),
+    ).filter(F.col("rn") == 1)
+    return pick.select("q_id", F.col("seg").alias("pred_segment"), "votes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -46,6 +46,8 @@ CROSS_OK = {
     "ripleys_k_customers",  # 1-row point-count aggregate broadcast into the radius bands
     "ks_drift_sources",  # source-dim × distinct-length grid + 1-row total (literal key folds to NL)
     "mann_whitney_sources",  # 1-row corpus-total broadcast into the per-source stats
+    "kappa_langid_docs",  # two 1-row aggregates (totals × chance) cross-combined
+    "coverage_gaps_cells",  # 1-row global-span aggregate broadcast into the cell table
 }
 
 
