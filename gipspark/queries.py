@@ -10312,6 +10312,251 @@ def knn_classify_suppliers(spark, sf_dir):
     return pick.select("q_id", F.col("seg").alias("pred_segment"), "votes")
 
 
+@register(
+    "clq_colocation_segments",
+    # colocation quotient CLQ(A→B) = (C_AB/N_A) / (N'_B/(N−1)) over
+    # nearest-neighbor pairs — rearranged to the single exact division
+    # C_AB·(N−1) / (N_A·N'_B). Oracle replays the brute-force NN.
+    f"""
+WITH p AS (SELECT c_custkey AS id, c_mktsegment AS seg,
+                  {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+           FROM customer),
+d AS (SELECT a.id AS q_id, a.seg AS seg_a, b.id AS p_id, b.seg AS seg_b,
+             {HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')} AS dist_m
+      FROM p a JOIN p b ON a.id <> b.id),
+r AS (SELECT q_id, seg_a, seg_b,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist_m ASC, p_id ASC) AS rn
+      FROM d),
+c AS (SELECT seg_a, seg_b, cast(count(*) as bigint) AS n_pairs FROM r WHERE rn = 1 GROUP BY seg_a, seg_b),
+sn AS (SELECT seg, cast(count(*) as bigint) AS n_seg, sum(cast(count(*) as bigint)) OVER () AS n_all
+       FROM p GROUP BY seg)
+SELECT c.seg_a, c.seg_b, c.n_pairs,
+       cast(c.n_pairs * (sa.n_all - 1) as double)
+         / cast(sa.n_seg * (CASE WHEN c.seg_a = c.seg_b THEN sb.n_seg - 1 ELSE sb.n_seg END) as double) AS clq
+FROM c
+JOIN sn sa ON sa.seg = c.seg_a
+JOIN sn sb ON sb.seg = c.seg_b
+""",
+)
+def clq_colocation_segments(spark, sf_dir):
+    """Colocation quotient between market segments over the customer
+    point cloud: for each ordered category pair (A→B), how over- or
+    under-represented B is among A's nearest neighbors, vs the CSR
+    expectation — the categorical spatial-association statistic that
+    complements join_count_stats (which needs a lattice; CLQ works on
+    raw points). Nearest neighbors reuse the exact k-ring kNN join
+    (k=2, self excluded — the clark_evans machinery); the quotient is
+    rearranged to ONE exact division C_AB·(N−1)/(N_A·N'_B) with the
+    own-category correction N'_B = N_B−1 when A=B.
+
+    Scale shape: candidate-bounded kNN (never all-pairs), one
+    (seg,seg) hash-agg, then category-cardinality joins; the corpus
+    total rides an unpartitioned window over the 5-row category table
+    (no 1-row broadcast)."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("p_id"),
+        F.col("c_mktsegment").alias("seg"),
+        C.derived_lat(F.col("c_custkey")).alias("p_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("p_lon"),
+    )
+    qs = pts.select(
+        F.col("p_id").alias("q_id"),
+        F.col("seg").alias("seg_a"),
+        F.col("p_lat").alias("q_lat"),
+        F.col("p_lon").alias("q_lon"),
+    )
+    nn = (
+        knn_join(
+            qs.select("q_id", "q_lat", "q_lon"),
+            pts.select("p_id", "p_lat", "p_lon"),
+            k=2,
+            n_points_hint=table_rows(sf_dir, "customer"),
+        )
+        .filter(F.col("p_id") != F.col("q_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("dist_m").asc(), F.col("p_id").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("q_id", "p_id")
+    )
+    pairs = (
+        nn.join(qs.select("q_id", "seg_a"), "q_id")
+        .join(pts.select("p_id", F.col("seg").alias("seg_b")), "p_id")
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    sn = (
+        pts.groupBy("seg")
+        .agg(F.count("*").cast("long").alias("n_seg"))
+        .withColumn("n_all", F.sum("n_seg").over(Window.partitionBy()))
+    )
+    sa = sn.select(F.col("seg").alias("seg_a"), F.col("n_seg").alias("na"), "n_all")
+    sb = sn.select(F.col("seg").alias("seg_b"), F.col("n_seg").alias("nb"))
+    out = pairs.join(F.broadcast(sa), "seg_a").join(F.broadcast(sb), "seg_b")
+    nb_eff = F.when(F.col("seg_a") == F.col("seg_b"), F.col("nb") - 1).otherwise(F.col("nb"))
+    return out.select(
+        "seg_a",
+        "seg_b",
+        "n_pairs",
+        (
+            (F.col("n_pairs") * (F.col("n_all") - 1)).cast("double")
+            / (F.col("na") * nb_eff).cast("double")
+        ).alias("clq"),
+    )
+
+
+# Wilson lower bound rendered ONCE and spliced textually into both
+# plans (the benford literal-sharing discipline): s_d/n_d are exact
+# counts as doubles, z = 1.96 appears only as the literal product.
+_WILSON_EXPR = (
+    "((s_d / n_d) + (1.96 * 1.96) / (2.0 * n_d)"
+    " - 1.96 * sqrt(((s_d / n_d) * (1.0 - (s_d / n_d))"
+    " + (1.96 * 1.96) / (4.0 * n_d)) / n_d))"
+    " / (1.0 + (1.96 * 1.96) / n_d)"
+)
+
+
+@register(
+    "wilson_host_ranking",
+    f"""
+WITH h AS (
+  SELECT source AS host,
+         cast(count(*) as bigint) AS n_docs,
+         cast(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) as bigint) AS n_good
+  FROM documents GROUP BY source
+), w AS (
+  SELECT host, n_docs, n_good,
+         cast(n_good as double) AS s_d, cast(n_docs as double) AS n_d
+  FROM h
+), scored AS (
+  SELECT host, n_docs, n_good, {_WILSON_EXPR} AS wilson_lb FROM w
+)
+SELECT host, n_docs, n_good, wilson_lb,
+       cast(row_number() OVER (ORDER BY wilson_lb DESC, host ASC) as int) AS rank
+FROM scored
+""",
+)
+def wilson_host_ranking(spark, sf_dir):
+    """Host quality ranking by the Wilson score lower bound (z=1.96) on
+    the per-host good-doc rate (n_chars ≥ 300) — the right way to rank
+    hosts with wildly different doc counts: a 3/3 host must NOT outrank
+    a 180/200 one, which raw rates do and the Wilson bound doesn't.
+    This is the crawl-prioritization score a frontier feeds back into
+    politeness budgets. The formula is rendered once as a Python string
+    and spliced into BOTH plans (the benford literal-sharing
+    discipline), so every IEEE op — including the correctly-rounded
+    sqrt — executes in the same textual order.
+
+    Scale shape: one host-key hash-agg over the corpus (map-side
+    combinable, key domain = host count), then scoring and ranking on
+    the host-cardinality table (the unpartitioned ranking window is
+    bounded by the domain count, not the doc count)."""
+    d = load(spark, sf_dir, "documents")
+    h = d.groupBy(F.col("source").alias("host")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0)).cast("long").alias("n_good"),
+    )
+    w = h.select(
+        "host",
+        "n_docs",
+        "n_good",
+        F.col("n_good").cast("double").alias("s_d"),
+        F.col("n_docs").cast("double").alias("n_d"),
+    )
+    scored = w.select("host", "n_docs", "n_good", F.expr(_WILSON_EXPR).alias("wilson_lb"))
+    return scored.select(
+        "host",
+        "n_docs",
+        "n_good",
+        "wilson_lb",
+        F.row_number()
+        .over(Window.orderBy(F.col("wilson_lb").desc(), F.col("host").asc()))
+        .cast("int")
+        .alias("rank"),
+    )
+
+
+_PLD_SUFF2 = ("co.uk", "github.io", "gov.au")  # multi-label public suffixes
+_PLD_SUBS = ("www", "cdn", "img")
+_PLD_TLDS = ("com", "co.uk", "org", "github.io", "gov.au")
+
+
+@register(
+    "pld_site_stats",
+    # registrable-domain (pay-level-domain) extraction with a frozen
+    # public-suffix subset: if the last TWO labels form a listed
+    # multi-label suffix the PLD keeps three labels, else two — the
+    # scoping rule crawlers use for politeness and dedup domains.
+    f"""
+WITH hosts AS (
+  SELECT doc_id, source,
+         concat(CASE doc_id % 3 {" ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_PLD_SUBS))} END,
+                '.', source, '.',
+                CASE doc_id % 5 {" ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_PLD_TLDS))} END) AS host
+  FROM documents
+), lab AS (
+  SELECT doc_id, source, host, string_split(host, '.') AS a FROM hosts
+), pld AS (
+  SELECT doc_id, source, host,
+         CASE WHEN concat(a[-2], '.', a[-1]) IN {_PLD_SUFF2!r}
+              THEN concat(a[-3], '.', a[-2], '.', a[-1])
+              ELSE concat(a[-2], '.', a[-1]) END AS pld
+  FROM lab
+)
+SELECT pld, cast(count(*) as bigint) AS n_docs,
+       cast(count(DISTINCT host) as bigint) AS n_hosts,
+       cast(count(DISTINCT source) as bigint) AS n_sources
+FROM pld GROUP BY pld
+""",
+)
+def pld_site_stats(spark, sf_dir):
+    """Pay-level-domain (registrable domain) extraction and site-level
+    rollup — the scoping primitive every crawler needs: politeness,
+    robots caching, and dedup domains are keyed by PLD, not hostname,
+    and getting 'a.co.uk' vs 'b.github.io' right requires the
+    public-suffix list (frozen subset here), not 'last two labels'.
+    Hosts are synthesized with mixed single- and multi-label suffixes
+    so both branches of the rule execute.
+
+    Scale shape: pure codegen string/array ops (split + negative
+    element_at + a set-membership CASE) in the scan stage, then one
+    PLD-key hash-agg — key domain bounded by the site count. At a real
+    100 TB crawl the full PSL (~9k rules) broadcasts as a literal
+    in-set or a small dim join; the rule shape is identical."""
+    d = load(spark, sf_dir, "documents")
+    sub = F.col("doc_id") % 3
+    tld = F.col("doc_id") % 5
+    sub_c = F.when(sub == 0, F.lit(_PLD_SUBS[0]))
+    for i, s in enumerate(_PLD_SUBS[1:], 1):
+        sub_c = sub_c.when(sub == i, F.lit(s))
+    tld_c = F.when(tld == 0, F.lit(_PLD_TLDS[0]))
+    for i, s in enumerate(_PLD_TLDS[1:], 1):
+        tld_c = tld_c.when(tld == i, F.lit(s))
+    hosts = d.select(
+        "doc_id",
+        "source",
+        F.concat(sub_c, F.lit("."), F.col("source"), F.lit("."), tld_c).alias("host"),
+    )
+    a = F.split(F.col("host"), r"\.")
+    last2 = F.concat(F.element_at(a, -2), F.lit("."), F.element_at(a, -1))
+    pld = F.when(
+        last2.isin(*_PLD_SUFF2),
+        F.concat(F.element_at(a, -3), F.lit("."), last2),
+    ).otherwise(last2)
+    return (
+        hosts.select("doc_id", "source", "host", pld.alias("pld"))
+        .groupBy("pld")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
