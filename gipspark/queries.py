@@ -10557,6 +10557,158 @@ def pld_site_stats(spark, sf_dir):
     )
 
 
+@register(
+    "q7_volume_shipping",
+    # TPC-H Q7 shape: revenue flow between a nation pair, split by
+    # direction and ship year; same exact-cents revenue units as q3/q5.
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       cast(year(l.l_shipdate) as int) AS l_year,
+       cast(count(*) as bigint) AS n_items,
+       cast(sum(cast(round(l.l_extendedprice * 100) as bigint) * (100 - cast(round(l.l_discount * 100) as bigint))) as double) / 10000.0 AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bilateral revenue between a
+    nation pair, split by flow direction and ship year — the
+    disjunctive two-dim-filter join pattern Q5 doesn't cover (the OR
+    across two broadcast dims means neither filter can prune a fact
+    side alone; Catalyst pushes the disjunction into the two nation
+    broadcasts and the facts shuffle once). Revenue in the repo's
+    exact-cents bigint units, the /10000.0 the only double."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        F.count("*").cast("long").alias("n_items"),
+        (F.sum(cents).cast("double") / 10000.0).alias("revenue"),
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    # TPC-H Q17 shape: revenue locked in small-quantity lineitems,
+    # where "small" is 20% of the part's own average quantity. The
+    # gate is cross-multiplied to integer ticks — 5·q·cnt < sum — so
+    # the avg never materializes as a double.
+    """
+WITH pa AS (
+  SELECT l_partkey,
+         cast(sum(cast(round(l_quantity * 100) as bigint)) as bigint) AS sum_qt,
+         cast(count(*) as bigint) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       cast(count(*) as bigint) AS n_items,
+       cast(sum(cast(round(l.l_extendedprice * 100) as bigint)) as double) / 100.0 AS locked_revenue
+FROM lineitem l
+JOIN pa ON pa.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * cast(round(l.l_quantity * 100) as bigint) * pa.cnt < pa.sum_qt
+GROUP BY p.p_brand
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity revenue): lineitems whose
+    quantity is under 20% of their part's own average — the
+    aggregate-then-rejoin (decorrelated scalar subquery) pattern: the
+    per-part average comes from a first hash-agg over the fact table
+    that joins back onto the same fact. The threshold is
+    cross-multiplied into integer ticks (5·q·cnt < Σq) so the average
+    is never a double and the gate is exact; revenue uses the repo's
+    cents-bigint units.
+
+    Scale shape: two passes over lineitem sharing the l_partkey
+    shuffle key (agg, then join) — Catalyst reuses the exchange;
+    part is a broadcast dim."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    qt = F.round(F.col("l_quantity") * 100).cast("bigint")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(qt).cast("long").alias("sum_qt"), F.count("*").cast("long").alias("cnt")
+    )
+    j = (
+        li.join(pa, "l_partkey")
+        .filter(5 * qt * F.col("cnt") < F.col("sum_qt"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_items"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast("double")
+            / 100.0
+        ).alias("locked_revenue"),
+    )
+
+
+@register(
+    "props_map_ops",
+    # map-typed column surface: parse props into a real MapType and
+    # exercise map_keys / element_at / transform_values / map_concat;
+    # DuckDB mirrors through its JSON functions on the same values.
+    """
+SELECT event_id,
+       cast(len(json_keys(props)) as int) AS n_keys,
+       cast(json_extract(props, '$.k') as bigint) AS v,
+       cast(json_extract(props, '$.k') as bigint) * 2 AS v_doubled,
+       array_to_string(list_sort(json_keys(props) || ['src']), ',') AS key_list
+FROM events
+WHERE event_id % 10 = 0
+""",
+)
+def props_map_ops(spark, sf_dir):
+    """Map-typed column surface: events.props parsed into a real
+    ``map<string,bigint>`` and driven through the map function family —
+    ``map_keys``, ``element_at``, ``transform_values`` (v→2v), and
+    ``map_concat`` with a literal map — the part of the scalar surface
+    the array/json sweeps don't touch. The oracle reaches the same
+    values through DuckDB's JSON functions, proving the map semantics
+    rather than the call names.
+
+    Scale shape: pure narrow scan-stage projection; the event_id
+    filter reaches the parquet reader as a pushed predicate."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    m2 = F.map_concat(m, F.create_map(F.lit("src"), F.lit(1).cast("bigint")))
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.element_at(m, "k").alias("v"),
+        F.element_at(doubled, "k").alias("v_doubled"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("key_list"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
