@@ -10709,6 +10709,209 @@ def props_map_ops(spark, sf_dir):
     )
 
 
+@register(
+    "lexical_stats_docs",
+    # lexical-diversity quality features: type-token ratio, hapax
+    # fraction, mean word length — all from one explode + per-doc aggs,
+    # exact integers with the ratios as single divisions.
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), wf AS (
+  SELECT doc_id, w, cast(count(*) as bigint) AS c FROM toks GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id,
+         cast(sum(c) as bigint) AS n_tokens,
+         cast(count(*) as bigint) AS n_types,
+         cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) as bigint) AS n_hapax,
+         cast(sum(cast(len(w) as bigint) * c) as bigint) AS sum_wlen
+  FROM wf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       cast(n_types as double) / cast(n_tokens as double) AS ttr,
+       cast(n_hapax as double) / cast(n_types as double) AS hapax_frac,
+       cast(sum_wlen as double) / cast(n_tokens as double) AS mean_wlen
+FROM agg
+""",
+)
+def lexical_stats_docs(spark, sf_dir):
+    """Lexical-diversity statistics per document — the vocabulary-side
+    quality features (type-token ratio, hapax fraction, mean word
+    length) that complement the surface features in quality_score and
+    the repetition gate: machine-generated or boilerplate text shows
+    abnormally low TTR and hapax fraction at normal lengths. Counts
+    stay exact bigints; each ratio is one division.
+
+    Scale shape: one tokenize-explode (JVM regexp in the scan stage) →
+    one (doc, word) hash-agg → one doc hash-agg, both map-side
+    combinable; one doc_id-keyed shuffle total, output one row per
+    doc."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    )
+    wf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("c"))
+    agg = wf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.length("w").cast("long") * F.col("c")).cast("long").alias("sum_wlen"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double")).alias("ttr"),
+        (F.col("n_hapax").cast("double") / F.col("n_types").cast("double")).alias("hapax_frac"),
+        (F.col("sum_wlen").cast("double") / F.col("n_tokens").cast("double")).alias("mean_wlen"),
+    )
+
+
+_MARKOV_TICKS = 1_000_000_000_000  # probability mass as integer ticks
+
+
+def _markov_round_sql(r: int, p: int) -> str:
+    return f"""
+m{r} AS (
+  SELECT t.dst AS state, cast(sum((m{p}.mass * t.n) // t.row_n) as bigint) AS mass
+  FROM m{p} JOIN t ON t.src = m{p}.state GROUP BY t.dst
+)"""
+
+
+@register(
+    "markov_stationary_events",
+    # integer power iteration toward the stationary distribution of the
+    # event-type transition chain: mass in bigint ticks, per-edge flow
+    # = (mass·n)//row_n (floor division, deterministic), 3 unrolled
+    # rounds — the same exact-iteration discipline as pagerank.
+    f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), t0 AS (
+  SELECT event_type AS src, nxt AS dst, cast(count(*) as bigint) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY src, dst
+), t AS (
+  SELECT src, dst, n, cast(sum(n) OVER (PARTITION BY src) as bigint) AS row_n FROM t0
+), states AS (SELECT DISTINCT src AS state FROM t),
+m0 AS (
+  SELECT state, cast({_MARKOV_TICKS} // (SELECT count(*) FROM states) as bigint) AS mass
+  FROM states
+),
+{_markov_round_sql(1, 0)},
+{_markov_round_sql(2, 1)},
+{_markov_round_sql(3, 2)}
+SELECT state, mass, cast(mass as double) / {_MARKOV_TICKS}.0 AS prob
+FROM m3
+""",
+)
+def markov_stationary_events(spark, sf_dir):
+    """Stationary distribution of the user-journey Markov chain (where
+    does attention concentrate if users keep clicking): integer power
+    iteration over the event-type transition matrix that
+    event_transition_matrix estimates — mass carried in bigint ticks,
+    per-edge flow floor-divided exactly as pagerank's damping is, 3
+    unrolled rounds so the oracle replays bit-identically.
+
+    Scale shape: the corpus-scale work is the lead() window (one
+    user_id shuffle) and the (src,dst) hash-agg; the chain itself is
+    |event_types|² — dim-scale — so every iteration round is a join
+    between tiny tables. The big table is never rescanned across
+    rounds."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    t0 = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    t = t0.withColumn("row_n", F.sum("n").over(Window.partitionBy("src")).cast("long"))
+    states = t.select(F.col("src").alias("state")).distinct()
+    n_states = states.count()  # dim-scale (|event_types|), bounded driver action
+    m = states.select(
+        "state", F.lit(_MARKOV_TICKS // n_states).cast("long").alias("mass")
+    )
+    for _ in range(3):
+        m = (
+            m.join(t, m["state"] == t["src"])
+            .select(F.col("dst").alias("state"), ((F.col("mass") * F.col("n")) / F.col("row_n")).cast("long").alias("flow"))
+            .groupBy("state")
+            .agg(F.sum("flow").cast("long").alias("mass"))
+        )
+    return m.select(
+        "state", "mass", (F.col("mass").cast("double") / F.lit(float(_MARKOV_TICKS))).alias("prob")
+    )
+
+
+_NORM_TICKS = 1000.0  # norm² quantized to 1e-3 ticks before the cross-row sum
+
+
+@register(
+    "embedding_norm_drift",
+    # embedding-health drift monitor: per id-bucket norm² statistics.
+    # Each row's norm² is a deterministic left-to-right fold (same
+    # textual order both engines); the CROSS-ROW sum is where parallel
+    # reordering would drift, so norm² is quantized to integer ticks
+    # first and summed as bigint.
+    f"""
+WITH e AS (
+  SELECT vec_id % 8 AS bucket,
+         list_reduce(list_transform(generate_series(1, len(embedding)),
+                     i -> embedding[i]::double * embedding[i]::double),
+                     (acc, x) -> acc + x) AS norm2
+  FROM embeddings
+), q AS (
+  SELECT bucket, cast(round(norm2 * {_NORM_TICKS}) as bigint) AS nt FROM e
+)
+SELECT bucket, cast(count(*) as bigint) AS n_vecs,
+       cast(sum(nt) as bigint) AS sum_ticks,
+       cast(min(nt) as bigint) AS min_ticks,
+       cast(max(nt) as bigint) AS max_ticks,
+       cast(sum(nt) as double) / (cast(count(*) as double) * {_NORM_TICKS}) AS mean_norm2
+FROM q GROUP BY bucket
+""",
+)
+def embedding_norm_drift(spark, sf_dir):
+    """Embedding-health drift monitor: norm² statistics per id bucket —
+    the cheap check that catches a broken encoder or a mixed-model
+    batch before any ANN index is built (norm collapse / explosion is
+    the usual failure signature). Each vector's norm² is a
+    deterministic left-to-right HOF fold (identical textual order both
+    engines); because cross-row double sums reorder under parallelism,
+    the norm² is quantized to integer ticks per row and summed as
+    bigint — the same discipline money columns use.
+
+    Scale shape: one narrow fold in the scan stage plus one bucket-key
+    hash-agg; no shuffle beyond the agg, no Python."""
+    e = load(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = e.select(
+        (F.col("vec_id") % 8).alias("bucket"),
+        F.round(norm2 * _NORM_TICKS).cast("long").alias("nt"),
+    )
+    return q.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("nt").cast("long").alias("sum_ticks"),
+        F.min("nt").cast("long").alias("min_ticks"),
+        F.max("nt").cast("long").alias("max_ticks"),
+        (F.sum("nt").cast("double") / (F.count("*").cast("double") * F.lit(_NORM_TICKS))).alias(
+            "mean_norm2"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
