@@ -10912,6 +10912,84 @@ def embedding_norm_drift(spark, sf_dir):
     )
 
 
+@register(
+    "triplet_mining_embeddings",
+    # supervised triplet mining: per anchor, the hardest positive
+    # (closest same-label) and hardest negative (closest impostor);
+    # margin = pos_sim − neg_sim is the triplet-loss violation signal.
+    f"""
+WITH a AS (
+  SELECT vec_id AS a_id, embedding AS a_vec, label AS a_lab
+  FROM embeddings WHERE vec_id % 10 = 0
+), p AS (
+  SELECT a.a_id, a.a_lab, b.vec_id AS b_id, (b.label = a.a_lab) AS is_pos,
+         {_DOT.format(a='a.a_vec', b='b.embedding')}
+         / (sqrt({_DOT.format(a='a.a_vec', b='a.a_vec')})
+          * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) AS sim
+  FROM a JOIN embeddings b ON b.vec_id <> a.a_id
+), r AS (
+  SELECT a_id, b_id, is_pos, sim,
+         row_number() OVER (PARTITION BY a_id, is_pos ORDER BY sim DESC, b_id ASC) AS rn
+  FROM p
+)
+SELECT a_id,
+       max(CASE WHEN is_pos THEN b_id END) AS pos_id,
+       max(CASE WHEN is_pos THEN sim END) AS pos_sim,
+       max(CASE WHEN NOT is_pos THEN b_id END) AS neg_id,
+       max(CASE WHEN NOT is_pos THEN sim END) AS neg_sim,
+       max(CASE WHEN is_pos THEN sim END) - max(CASE WHEN NOT is_pos THEN sim END) AS margin
+FROM r WHERE rn = 1 GROUP BY a_id
+""",
+)
+def triplet_mining_embeddings(spark, sf_dir):
+    """Hard triplet mining for contrastive/metric training: for each
+    anchor, the hardest positive (most-similar same-label vector) and
+    hardest negative (most-similar impostor), plus the margin — the
+    quantity a triplet loss penalizes and the curation signal for
+    label noise (negative margin = an impostor sits closer than any
+    class sibling). Cosines use the same fold text as the repo's other
+    embedding oracles; ties break (sim desc, id asc).
+
+    Scale shape: the anchor set is a bounded deterministic sample
+    broadcast against the corpus (the cosine_topk_bruteforce exact-spec
+    pattern — one narrow pass over the corpus per anchor batch, no
+    corpus self-join); at 100 TB the anchor stream batches through the
+    same plan, or swaps in the LSH/IVF ANN path for candidate
+    generation with this query as its verification oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("label").alias("a_lab"),
+    )
+    p = (
+        F.broadcast(a)
+        .crossJoin(emb.select("vec_id", "embedding", "label"))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            F.col("vec_id").alias("b_id"),
+            (F.col("label") == F.col("a_lab")).alias("is_pos"),
+            cosine_sim(F.col("a_vec"), F.col("embedding")).alias("sim"),
+        )
+    )
+    r = p.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("a_id", "is_pos").orderBy(F.col("sim").desc(), F.col("b_id").asc())
+        ),
+    ).filter(F.col("rn") == 1)
+    pos_sim = F.max(F.when(F.col("is_pos"), F.col("sim")))
+    neg_sim = F.max(F.when(~F.col("is_pos"), F.col("sim")))
+    return r.groupBy("a_id").agg(
+        F.max(F.when(F.col("is_pos"), F.col("b_id"))).alias("pos_id"),
+        pos_sim.alias("pos_sim"),
+        F.max(F.when(~F.col("is_pos"), F.col("b_id"))).alias("neg_id"),
+        neg_sim.alias("neg_sim"),
+        (pos_sim - neg_sim).alias("margin"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

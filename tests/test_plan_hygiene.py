@@ -25,6 +25,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # hash/broadcast/sort-merge only
 CROSS_OK = {
     "cosine_topk_bruteforce",
+    "triplet_mining_embeddings",  # bounded anchor sample broadcast x corpus (exact-spec pattern)
     "knn_join_nations",  # straggler fallback branch plans a bounded NL join
     "embedding_neardup_pairs",
     "gapfill_daily_events",  # tiny calendar × type-dim cross, broadcast
