@@ -10990,6 +10990,144 @@ def triplet_mining_embeddings(spark, sf_dir):
     )
 
 
+@register(
+    "rfm_segments_users",
+    # RFM segmentation: per-user recency/frequency/monetary quintiles.
+    # Monetary in exact cents; recency in whole days vs the global max
+    # day (computed as a window over the user-level dim table, no 1-row
+    # broadcast); quintiles are ntile(5) with fully deterministic
+    # (metric, user_id) orders.
+    """
+WITH u AS (
+  SELECT user_id,
+         max(epoch_us(ts) // 1000000 // 86400) AS last_d,
+         cast(count(*) as bigint) AS freq,
+         cast(sum(cast(round(value * 100) as bigint)) as bigint) AS monetary_c
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT user_id, freq, monetary_c,
+         cast(max(last_d) OVER () - last_d as bigint) AS recency_d
+  FROM u
+)
+SELECT user_id, recency_d, freq, monetary_c,
+       cast(ntile(5) OVER (ORDER BY recency_d ASC, user_id ASC) as int) AS r_score,
+       cast(ntile(5) OVER (ORDER BY freq DESC, user_id ASC) as int) AS f_score,
+       cast(ntile(5) OVER (ORDER BY monetary_c DESC, user_id ASC) as int) AS m_score
+FROM r
+""",
+)
+def rfm_segments_users(spark, sf_dir):
+    """RFM (recency / frequency / monetary) segmentation — the
+    workhorse user-value partitioning every activity pipeline ships:
+    per user, days since last event, event count, and exact-cents
+    spend, each quintiled into a 1–5 score with fully deterministic
+    tie-breaks. Recency anchors to the corpus max day via a window
+    over the user-level table (dim-scale) rather than a 1-row
+    broadcast.
+
+    Scale shape: ONE user_id hash-agg over the big table; scoring runs
+    on the per-user dim table. The unpartitioned ntile windows are
+    bounded by user cardinality — for a truly huge user dim the
+    two-phase global-rank operator (operators/ranking.py) is the drop-in
+    replacement, as str_pack_customers demonstrates."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.floor(F.unix_timestamp("ts") / F.lit(86400))).alias("last_d"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("long").alias("monetary_c"),
+    )
+    r = u.select(
+        "user_id",
+        "freq",
+        "monetary_c",
+        (F.max("last_d").over(Window.partitionBy()) - F.col("last_d"))
+        .cast("long")
+        .alias("recency_d"),
+    )
+    return r.select(
+        "user_id",
+        "recency_d",
+        "freq",
+        "monetary_c",
+        F.ntile(5).over(Window.orderBy(F.col("recency_d").asc(), F.col("user_id").asc())).cast("int").alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())).cast("int").alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary_c").desc(), F.col("user_id").asc())).cast("int").alias("m_score"),
+    )
+
+
+# Allen's 13 interval relations, classified by exact integer-second
+# comparisons of (s1,e1) vs (s2,e2). Rendered ONCE and spliced into both
+# engines (the benford discipline) — the CASE order IS the spec.
+_ALLEN_CASE = """CASE
+  WHEN e1 < s2 THEN 'before'
+  WHEN e1 = s2 THEN 'meets'
+  WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+  WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+  WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+  WHEN e1 = e2 AND s1 > s2 THEN 'finishes'
+  WHEN e1 = e2 AND s1 < s2 THEN 'finished_by'
+  WHEN s1 > s2 AND e1 < e2 THEN 'during'
+  WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+  WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+  WHEN s1 > s2 AND s1 < e2 AND e1 > e2 THEN 'overlapped_by'
+  WHEN s1 = e2 THEN 'met_by'
+  ELSE 'after'
+END"""
+
+
+@register(
+    "allen_relations_events",
+    f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 AS s1,
+         epoch_us(ts) // 1000000 + 60 + cast(round(value * 100) as bigint) % 43140 AS e1
+  FROM events
+), pr AS (
+  SELECT user_id, s1, e1,
+         lead(s1) OVER (PARTITION BY user_id ORDER BY s1, e1) AS s2,
+         lead(e1) OVER (PARTITION BY user_id ORDER BY s1, e1) AS e2
+  FROM iv
+)
+SELECT {_ALLEN_CASE} AS relation, cast(count(*) as bigint) AS n_pairs
+FROM pr WHERE s2 IS NOT NULL
+GROUP BY relation
+""",
+)
+def allen_relations_events(spark, sf_dir):
+    """Allen's interval algebra over per-user activity intervals:
+    consecutive intervals (start = event time, duration derived from
+    the value column) classified into the 13 Allen relations by exact
+    integer-second comparisons — the temporal-logic vocabulary interval
+    joins, dissolves, and containment queries are special cases of
+    (range_join = 'overlaps ∪ during ∪ ...', merge_intervals = the
+    non-'before' closure). The CASE chain is rendered once and spliced
+    into both engines, so the branch order IS the shared spec.
+
+    Scale shape: one user_id shuffle feeds both the lead() window and
+    the relation hash-agg; output is bounded by 13 rows."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("s1"),
+        (
+            F.unix_timestamp("ts").cast("long")
+            + 60
+            + F.round(F.col("value") * 100).cast("bigint") % 43140
+        ).alias("e1"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s1", "e1")
+    pr = iv.select(
+        "s1",
+        "e1",
+        F.lead("s1").over(w).alias("s2"),
+        F.lead("e1").over(w).alias("e2"),
+    ).filter(F.col("s2").isNotNull())
+    return pr.groupBy(F.expr(_ALLEN_CASE).alias("relation")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
