@@ -11128,6 +11128,57 @@ def allen_relations_events(spark, sf_dir):
     )
 
 
+@register(
+    "diameter_pairs_nations",
+    # farthest customer pair per nation in exact milli-degree ticks;
+    # oracle is the bounded all-pairs max with the same tie-break.
+    f"""
+WITH pts AS (
+  SELECT c_custkey AS id, c_nationkey AS g,
+         (cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la,
+         (cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo
+  FROM customer
+), d AS (
+  SELECT a.g, a.id AS id_a, b.id AS id_b,
+         (a.la - b.la) * (a.la - b.la) + (a.lo - b.lo) * (a.lo - b.lo) AS d2
+  FROM pts a JOIN pts b ON a.g = b.g AND a.id < b.id
+), pick AS (
+  SELECT g, id_a, id_b, d2,
+         row_number() OVER (PARTITION BY g ORDER BY d2 DESC, id_a ASC, id_b ASC) AS rn
+  FROM d
+), n AS (SELECT g, cast(count(*) as bigint) AS n_pts FROM pts GROUP BY g)
+SELECT pick.g AS nationkey, cast(id_a as bigint) AS id_a, cast(id_b as bigint) AS id_b,
+       cast(d2 as bigint) AS d2, n.n_pts
+FROM pick JOIN n ON n.g = pick.g WHERE rn = 1
+""",
+)
+def diameter_pairs_nations(spark, sf_dir):
+    """Farthest customer pair per nation (the set diameter) — the
+    spread/extent statistic that pairs with convex_hull_nations the way
+    max pairs with argmax: service-area span, antenna placement,
+    worst-case intra-group distance. Exact: planar milli-degree ticks
+    keep every squared distance below 2^53, the diameter's endpoints
+    are provably strict hull vertices, and ties resolve to the
+    lexicographically smallest id pair — so the hull-reduced
+    applyInPandas answer (operators/hull.py diameter_pairs) equals the
+    oracle's all-pairs brute force bit-exactly.
+
+    Scale shape: one group-key shuffle; per group O(n log n) hull +
+    O(h²) vertex pairs instead of O(n²) — the hull reduction IS the
+    scale story, with the per-fine-cell min-id pre-reduction as the
+    planetary-group bound (same contract as convex_hull)."""
+    from gipspark.operators.hull import diameter_pairs
+
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("g"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("x"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("y"),
+    )
+    out = diameter_pairs(pts, "g", id_col="id", x_col="x", y_col="y")
+    return out.select(F.col("g").alias("nationkey"), "id_a", "id_b", "d2", "n_pts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -110,3 +110,52 @@ def test_bbox_tile_cover_edge_touching(spark):
     cover = _tile_cover({"lon_min": 0.0, "lat_min": 0.0, "lon_max": 5.0, "lat_max": 5.0})
     # ix = floor((lon+180)/5) ∈ {36,37}; iy = floor((90-lat)/5) ∈ {17,18}
     assert set(cover) == {"h36v17", "h36v18", "h37v17", "h37v18"}
+
+
+def test_diameter_pairs_matches_brute_force(spark):
+    """diameter_pairs == all-pairs brute force on adversarial fixtures:
+    random clouds, all-collinear, coordinate duplicates, symmetric ties
+    (square: two equal diagonals), and an all-coincident group."""
+    from gipspark.operators.hull import diameter_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # group 0-2: random integer clouds
+    for g in range(3):
+        for i in range(40):
+            rows.append((g, g * 1000 + i, int(rng.integers(-5000, 5000)), int(rng.integers(-5000, 5000))))
+    # group 3: all collinear
+    rows += [(3, 3000 + i, 10 * i, 20 * i) for i in range(15)]
+    # group 4: duplicates at the extremes (min id must win)
+    rows += [(4, 4007, 0, 0), (4, 4003, 0, 0), (4, 4009, 100, 0), (4, 4001, 100, 0)]
+    # group 5: square — two diagonals tie; lexicographic min id pair wins
+    rows += [(5, 5004, 0, 0), (5, 5002, 10, 0), (5, 5003, 0, 10), (5, 5001, 10, 10)]
+    # group 6: all points coincide (d2 = 0 pair of two smallest ids)
+    rows += [(6, 6005, 7, 7), (6, 6002, 7, 7), (6, 6009, 7, 7)]
+    # group 7: single point (no pair -> absent)
+    rows += [(7, 7001, 1, 2)]
+    df = spark.createDataFrame(rows, "g int, id long, x long, y long")
+    got = {
+        r.g: (r.id_a, r.id_b, r.d2, r.n_pts)
+        for r in diameter_pairs(df, "g", id_col="id", x_col="x", y_col="y").collect()
+    }
+
+    by_g = {}
+    for g, i, x, y in rows:
+        by_g.setdefault(g, []).append((i, x, y))
+    for g, pts in by_g.items():
+        if len(pts) < 2:
+            assert g not in got
+            continue
+        best = None
+        for ai in range(len(pts)):
+            for bi in range(len(pts)):
+                ia, xa, ya = pts[ai]
+                ib, xb, yb = pts[bi]
+                if ia >= ib:
+                    continue
+                d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+                key = (-d2, ia, ib)
+                if best is None or key < best:
+                    best = key
+        assert got[g] == (best[1], best[2], -best[0], len(pts)), f"group {g}"
