@@ -231,3 +231,132 @@ def hausdorff_pairs(
             F.greatest("d2_ab", "d2_ba").alias("d2_hausdorff"),
         )
     )
+
+
+def frechet_pairs(
+    pts: "DataFrame",
+    block_w: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat_col: str = "la",
+    lon_col: str = "lo",
+) -> "DataFrame":
+    """Discrete Fréchet distance between every blocked pair of per-user
+    trajectories — the ORDER-AWARE similarity Hausdorff cannot express
+    (two routes through the same streets in opposite directions are
+    Hausdorff-identical but Fréchet-far):
+
+        dF(A, B) = min over monotone couplings of max coupled d²
+
+    computed by the classic K×K dynamic program
+    dp[i,j] = max(d²[i,j], min(dp[i-1,j], dp[i,j-1], dp[i-1,j-1])).
+
+    ``pts`` must be CAPPED per user (same contract as hausdorff_pairs);
+    candidate pairs are users sharing a ``block_w``-wide cell. The DP
+    runs inside ONE mapInPandas stage vectorized ACROSS the pair batch:
+    trajectories are padded into (batch, K) tick tensors and the K²
+    cell updates are NumPy ops over the whole batch — no per-pair
+    Python loop (the multimodal r1 #8 batching lesson applied up
+    front). Ticks are integers, so every d², min and max is exact.
+
+    Returns (user_a, user_b, n_a, n_b, d2_frechet). Non-SQL-expressible
+    (DP recurrence) → rows-only in the driver harness; correctness is
+    pinned by the brute-force-DP pytest plus the dF ≥ Hausdorff
+    cross-operator bound.
+    """
+    from pyspark.sql import functions as F
+
+    u = F.col(user_col)
+    p = pts.select(
+        u.alias("u"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("pid"),
+            F.col(lat_col).cast("long").alias("la"),
+            F.col(lon_col).cast("long").alias("lo"),
+        ).alias("s"),
+    )
+    # ordered trajectory arrays (sort by (ts, id) inside the struct sort)
+    traj = p.groupBy("u").agg(F.array_sort(F.collect_list("s")).alias("tr"))
+    cells = pts.select(
+        u.alias("u"),
+        F.floor(F.col(lat_col).cast("long") / F.lit(float(block_w))).cast("long").alias("cx"),
+        F.floor(F.col(lon_col).cast("long") / F.lit(float(block_w))).cast("long").alias("cy"),
+    ).distinct()
+    cand = (
+        cells.join(cells.select(F.col("u").alias("ub"), "cx", "cy"), ["cx", "cy"])
+        .filter(F.col("u") < F.col("ub"))
+        .select(F.col("u").alias("ua"), "ub")
+        .distinct()
+    )
+    ta = traj.select(F.col("u").alias("ua"), F.col("tr").alias("tr_a"))
+    tb = traj.select(F.col("u").alias("ub"), F.col("tr").alias("tr_b"))
+    j = (
+        cand.join(ta, "ua")
+        .join(tb, "ub")
+        .select(
+            "ua",
+            "ub",
+            F.col("tr_a.la").alias("xa"),
+            F.col("tr_a.lo").alias("ya"),
+            F.col("tr_b.la").alias("xb"),
+            F.col("tr_b.lo").alias("yb"),
+        )
+    )
+
+    import pandas as pd  # noqa: F811 — local alias for the worker closure
+
+    def dp_batches(it):
+        BIG = np.int64(1) << 62
+        for pdf in it:
+            if pdf.empty:
+                continue
+            b = len(pdf)
+            na = pdf["xa"].map(len).to_numpy(np.int64)
+            nb = pdf["xb"].map(len).to_numpy(np.int64)
+            ka, kb = int(na.max()), int(nb.max())
+            xa = np.zeros((b, ka), np.int64)
+            ya = np.zeros((b, ka), np.int64)
+            xb = np.zeros((b, kb), np.int64)
+            yb = np.zeros((b, kb), np.int64)
+            for r in range(b):  # pack: O(batch) rows, not O(batch·K²)
+                xa[r, : na[r]] = pdf["xa"].iloc[r]
+                ya[r, : na[r]] = pdf["ya"].iloc[r]
+                xb[r, : nb[r]] = pdf["xb"].iloc[r]
+                yb[r, : nb[r]] = pdf["yb"].iloc[r]
+            dx = xa[:, :, None] - xb[:, None, :]
+            dy = ya[:, :, None] - yb[:, None, :]
+            d2 = dx * dx + dy * dy  # (b, ka, kb) exact int64
+            # mask padded cells so they never win a min
+            ia = np.arange(ka)[None, :] >= na[:, None]
+            ib = np.arange(kb)[None, :] >= nb[:, None]
+            d2[ia[:, :, None] | ib[:, None, :]] = BIG
+            dp = np.full((b, ka, kb), BIG, np.int64)
+            for i in range(ka):  # K² vectorized-over-batch updates
+                for jj in range(kb):
+                    if i == 0 and jj == 0:
+                        prev = np.zeros(b, np.int64)
+                    elif i == 0:
+                        prev = dp[:, 0, jj - 1]
+                    elif jj == 0:
+                        prev = dp[:, i - 1, 0]
+                    else:
+                        prev = np.minimum(
+                            dp[:, i - 1, jj],
+                            np.minimum(dp[:, i, jj - 1], dp[:, i - 1, jj - 1]),
+                        )
+                    dp[:, i, jj] = np.maximum(d2[:, i, jj], prev)
+            out = dp[np.arange(b), na - 1, nb - 1]
+            yield pd.DataFrame(
+                {
+                    "user_a": pdf["ua"].to_numpy(),
+                    "user_b": pdf["ub"].to_numpy(),
+                    "n_a": na,
+                    "n_b": nb,
+                    "d2_frechet": out,
+                }
+            )
+
+    schema = "user_a long, user_b long, n_a long, n_b long, d2_frechet long"
+    return j.mapInPandas(dp_batches, schema)

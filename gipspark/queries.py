@@ -11179,6 +11179,130 @@ def diameter_pairs_nations(spark, sf_dir):
     return out.select(F.col("g").alias("nationkey"), "id_a", "id_b", "d2", "n_pts")
 
 
+@register("frechet_traj_pairs", None)
+def frechet_traj_pairs(spark, sf_dir):
+    """Discrete Fréchet distance between blocked user-trajectory pairs
+    — the order-aware companion to hausdorff_traj_pairs (same cap, same
+    cell blocking, same exact integer ticks): opposite-direction routes
+    that Hausdorff calls identical are Fréchet-far. The K×K dynamic
+    program runs in one mapInPandas stage vectorized ACROSS the pair
+    batch (padded tick tensors, K² NumPy updates over the whole batch —
+    no per-pair Python loop). Non-SQL-expressible DP → rows-only here;
+    pinned by the brute-force-DP pytest and the dF ≥ Hausdorff bound."""
+    from gipspark.operators.trajectory import frechet_pairs
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            ((F.col("event_id").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("la"),
+            ((F.col("event_id").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("lo"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HAUS_K)
+    )
+    return frechet_pairs(pts, block_w=_HAUS_W)
+
+
+@register(
+    "fuzzy_title_clusters",
+    # transitive closure over the verified fuzzy-title pair set: the
+    # record-linkage entity resolution step (pairs → entities). The
+    # pair CTE is the registered fuzzy_title_join SQL verbatim.
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({REGISTRY["fuzzy_title_join"][1]})
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+  WHERE e.dst <> re.node
+),
+comp AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+cs AS (SELECT cluster_id, cast(count(*) as bigint) AS csize FROM comp GROUP BY cluster_id)
+SELECT comp.doc_id, comp.cluster_id, cs.csize FROM comp JOIN cs USING (cluster_id)
+""",
+)
+def fuzzy_title_clusters(spark, sf_dir):
+    """Entity resolution over the fuzzy title linkage: the verified
+    lev≤2 pair set (fuzzy_title_join) closed transitively into
+    entities, each doc labeled with its cluster's min doc_id and the
+    cluster size — the pairs→entities step every record-linkage
+    pipeline ends with, composed from the blocked linkage join and the
+    shared pointer-jumping components operator (O(log d) rounds with
+    lineage cuts). Oracle: the registered fuzzy SQL verbatim as the
+    pair CTE + WITH RECURSIVE min-reachability."""
+    from gipspark.operators.components import connected_components
+
+    pairs = REGISTRY["fuzzy_title_join"][0](spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    lab = comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    cs = lab.groupBy("cluster_id").agg(F.count("*").cast("long").alias("csize"))
+    return lab.join(cs, "cluster_id").select("doc_id", "cluster_id", "csize")
+
+
+@register(
+    "fano_burstiness_events",
+    # Fano factor (variance-to-mean of daily counts) per event type:
+    # fano = (n·Σx² − S²) / ((n−1)·S) — one exact rational, moments in
+    # DECIMAL(38,0)/HUGEINT (the chisq overflow lesson), the factor the
+    # only double. >1 bursty, ≈1 Poisson, <1 metronomic.
+    """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS d,
+         cast(count(*) as bigint) AS x
+  FROM events GROUP BY event_type, d
+), a AS (
+  SELECT event_type,
+         cast(count(*) as bigint) AS n_days,
+         cast(sum(x) as bigint) AS total,
+         cast(sum(cast(x as hugeint) * cast(x as hugeint)) as hugeint) AS sumsq
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n_days, total,
+       cast(n_days * sumsq - cast(total as hugeint) * cast(total as hugeint) as double)
+         / cast((n_days - 1) * cast(total as hugeint) as double) AS fano
+FROM a WHERE n_days > 1
+""",
+)
+def fano_burstiness_events(spark, sf_dir):
+    """Fano factor (variance-to-mean ratio) of daily counts per event
+    type — the burstiness dial at stream level: ≈1 is Poisson traffic,
+    >1 is bursty (campaigns, incidents), <1 is metronomic (monitors,
+    bots) — the source-level complement of bot_regularity_users. The
+    variance-to-mean collapses to one exact rational
+    (n·Σx² − S²)/((n−1)·S); moments ride in DECIMAL(38,0)/HUGEINT so a
+    100 TB day-count never wraps; the factor is the only double.
+
+    Scale shape: one (type, day) hash-agg over the big table, then
+    type-cardinality arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("d")
+    ).agg(F.count("*").cast("long").alias("x"))
+    dec = "decimal(38,0)"
+    a = c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec).alias("sumsq"),
+    )
+    return a.filter(F.col("n_days") > 1).select(
+        "event_type",
+        "n_days",
+        "total",
+        (
+            (F.col("n_days").cast(dec) * F.col("sumsq") - F.col("total").cast(dec) * F.col("total").cast(dec)).cast("double")
+            / ((F.col("n_days") - 1).cast(dec) * F.col("total").cast(dec)).cast("double")
+        ).alias("fano"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

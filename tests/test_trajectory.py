@@ -163,3 +163,56 @@ def test_hausdorff_pairs_vs_brute(spark):
         assert dba == directed(traj[ub], traj[ua])
         assert dh == max(dab, dba)
     assert any(v[0] != v[1] for v in got.values())
+
+
+def test_frechet_matches_brute_force_and_bounds_hausdorff(spark):
+    """frechet_pairs == recursive brute-force DP per pair, and the
+    discrete Fréchet distance lower-bounds at the Hausdorff distance
+    (dF ≥ dH always) on the same capped point sets."""
+    import functools
+
+    from gipspark.operators.trajectory import frechet_pairs, hausdorff_pairs
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for u in range(8):
+        n = int(rng.integers(1, 9))
+        for i in range(n):
+            rows.append((u, u * 100 + i, i, int(rng.integers(0, 100)), int(rng.integers(0, 100))))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts long, la long, lo long")
+    got = {
+        (r.user_a, r.user_b): (r.n_a, r.n_b, r.d2_frechet)
+        for r in frechet_pairs(df, block_w=1000).collect()
+    }
+    # block_w=1000 covers everything: all pairs are candidates
+    assert len(got) == 8 * 7 // 2
+
+    by_u = {}
+    for u, _, ts, la, lo in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        by_u.setdefault(u, []).append((la, lo))
+
+    def brute(a, b):
+        @functools.lru_cache(maxsize=None)
+        def dp(i, j):
+            d2 = (a[i][0] - b[j][0]) ** 2 + (a[i][1] - b[j][1]) ** 2
+            if i == 0 and j == 0:
+                return d2
+            if i == 0:
+                return max(d2, dp(0, j - 1))
+            if j == 0:
+                return max(d2, dp(i - 1, 0))
+            return max(d2, min(dp(i - 1, j), dp(i, j - 1), dp(i - 1, j - 1)))
+
+        return dp(len(a) - 1, len(b) - 1)
+
+    for (ua, ub), (n_a, n_b, d2f) in got.items():
+        a, b = by_u[ua], by_u[ub]
+        assert (n_a, n_b) == (len(a), len(b))
+        assert d2f == brute(tuple(a), tuple(b)), (ua, ub)
+
+    haus = {
+        (r.user_a, r.user_b): r.d2_hausdorff
+        for r in hausdorff_pairs(df, block_w=1000).collect()
+    }
+    for k, (_, _, d2f) in got.items():
+        assert d2f >= haus[k]
