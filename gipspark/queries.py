@@ -11303,6 +11303,194 @@ def fano_burstiness_events(spark, sf_dir):
     )
 
 
+@register(
+    "sde_directional_nations",
+    # standard deviational ellipse (ArcGIS "Directional Distribution")
+    # per nation, kept exact: centered second moments as n²-scaled
+    # bigints (n·Σx² − (Σx)² never divides), orientation reported as
+    # the exact rational tan(2θ) = 2·Sxy / (Sxx − Syy) instead of an
+    # atan2 double (libm parity risk avoided by design).
+    f"""
+WITH pts AS (
+  SELECT c_nationkey AS g,
+         (cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS x,
+         (cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS y
+  FROM customer
+)
+SELECT g AS nationkey,
+       cast(count(*) as bigint) AS n_pts,
+       cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+       cast(count(*) * sum(cast(x as hugeint) * cast(x as hugeint))
+            - cast(sum(x) as hugeint) * cast(sum(x) as hugeint) as double) AS sxx_sc,
+       cast(count(*) * sum(cast(y as hugeint) * cast(y as hugeint))
+            - cast(sum(y) as hugeint) * cast(sum(y) as hugeint) as double) AS syy_sc,
+       cast(count(*) * sum(cast(x as hugeint) * cast(y as hugeint))
+            - cast(sum(x) as hugeint) * cast(sum(y) as hugeint) as double) AS sxy_sc,
+       cast(2 * (count(*) * sum(cast(x as hugeint) * cast(y as hugeint))
+                 - cast(sum(x) as hugeint) * cast(sum(y) as hugeint)) as double)
+         / cast(count(*) * sum(cast(x as hugeint) * cast(x as hugeint))
+                - cast(sum(x) as hugeint) * cast(sum(x) as hugeint)
+                - (count(*) * sum(cast(y as hugeint) * cast(y as hugeint))
+                   - cast(sum(y) as hugeint) * cast(sum(y) as hugeint)) as double) AS tan_2theta
+FROM pts GROUP BY g
+""",
+)
+def sde_directional_nations(spark, sf_dir):
+    """Standard deviational ellipse (directional distribution) per
+    nation — the classic GIS dispersion summary: where the cloud
+    centers, how it spreads, and along WHICH axis. Everything stays
+    exact: centered moments are carried n²-scaled (n·Σx² − (Σx)², no
+    division, DECIMAL(38,0)/HUGEINT against wrap) and the orientation
+    is reported as the exact rational tan(2θ) = 2·Sxy/(Sxx−Syy) rather
+    than an atan2 double — the same no-libm discipline as the flow-rose
+    and turn-angle operators. One hash-agg over the big table; output
+    is group-cardinality."""
+    dec = "decimal(38,0)"
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("g"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("x"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("y"),
+    )
+    n = F.count("*").cast(dec)
+    sx, sy = F.sum("x").cast(dec), F.sum("y").cast(dec)
+    sxx = F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec)
+    syy = F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).cast(dec)
+    sxy = F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec)
+    sxx_sc = (n * sxx - sx * sx).cast("double")
+    syy_sc = (n * syy - sy * sy).cast("double")
+    sxy_sc = (n * sxy - sx * sy).cast("double")
+    return pts.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_pts"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        sxx_sc.alias("sxx_sc"),
+        syy_sc.alias("syy_sc"),
+        sxy_sc.alias("sxy_sc"),
+        (
+            (F.lit(2).cast(dec) * (n * sxy - sx * sy)).cast("double")
+            / ((n * sxx - sx * sx) - (n * syy - sy * sy)).cast("double")
+        ).alias("tan_2theta"),
+    ).select("g", "n_pts", "sx", "sy", "sxx_sc", "syy_sc", "sxy_sc", "tan_2theta").withColumnRenamed("g", "nationkey")
+
+
+@register(
+    "median_center_nations",
+    # L1 median center per nation: the exact per-axis lower median
+    # (rank ⌊(n+1)/2⌋ with deterministic id ties) — the Manhattan
+    # minimizer, the robust twin of the SDE's mean center.
+    f"""
+WITH pts AS (
+  SELECT c_nationkey AS g, c_custkey AS id,
+         (cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS x,
+         (cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS y
+  FROM customer
+), rx AS (
+  SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x, id) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM pts
+), ry AS (
+  SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y, id) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM pts
+), mx AS (SELECT g, cast(x as bigint) AS med_x, cast(n as bigint) AS n_pts FROM rx WHERE rn = (n + 1) // 2),
+my AS (SELECT g, cast(y as bigint) AS med_y FROM ry WHERE rn = (n + 1) // 2)
+SELECT mx.g AS nationkey, n_pts, med_x, med_y
+FROM mx JOIN my ON my.g = mx.g
+""",
+)
+def median_center_nations(spark, sf_dir):
+    """L1 median center per nation (the Manhattan-distance minimizer,
+    robust to outliers where the SDE's mean center is not): the exact
+    per-axis lower median at rank ⌊(n+1)/2⌋ with deterministic (value,
+    id) tie-breaks — the same exact rank-select discipline as
+    robust_outliers_orders and weighted_median_lineitem, applied to
+    coordinates. One group-key shuffle feeds both axis windows."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("g"),
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("x"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("y"),
+    )
+    wg = Window.partitionBy("g")
+    rx = pts.select(
+        "g",
+        "x",
+        F.row_number().over(wg.orderBy("x", "id")).alias("rn"),
+        F.count("*").over(wg).alias("n"),
+    )
+    ry = pts.select(
+        "g",
+        "y",
+        F.row_number().over(wg.orderBy("y", "id")).alias("rn"),
+        F.count("*").over(wg).alias("n"),
+    )
+    mx = rx.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        "g", F.col("x").cast("long").alias("med_x"), F.col("n").cast("long").alias("n_pts")
+    )
+    my = ry.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        "g", F.col("y").cast("long").alias("med_y")
+    )
+    return mx.join(my, "g").select(F.col("g").alias("nationkey"), "n_pts", "med_x", "med_y")
+
+
+_QUADRAT_DEG = 15.0
+_QUADRAT_N = int((360 / _QUADRAT_DEG) * (180 / _QUADRAT_DEG))  # fixed world frame
+
+
+@register(
+    "quadrat_vmr_customers",
+    # quadrat analysis over the FIXED world frame of 15° quadrats:
+    # empty quadrats count (they carry the dispersion signal), but are
+    # never materialized — their contribution to the moments is pure
+    # arithmetic (zeros add nothing to S and Σx²; only N_q changes).
+    # VMR and the chi-square index are exact rationals over bigints.
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon FROM customer
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_QUADRAT_DEG}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_QUADRAT_DEG}) as int) AS gy,
+         cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy
+)
+SELECT cast({_QUADRAT_N} as bigint) AS n_quadrats,
+       cast(count(*) as bigint) AS n_occupied,
+       cast(sum(x) as bigint) AS n_points,
+       cast(sum(cast(x as hugeint) * cast(x as hugeint)) as bigint) AS sumsq,
+       cast({_QUADRAT_N} * sum(cast(x as hugeint) * cast(x as hugeint))
+            - cast(sum(x) as hugeint) * cast(sum(x) as hugeint) as double)
+         / cast(({_QUADRAT_N} - 1) * cast(sum(x) as hugeint) as double) AS vmr
+FROM c
+""",
+)
+def quadrat_vmr_customers(spark, sf_dir):
+    """Quadrat analysis (variance-to-mean ratio of quadrat counts) over
+    the fixed world frame of 15° quadrats — the third classic
+    point-pattern test beside Clark–Evans (NN-distance) and Ripley's K
+    (multi-scale): VMR > 1 clustered, ≈ 1 CSR, < 1 dispersed. Empty
+    quadrats matter and are counted WITHOUT being materialized: zeros
+    contribute nothing to Σx or Σx², so the fixed frame size enters the
+    moments as a literal — no calendar-style dense grid ever exists.
+    VMR = (N_q·Σx² − S²)/((N_q−1)·S) is one exact rational with
+    HUGEINT/DECIMAL moments; one cell hash-agg over the big table."""
+    dec = "decimal(38,0)"
+    pts = _cust_pts(spark, sf_dir)
+    c = pts.groupBy(
+        F.floor((F.col("lon") + 180.0) / F.lit(_QUADRAT_DEG)).cast("int").alias("gx"),
+        F.floor((90.0 - F.col("lat")) / F.lit(_QUADRAT_DEG)).cast("int").alias("gy"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    nq = F.lit(_QUADRAT_N).cast(dec)
+    s = F.sum("x").cast(dec)
+    sq = F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec)
+    return c.agg(
+        F.lit(_QUADRAT_N).cast("long").alias("n_quadrats"),
+        F.count("*").cast("long").alias("n_occupied"),
+        F.sum("x").cast("long").alias("n_points"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast("long").alias("sumsq"),
+        ((nq * sq - s * s).cast("double") / ((nq - 1) * s).cast("double")).alias("vmr"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
