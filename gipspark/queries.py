@@ -11491,6 +11491,235 @@ def quadrat_vmr_customers(spark, sf_dir):
     )
 
 
+@register(
+    "fk_integrity_audit",
+    # referential-integrity audit across the star schema: per declared
+    # FK edge, child row count and orphan count (children whose parent
+    # key is missing) — each edge one left-anti-shaped aggregate.
+    """
+SELECT 'orders->customer' AS fk_edge,
+       (SELECT cast(count(*) as bigint) FROM orders) AS n_child,
+       (SELECT cast(count(*) as bigint) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT cast(count(*) as bigint) FROM lineitem),
+       (SELECT cast(count(*) as bigint) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT cast(count(*) as bigint) FROM lineitem),
+       (SELECT cast(count(*) as bigint) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT cast(count(*) as bigint) FROM customer),
+       (SELECT cast(count(*) as bigint) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+""",
+)
+def fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit over the star schema — the data-
+    quality gate a warehouse runs after every load: for each declared
+    FK edge, how many child rows point at a missing parent. Each edge
+    is a left-anti join counted (broadcast when the parent is a dim),
+    so the audit costs one scan per child table and never materializes
+    the orphans themselves.
+
+    Scale shape: anti joins inherit the usual broadcast/shuffle choice;
+    counts are map-side-combinable; output is one row per edge."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    n = load(spark, sf_dir, "nation")
+
+    def edge(name, child, parent, ck, pk):
+        orphans = child.join(
+            F.broadcast(parent.select(F.col(pk).alias("__pk"))),
+            child[ck] == F.col("__pk"),
+            "left_anti",
+        )
+        return (
+            child.agg(F.count("*").cast("long").alias("n_child"))
+            .withColumn("fk_edge", F.lit(name))
+            .withColumn("__k", F.lit(1))
+            .join(
+                F.broadcast(
+                    orphans.agg(F.count("*").cast("long").alias("n_orphans")).withColumn(
+                        "__k", F.lit(1)
+                    )
+                ),
+                "__k",
+            )
+            .select("fk_edge", "n_child", "n_orphans")
+        )
+
+    return (
+        edge("orders->customer", o, c, "o_custkey", "c_custkey")
+        .unionByName(edge("lineitem->orders", li, o, "l_orderkey", "o_orderkey"))
+        .unionByName(edge("lineitem->part", li, p, "l_partkey", "p_partkey"))
+        .unionByName(edge("customer->nation", c, n, "c_nationkey", "n_nationkey"))
+    )
+
+
+@register(
+    "table_fingerprint_diff",
+    # order-independent table fingerprints: additive md5 checksum per
+    # snapshot in DECIMAL(38,0)/HUGEINT (sums commute, so the
+    # fingerprint is partition-order-proof), equality iff the content
+    # digests match — the reconcile-without-moving-rows primitive.
+    f"""
+WITH snap_a AS (
+  SELECT doc_id, md5(text) AS digest FROM documents
+  WHERE {D.MD5_LONG_SQL.format(x="concat('a:', cast(doc_id as varchar))")} % 100 < 90
+), snap_b AS (
+  SELECT doc_id,
+         md5(CASE WHEN {D.MD5_LONG_SQL.format(x="concat('c:', cast(doc_id as varchar))")} % 100 < 20
+                  THEN concat(text, ' updated') ELSE text END) AS digest
+  FROM documents
+  WHERE {D.MD5_LONG_SQL.format(x="concat('b:', cast(doc_id as varchar))")} % 100 < 90
+), fa AS (
+  SELECT cast(count(*) as bigint) AS n_rows,
+         cast(sum(cast({D.MD5_LONG_SQL.format(x="concat(cast(doc_id as varchar), ':', digest)")} as hugeint)) as double) AS checksum
+  FROM snap_a
+), fb AS (
+  SELECT cast(count(*) as bigint) AS n_rows,
+         cast(sum(cast({D.MD5_LONG_SQL.format(x="concat(cast(doc_id as varchar), ':', digest)")} as hugeint)) as double) AS checksum
+  FROM snap_b
+)
+SELECT fa.n_rows AS rows_a, fb.n_rows AS rows_b,
+       fa.checksum AS checksum_a, fb.checksum AS checksum_b,
+       cast(CASE WHEN fa.n_rows = fb.n_rows AND fa.checksum = fb.checksum THEN 1 ELSE 0 END as bigint) AS identical
+FROM fa, fb
+""",
+)
+def table_fingerprint_diff(spark, sf_dir):
+    """Order-independent table fingerprints for snapshot reconciliation
+    — the 100 TB way to answer "are these two copies identical?"
+    without shipping a single row: each snapshot folds to (row count,
+    additive md5 checksum). Addition commutes, so the fingerprint is
+    identical under any partitioning; the per-row hash covers the key
+    AND the content digest, so a changed text or a dropped row flips
+    the checksum. Sums ride in DECIMAL(38,0)/HUGEINT (500 rows ×
+    ~2^60 already exceeds int64 — the chisq wrap lesson). Snapshots
+    reuse the crawl_diff fixtures; crawl_diff tells you WHICH rows
+    differ, this tells you WHETHER, at a millionth of the cost.
+
+    Scale shape: two narrow scans, each collapsing to ONE row before
+    anything moves; the final combine is a 1-row × 1-row join."""
+    d = load(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+
+    def snap(tag_keep, tag_mut=None):
+        df = d.filter(D.md5_long(F.concat(F.lit(f"{tag_keep}:"), F.col("doc_id").cast("string"))) % 100 < 90)
+        if tag_mut:
+            digest = F.md5(
+                F.when(
+                    D.md5_long(F.concat(F.lit(f"{tag_mut}:"), F.col("doc_id").cast("string"))) % 100 < 20,
+                    F.concat(F.col("text"), F.lit(" updated")),
+                ).otherwise(F.col("text"))
+            )
+        else:
+            digest = F.md5(F.col("text"))
+        rowh = D.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":"), digest))
+        return df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(rowh.cast(dec)).cast("double").alias("checksum"),
+        )
+
+    fa = snap("a")
+    fb = snap("b", "c")
+    out = (
+        fa.select(F.col("n_rows").alias("rows_a"), F.col("checksum").alias("checksum_a"))
+        .withColumn("__k", F.lit(1))
+        .join(
+            F.broadcast(
+                fb.select(
+                    F.col("n_rows").alias("rows_b"), F.col("checksum").alias("checksum_b")
+                ).withColumn("__k", F.lit(1))
+            ),
+            "__k",
+        )
+        .drop("__k")
+    )
+    return out.select(
+        "rows_a",
+        "rows_b",
+        "checksum_a",
+        "checksum_b",
+        F.when(
+            (F.col("rows_a") == F.col("rows_b")) & (F.col("checksum_a") == F.col("checksum_b")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("identical"),
+    )
+
+
+@register(
+    "url_param_mining",
+    # query-string parameter mining over the messy URL corpus: per
+    # param key, frequency / distinct values / tracking-param flag —
+    # the crawl-frontier signal for which params to strip (session ids,
+    # utm_*) vs keep (pagination) during URL canonicalization.
+    f"""
+WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+q AS (
+  SELECT doc_id,
+         split_part(split_part(url, '?', 2), '#', 1) AS qs
+  FROM raw
+), kv AS (
+  SELECT doc_id, unnest(string_split(qs, '&')) AS p FROM q WHERE qs <> ''
+), parsed AS (
+  SELECT doc_id, split_part(p, '=', 1) AS pkey, split_part(p, '=', 2) AS pval FROM kv
+)
+SELECT pkey,
+       cast(count(*) as bigint) AS n_occurrences,
+       cast(count(DISTINCT doc_id) as bigint) AS n_urls,
+       cast(count(DISTINCT pval) as bigint) AS n_values,
+       cast(CASE WHEN pkey LIKE 'utm_%' OR pkey IN ('sid', 'sessionid', 'fbclid') THEN 1 ELSE 0 END as bigint) AS is_tracking
+FROM parsed GROUP BY pkey
+""",
+)
+def url_param_mining(spark, sf_dir):
+    """Query-string parameter mining over the messy URL corpus — the
+    crawl-side analysis that decides which params URL canonicalization
+    may strip: per key, occurrences, URL coverage, value cardinality
+    (a near-unique value set means a session id; a tiny one means
+    pagination), and the static tracking-param flag. Pure codegen
+    string splits in the scan stage plus one param-key hash-agg — key
+    domain bounded by the site's parameter vocabulary, not its page
+    count."""
+    d = load(spark, sf_dir, "documents")
+    url = F.expr(_MESSY_URL_SQL.replace(" as varchar)", " as string)"))
+    q = d.select(
+        "doc_id",
+        F.split_part(F.split_part(url, F.lit("?"), F.lit(2)), F.lit("#"), F.lit(1)).alias("qs"),
+    )
+    kv = q.filter(F.col("qs") != "").select(
+        "doc_id", F.explode(F.split(F.col("qs"), "&")).alias("p")
+    )
+    parsed = kv.select(
+        "doc_id",
+        F.split_part(F.col("p"), F.lit("="), F.lit(1)).alias("pkey"),
+        F.split_part(F.col("p"), F.lit("="), F.lit(2)).alias("pval"),
+    )
+    return parsed.groupBy("pkey").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_urls"),
+        F.countDistinct("pval").cast("long").alias("n_values"),
+        F.when(
+            F.col("pkey").startswith("utm_") | F.col("pkey").isin("sid", "sessionid", "fbclid"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_tracking"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

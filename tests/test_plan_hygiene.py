@@ -49,6 +49,8 @@ CROSS_OK = {
     "mann_whitney_sources",  # 1-row corpus-total broadcast into the per-source stats
     "kappa_langid_docs",  # two 1-row aggregates (totals × chance) cross-combined
     "coverage_gaps_cells",  # 1-row global-span aggregate broadcast into the cell table
+    "fk_integrity_audit",  # per-edge 1-row child-count × 1-row orphan-count combines
+    "table_fingerprint_diff",  # two 1-row snapshot fingerprints cross-combined
 }
 
 
