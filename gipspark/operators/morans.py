@@ -654,3 +654,68 @@ def semivariogram(
             / (F.lit(2.0) * F.col("n_pairs").cast("double"))
         ).alias("gamma"),
     )
+
+
+def bivariate_moran(cells: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Bivariate Moran's I — spatial CROSS-correlation between two
+    lattice variables ("is MY density next to YOUR wealth?"):
+
+        I_xy = (n / W) · Σ_ij w_ij devx_i · devy_j
+                       / sqrt(Σ devx²) / sqrt(Σ devy²)
+
+    with the same rook offset-explode equi-join as :func:`morans_i`
+    (never a θ-join) and the same n·v − S exact-deviation trick. The
+    second variable's magnitude (e.g. money in cents) pushes deviation
+    products past int64, so num and both moments ride in DECIMAL(38,0)
+    (HUGEINT on the oracle side — the chisq wrap lesson); the index is
+    the only double, computed from the same five scalars in the same
+    textual order both engines."""
+    dec = "decimal(38,0)"
+    stats = cells.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x_col).cast("long").alias("sx"),
+        F.sum(y_col).cast("long").alias("sy"),
+    )
+    dev = cells.crossJoin(F.broadcast(stats)).select(
+        "gx",
+        "gy",
+        "n",
+        (F.col("n").cast(dec) * F.col(x_col).cast(dec) - F.col("sx").cast(dec)).alias("devx"),
+        (F.col("n").cast(dec) * F.col(y_col).cast(dec) - F.col("sy").cast(dec)).alias("devy"),
+    )
+    shifted = dev.select(
+        "gx",
+        "gy",
+        "devy",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in ROOK_OFFSETS])
+        ).alias("o"),
+    ).select(
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+        F.col("devy").alias("devy_j"),
+    )
+    pairs = dev.join(shifted, ["gx", "gy"]).select("n", "devx", "devy_j")
+    agg = pairs.agg(
+        F.first("n").alias("n_cells"),
+        F.count("*").cast("long").alias("w_links"),
+        F.sum(F.col("devx") * F.col("devy_j")).cast(dec).alias("num"),
+    )
+    mom = dev.agg(
+        F.sum(F.col("devx") * F.col("devx")).cast(dec).alias("mxx"),
+        F.sum(F.col("devy") * F.col("devy")).cast(dec).alias("myy"),
+    )
+    out = agg.crossJoin(F.broadcast(mom))
+    return out.select(
+        "n_cells",
+        "w_links",
+        F.col("num").cast("double").alias("num"),
+        F.col("mxx").cast("double").alias("mxx"),
+        F.col("myy").cast("double").alias("myy"),
+        (
+            (F.col("n_cells").cast("double") / F.col("w_links").cast("double"))
+            * F.col("num").cast("double")
+            / F.sqrt(F.col("mxx").cast("double"))
+            / F.sqrt(F.col("myy").cast("double"))
+        ).alias("moran_ixy"),
+    )

@@ -11720,6 +11720,123 @@ def url_param_mining(spark, sf_dir):
     )
 
 
+_BIV_GRID = 15.0
+
+
+@register(
+    "bivariate_moran_cells",
+    # bivariate Moran's I between customer density and account wealth
+    # on the 15° lattice; deviations n·v − S exact, num and moments in
+    # HUGEINT/DECIMAL(38,0) (money-scale products exceed int64), index
+    # the only double in the same textual order.
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon,
+         cast(round(c_acctbal * 100) as bigint) AS bal
+  FROM customer
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_BIV_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_BIV_GRID}) as int) AS gy,
+         cast(count(*) as bigint) AS x, cast(sum(bal) as bigint) AS y
+  FROM pts GROUP BY gx, gy
+), s AS (SELECT cast(count(*) as bigint) AS n, cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy FROM c),
+dev AS (
+  SELECT gx, gy, s.n,
+         cast(s.n as hugeint) * cast(x as hugeint) - cast(s.sx as hugeint) AS devx,
+         cast(s.n as hugeint) * cast(y as hugeint) - cast(s.sy as hugeint) AS devy
+  FROM c CROSS JOIN s
+), sh AS (
+  SELECT gx + o.dx AS gx, gy + o.dy AS gy, devy AS devy_j
+  FROM dev CROSS JOIN (VALUES (1,0),(-1,0),(0,1),(0,-1)) AS o(dx, dy)
+), pr AS (SELECT dev.n, dev.devx, sh.devy_j FROM dev JOIN sh USING (gx, gy)),
+agg AS (
+  SELECT cast(min(n) as bigint) AS n_cells, cast(count(*) as bigint) AS w_links,
+         sum(devx * devy_j) AS num
+  FROM pr
+), mom AS (SELECT sum(devx * devx) AS mxx, sum(devy * devy) AS myy FROM dev)
+SELECT n_cells, w_links,
+       cast(num as double) AS num, cast(mxx as double) AS mxx, cast(myy as double) AS myy,
+       (cast(n_cells as double) / cast(w_links as double)) * cast(num as double)
+         / sqrt(cast(mxx as double)) / sqrt(cast(myy as double)) AS moran_ixy
+FROM agg CROSS JOIN mom
+""",
+)
+def bivariate_moran_cells(spark, sf_dir):
+    """Bivariate Moran's I between customer DENSITY and customer
+    WEALTH on the 15° lattice — the cross-variable completion of the
+    lattice-statistics family (Moran/Geary/LISA answer "is x next to
+    x?", this answers "is x next to y?" — the spillover question).
+    operators/morans.py bivariate_moran: same rook offset-explode
+    equi-join, exact n·v − S deviations, money-scale products in
+    DECIMAL(38,0)/HUGEINT, the index the only double."""
+    from gipspark.operators.morans import bivariate_moran
+
+    pts = load(spark, sf_dir, "customer").select(
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    cells = pts.groupBy(
+        F.floor((F.col("lon") + 180.0) / F.lit(_BIV_GRID)).cast("int").alias("gx"),
+        F.floor((90.0 - F.col("lat")) / F.lit(_BIV_GRID)).cast("int").alias("gy"),
+    ).agg(F.count("*").cast("long").alias("x"), F.sum("bal").cast("long").alias("y"))
+    return bivariate_moran(cells)
+
+
+@register(
+    "q9_product_profit",
+    # TPC-H Q9 shape (no partsupp table in the driver set: supply cost
+    # is synthesized as retail price × quantity, same join tree):
+    # profit per supplier nation per order year, all in exact 1e-4
+    # ticks until the final /10000.0.
+    """
+SELECT n.n_name AS nation, cast(year(o.o_orderdate) as int) AS o_year,
+       cast(count(*) as bigint) AS n_items,
+       cast(sum(cast(round(l.l_extendedprice * 100) as bigint) * (100 - cast(round(l.l_discount * 100) as bigint))
+                - cast(round(p.p_retailprice * 100) as bigint) * cast(round(l.l_quantity * 100) as bigint)) as double)
+         / 10000.0 AS profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%re%'
+GROUP BY nation, o_year
+""",
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): the five-table join tree
+    with a LIKE filter on the part dim and a derived measure combining
+    columns from THREE tables (revenue from lineitem, cost from part ×
+    lineitem) — the shape that exercises join reordering plus
+    multi-table expression evaluation. Profit stays in exact 1e-4
+    ticks (cents × percent) until one final division; the part LIKE
+    filter prunes inside the broadcast dim before any fact shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%re%"))
+    n = load(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    cost = F.round(F.col("p_retailprice") * 100).cast("bigint") * F.round(
+        F.col("l_quantity") * 100
+    ).cast("bigint")
+    j = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.count("*").cast("long").alias("n_items"),
+        (F.sum(rev - cost).cast("double") / 10000.0).alias("profit"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

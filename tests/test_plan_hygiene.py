@@ -51,6 +51,7 @@ CROSS_OK = {
     "coverage_gaps_cells",  # 1-row global-span aggregate broadcast into the cell table
     "fk_integrity_audit",  # per-edge 1-row child-count × 1-row orphan-count combines
     "table_fingerprint_diff",  # two 1-row snapshot fingerprints cross-combined
+    "bivariate_moran_cells",  # 1-row moment broadcasts into the lattice (morans sibling)
 }
 
 
