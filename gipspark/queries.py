@@ -11837,6 +11837,259 @@ def q9_product_profit(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch: bivariate cross-K, Spearman rank correlation, assortativity
+# ---------------------------------------------------------------------------
+
+
+_XK_R = [1000, 2000, 4000]
+_XK_AREA = 120000.0 * 360000.0  # milli-degree tick plane of the derived coords
+
+
+@register(
+    "cross_k_events",
+    # oracle is the bounded brute force (each type is ~2k rows at the
+    # oracle SF); the engine side shares ONE 3x3 cell-offset join
+    # across all radii and never plans the all-pairs theta-join
+    f"""
+WITH a AS (
+  SELECT (cast(event_id as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la,
+         (cast(event_id as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo
+  FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT (cast(event_id as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 AS la,
+         (cast(event_id as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 AS lo
+  FROM events WHERE event_type = 'purchase'
+), st AS (
+  SELECT (SELECT cast(count(*) as bigint) FROM a) AS n_a,
+         (SELECT cast(count(*) as bigint) FROM b) AS n_b
+), d AS (
+  SELECT (a.la - b.la) * (a.la - b.la) + (a.lo - b.lo) * (a.lo - b.lo) AS d2
+  FROM a, b
+), agg AS (
+  SELECT {', '.join(f"cast(sum(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END) as bigint) AS n_{r}" for r in _XK_R)}
+  FROM d
+), bands AS (
+  {' UNION ALL '.join(f"SELECT cast({r} as bigint) AS r_mdeg, n_{r} AS n_pairs FROM agg" for r in _XK_R)}
+)
+SELECT b.r_mdeg, b.n_pairs,
+       {_XK_AREA!r} * cast(b.n_pairs as double)
+         / (cast(st.n_a as double) * cast(st.n_b as double)) AS k_ab
+FROM bands b, st
+""",
+)
+def cross_k_events(spark, sf_dir):
+    """Bivariate (cross-type) Ripley's K between click and purchase
+    events at three radii: do purchases cluster around clicks beyond
+    what independent CSR placement predicts? Engine side reuses the
+    ripleys_k machinery (operators/morans.py cross_k): the A side
+    buckets into max(r)-wide cells, the B side offset-explodes its 3x3
+    neighborhood, one equi-join on the cell key feeds ALL radii as
+    conditional sums in a single aggregate. Distances are exact integer
+    milli-degree ticks; K-hat is the only double. The oracle is the
+    bounded brute force over the two type slices."""
+    from gipspark.operators.morans import cross_k
+
+    ev = load(spark, sf_dir, "events")
+
+    def pts(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select(
+            ((F.col("event_id").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)).alias("la"),
+            ((F.col("event_id").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)).alias("lo"),
+        )
+
+    return cross_k(pts("click"), pts("purchase"), _XK_R, _XK_AREA)
+
+
+@register(
+    "spearman_tokens_chars",
+    f"""
+WITH m AS (
+  SELECT source, cast(n_chars as bigint) AS x,
+         cast({T.TOKEN_COUNT_SQL.format(t='text')} as bigint) AS y
+  FROM documents
+), rk AS (
+  SELECT source,
+         2 * rank() OVER (PARTITION BY source ORDER BY x)
+           + count(*) OVER (PARTITION BY source, x) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY source ORDER BY y)
+           + count(*) OVER (PARTITION BY source, y) - 1 AS ry
+  FROM m
+), st AS (
+  SELECT source,
+         cast(count(*) as DECIMAL(38,0)) AS n,
+         cast(sum(rx) as DECIMAL(38,0)) AS sx,
+         cast(sum(ry) as DECIMAL(38,0)) AS sy,
+         cast(sum(cast(rx as DECIMAL(38,0)) * rx) as DECIMAL(38,0)) AS sxx,
+         cast(sum(cast(ry as DECIMAL(38,0)) * ry) as DECIMAL(38,0)) AS syy,
+         cast(sum(cast(rx as DECIMAL(38,0)) * ry) as DECIMAL(38,0)) AS sxy
+  FROM rk GROUP BY source
+)
+SELECT source,
+       cast(n as bigint) AS n_docs,
+       cast(n * sxy - sx * sy as double) AS num,
+       cast(n * sxx - sx * sx as double) AS vx,
+       cast(n * syy - sy * sy as double) AS vy,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+            ELSE cast(n * sxy - sx * sy as double)
+                 / sqrt(cast(n * sxx - sx * sx as double))
+                 / sqrt(cast(n * syy - sy * sy as double)) END AS rho
+FROM st ORDER BY source
+""",
+)
+def spearman_tokens_chars(spark, sf_dir):
+    """Per-source Spearman rank correlation between document length
+    (n_chars) and whitespace token count — the monotone-association
+    screen a curation pipeline runs before trusting one as a proxy for
+    the other. Ties use the standard average-rank convention kept
+    EXACT as integers: 2*avg_rank = 2*min_rank + tie_count - 1 (rank()
+    is the min rank of a tie group in both engines), so the Pearson
+    sufficient statistics over doubled ranks are exact DECIMAL(38,0)
+    (the chisq overflow lesson: 2*avg_rank is ~2n and its squared sums
+    pass int64 near 1e9 docs/source). rho is the only double, computed
+    from the exact moments in the same textual order as the oracle.
+    Scale shape: two window ranks partitioned by source + one hash
+    agg — no self-join, no driver collect."""
+    dec = "decimal(38,0)"
+    docs = load(spark, sf_dir, "documents")
+    m = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        T.token_count(F.col("text")).cast("long").alias("y"),
+    )
+    wx = Window.partitionBy("source").orderBy("x")
+    wxt = Window.partitionBy("source", "x")
+    wy = Window.partitionBy("source").orderBy("y")
+    wyt = Window.partitionBy("source", "y")
+    rk = m.select(
+        "source",
+        (F.lit(2) * F.rank().over(wx) + F.count("*").over(wxt) - F.lit(1)).alias("rx"),
+        (F.lit(2) * F.rank().over(wy) + F.count("*").over(wyt) - F.lit(1)).alias("ry"),
+    )
+    st = rk.groupBy("source").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("rx").cast(dec).alias("sx"),
+        F.sum("ry").cast(dec).alias("sy"),
+        F.sum(F.col("rx").cast(dec) * F.col("rx")).cast(dec).alias("sxx"),
+        F.sum(F.col("ry").cast(dec) * F.col("ry")).cast(dec).alias("syy"),
+        F.sum(F.col("rx").cast(dec) * F.col("ry")).cast(dec).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return st.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        num.cast("double").alias("num"),
+        vx.cast("double").alias("vx"),
+        vy.cast("double").alias("vy"),
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            num.cast("double") / F.sqrt(vx.cast("double")) / F.sqrt(vy.cast("double"))
+        )
+        .alias("rho"),
+    ).orderBy("source")
+
+
+@register(
+    "assortativity_links",
+    f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+indeg AS (SELECT dst AS id, cast(count(*) as bigint) AS ind FROM edges GROUP BY dst),
+deg AS (SELECT n.id, 3 + coalesce(ind, 0) AS d FROM nodes n LEFT JOIN indeg ON n.id = indeg.id),
+ed AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM edges e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id
+),
+st AS (
+  SELECT cast(count(*) as DECIMAL(38,0)) AS m,
+         cast(sum(x) as DECIMAL(38,0)) AS sx,
+         cast(sum(y) as DECIMAL(38,0)) AS sy,
+         cast(sum(cast(x as DECIMAL(38,0)) * x) as DECIMAL(38,0)) AS sxx,
+         cast(sum(cast(y as DECIMAL(38,0)) * y) as DECIMAL(38,0)) AS syy,
+         cast(sum(cast(x as DECIMAL(38,0)) * y) as DECIMAL(38,0)) AS sxy
+  FROM ed
+)
+SELECT cast(m as bigint) AS n_edges,
+       cast(m * sxy - sx * sy as double) AS num,
+       cast(m * sxx - sx * sx as double) AS vx,
+       cast(m * syy - sy * sy as double) AS vy,
+       CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 THEN 0.0
+            ELSE cast(m * sxy - sx * sy as double)
+                 / sqrt(cast(m * sxx - sx * sx as double))
+                 / sqrt(cast(m * syy - sy * sy as double)) END AS r
+FROM st
+""",
+)
+def assortativity_links(spark, sf_dir):
+    """Degree assortativity of the doc link graph (the md5-derived
+    3-out-edge fixture shared with pagerank_doc_links): the Pearson
+    correlation, over directed edges, between the total degree of the
+    source and of the destination. Positive r = hubs link to hubs
+    (assortative web core), negative = hub-and-spoke. Scale shape: one
+    hash agg for in-degree, two hash equi-joins of the edge table
+    against the node-sized degree table (NOT broadcast — deg is
+    node-sized; AQE picks the strategy), then a single-row aggregate of
+    exact DECIMAL(38,0) moments (x,y are small ints but their squared
+    sums pass int64 near 1e12 edges — the chisq overflow lesson). r is
+    the only double, identical textual order in both engines."""
+    dec = "decimal(38,0)"
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(
+                        F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))
+                    )
+                    % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    indeg = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").cast("long").alias("ind")
+    )
+    deg = nodes.join(indeg, "id", "left").select(
+        "id", (F.lit(3) + F.coalesce(F.col("ind"), F.lit(0))).alias("dg")
+    )
+    ed = (
+        edges.join(deg.select(F.col("id").alias("src"), F.col("dg").alias("x")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("dg").alias("y")), "dst")
+        .select("x", "y")
+    )
+    st = ed.agg(
+        F.count("*").cast(dec).alias("m"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return st.select(
+        F.col("m").cast("long").alias("n_edges"),
+        num.cast("double").alias("num"),
+        vx.cast("double").alias("vx"),
+        vy.cast("double").alias("vy"),
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            num.cast("double") / F.sqrt(vx.cast("double")) / F.sqrt(vy.cast("double"))
+        )
+        .alias("r"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

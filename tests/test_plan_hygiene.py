@@ -52,6 +52,7 @@ CROSS_OK = {
     "fk_integrity_audit",  # per-edge 1-row child-count × 1-row orphan-count combines
     "table_fingerprint_diff",  # two 1-row snapshot fingerprints cross-combined
     "bivariate_moran_cells",  # 1-row moment broadcasts into the lattice (morans sibling)
+    "cross_k_events",  # 1-row count aggregates broadcast into the radius bands (ripleys sibling)
 }
 
 
