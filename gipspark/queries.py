@@ -12090,6 +12090,128 @@ def assortativity_links(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch: vocabulary Jaccard matrix + Voronoi supplier catchments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_jaccard_sources",
+    """
+WITH v AS (
+  SELECT DISTINCT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), sz AS (
+  SELECT source, cast(count(*) as bigint) AS nv FROM v GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, cast(count(*) as bigint) AS n_inter
+  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, i.n_inter,
+       sa.nv AS n_a, sb.nv AS n_b,
+       cast(i.n_inter as double)
+         / cast(sa.nv + sb.nv - i.n_inter as double) AS jaccard
+FROM inter i JOIN sz sa ON i.src_a = sa.source JOIN sz sb ON i.src_b = sb.source
+ORDER BY src_a, src_b
+""",
+)
+def vocab_jaccard_sources(spark, sf_dir):
+    """Pairwise vocabulary Jaccard similarity between sources — the
+    corpus-similarity matrix a mixture designer reads before weighting
+    sources (near-identical vocabularies add less diversity than their
+    token count suggests). Scale shape: the corpus collapses to the
+    DISTINCT (source, term) table in one hash agg (map-side
+    combinable), then a self equi-join on term; a term shared by every
+    source emits at most |sources|² pairs, so hot terms are bounded by
+    the SOURCE count, not the corpus — the same occupancy argument as
+    the LSH band join. Set sizes join back via a broadcast (sz is
+    source-dim). Exact bigint counts; jaccard the only double."""
+    docs = load(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    sz = v.groupBy("source").agg(F.count("*").cast("long").alias("nv"))
+    a = v.select(F.col("source").alias("src_a"), "term")
+    b = v.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, ["term"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("nv").alias("n_a"))), "src_a")
+        .join(F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("nv").alias("n_b"))), "src_b")
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    ).orderBy("src_a", "src_b")
+
+
+@register(
+    "catchment_counts_suppliers",
+    f"""
+WITH q AS (SELECT c_custkey AS q_id,
+                  {C.DERIVED_LAT_SQL.format(k='c_custkey')} AS q_lat,
+                  {C.DERIVED_LON_SQL.format(k='c_custkey')} AS q_lon FROM customer),
+p AS (SELECT s_suppkey AS p_id,
+             {C.DERIVED_LAT_SQL.format(k='s_suppkey * 31 + 7')} AS p_lat,
+             {C.DERIVED_LON_SQL.format(k='s_suppkey * 31 + 7')} AS p_lon FROM supplier),
+d AS (SELECT q_id, p_id,
+             {HAVERSINE_SQL.format(lat1='q_lat', lon1='q_lon', lat2='p_lat', lon2='p_lon')} AS dist_m
+      FROM q CROSS JOIN p),
+r AS (SELECT q_id, p_id, dist_m,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist_m ASC, p_id ASC) AS rn
+      FROM d)
+SELECT p_id AS s_suppkey,
+       cast(count(*) as bigint) AS n_customers,
+       cast(round(max(dist_m), 0) as double) AS max_dist0
+FROM r WHERE rn = 1 GROUP BY p_id ORDER BY s_suppkey
+""",
+)
+def catchment_counts_suppliers(spark, sf_dir):
+    """Voronoi catchment analysis: assign every customer to its NEAREST
+    supplier (k=1 kNN with the deterministic dist-then-id tie-break)
+    and report each supplier's catchment population and radius — the
+    facility-coverage question (store catchments, cell-tower load)
+    behind most siting studies. Engine side is knn_join's k-ring
+    lattice walk (operators/knn.py): customers never cross-join the
+    supplier table; candidates come from expanding cell disks, exact by
+    the k-ring guarantee. The oracle is the bounded brute force. One
+    hash agg on the winning supplier follows; haversine is shared
+    textually by both engines."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("q_id"),
+        C.derived_lat(F.col("c_custkey")).alias("q_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("q_lon"),
+    )
+    sk = F.col("s_suppkey") * 31 + 7
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("p_id"),
+        C.derived_lat(sk).alias("p_lat"),
+        C.derived_lon(sk).alias("p_lon"),
+    )
+    nn = knn_join(cust, sup, k=1, n_points_hint=table_rows(sf_dir, "supplier"))
+    return (
+        nn.groupBy(F.col("p_id").alias("s_suppkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.max("dist_m"), 0).cast("double").alias("max_dist0"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -53,6 +53,7 @@ CROSS_OK = {
     "table_fingerprint_diff",  # two 1-row snapshot fingerprints cross-combined
     "bivariate_moran_cells",  # 1-row moment broadcasts into the lattice (morans sibling)
     "cross_k_events",  # 1-row count aggregates broadcast into the radius bands (ripleys sibling)
+    "catchment_counts_suppliers",  # knn_join straggler fallback branch plans a bounded NL join
 }
 
 
