@@ -65,3 +65,32 @@ def khop_cheapest(
             f"khop_cheapest did not converge within max_rounds={max_rounds}"
         )
     return dist
+
+
+def multi_source_hops(
+    seeds: DataFrame,
+    edges: DataFrame,
+    k: int,
+) -> DataFrame:
+    """(node, hops) of the minimum hop count ≤ ``k`` from ANY seed node
+    over unit-weight ``edges`` (src, dst) — the multi-source BFS behind
+    isochrones / service areas (how many grid steps from the nearest
+    facility?). Same k-round relax shape as khop_cheapest above, but
+    the frontier starts as the whole seed set (one DataFrame, never a
+    per-seed loop) so all sources expand in the same k joins; the
+    min-agg collapses overlapping wavefronts each round. At 100 TB the
+    per-round shuffle is bounded by the reached-node set, and k is a
+    small constant — no convergence loop needed for the isochrone use."""
+    dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().select(
+        "node", F.lit(0).cast("long").alias("hops")
+    )
+    for _ in range(k):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("hops") + F.lit(1)).alias("hops")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist

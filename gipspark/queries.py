@@ -12212,6 +12212,164 @@ def catchment_counts_suppliers(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch: grid isochrone (multi-source BFS) + Heaps vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+_ISO_CELL = 2500  # ticks (2.5 deg) — gridcluster's guarded cell size
+_ISO_K = 4
+_ISO_OFF = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+
+
+@register(
+    "isochrone_hops_cells",
+    f"""
+WITH RECURSIVE occ AS (
+  SELECT DISTINCT
+    cast(floor(cast((cast(event_id as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - 60000 as double) / {_ISO_CELL}.0) as bigint) AS gx,
+    cast(floor(cast((cast(event_id as bigint) * {C.LON_MUL}) % {C.LON_MOD} - 180000 as double) / {_ISO_CELL}.0) as bigint) AS gy
+  FROM events
+), occn AS (
+  SELECT (gx + 100) * 1000 + (gy + 100) AS node, gx, gy FROM occ
+), sup AS (
+  SELECT DISTINCT
+    cast(floor(cast((cast(s_suppkey as bigint) * 31 + 7) * {C.LAT_MUL} % {C.LAT_MOD} - 60000 as double) / {_ISO_CELL}.0) as bigint) AS gx,
+    cast(floor(cast((cast(s_suppkey as bigint) * 31 + 7) * {C.LON_MUL} % {C.LON_MOD} - 180000 as double) / {_ISO_CELL}.0) as bigint) AS gy
+  FROM supplier
+), seeds AS (
+  SELECT o.node FROM occn o JOIN sup s ON o.gx = s.gx AND o.gy = s.gy
+), edges AS (
+  SELECT o.node AS src, n.node AS dst
+  FROM occn o
+  JOIN (VALUES {', '.join(f'({dx}, {dy})' for dx, dy in _ISO_OFF)}) AS t(dx, dy) ON true
+  JOIN occn n ON n.gx = o.gx + t.dx AND n.gy = o.gy + t.dy
+), bfs AS (
+  SELECT node, cast(0 as bigint) AS hops FROM seeds
+  UNION ALL
+  SELECT e.dst, b.hops + 1 FROM bfs b JOIN edges e ON b.node = e.src WHERE b.hops < {_ISO_K}
+)
+SELECT node, cast(min(hops) as bigint) AS hops FROM bfs GROUP BY node ORDER BY node
+""",
+)
+def isochrone_hops_cells(spark, sf_dir):
+    """Grid isochrone / service area: minimum number of 8-adjacent
+    occupied-cell steps (≤ {_ISO_K}) from the nearest supplier-occupied
+    cell, over the cells the event cloud actually occupies — the
+    drive-time-band question asked of facility networks, on the lattice
+    instead of a road graph. Engine side: events collapse to distinct
+    cells in one hash agg; the adjacency edge table is an 8-offset
+    explode + equi-join over OCCUPIED cells only (orders of magnitude
+    smaller than the points); multi-source BFS runs k min-agg relax
+    rounds with every seed in one frontier
+    (operators/shortestpath.py multi_source_hops). The oracle replays
+    the same lattice as a bounded recursive CTE. Exact integers end to
+    end; cell key (gx+100)*1000+(gy+100) is stride-safe at 2.5°
+    (gridcluster's guard)."""
+    ev = load(spark, sf_dir, "events")
+    la = (F.col("event_id").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)
+    lo = (F.col("event_id").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)
+    occ = ev.select(
+        F.floor(la.cast("double") / F.lit(float(_ISO_CELL))).cast("long").alias("gx"),
+        F.floor(lo.cast("double") / F.lit(float(_ISO_CELL))).cast("long").alias("gy"),
+    ).distinct()
+    node = ((F.col("gx") + 100) * 1000 + (F.col("gy") + 100)).alias("node")
+    occn = occ.select(node, "gx", "gy")
+
+    sk = F.col("s_suppkey").cast("long") * 31 + 7
+    sla = (sk * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD) - F.lit(60000)
+    slo = (sk * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD) - F.lit(180000)
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .select(
+            F.floor(sla.cast("double") / F.lit(float(_ISO_CELL))).cast("long").alias("gx"),
+            F.floor(slo.cast("double") / F.lit(float(_ISO_CELL))).cast("long").alias("gy"),
+        )
+        .distinct()
+    )
+    seeds = occn.join(sup, ["gx", "gy"]).select("node")
+
+    offs = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in _ISO_OFF])
+    ).alias("o")
+    nbr = occn.select("node", "gx", "gy", offs).select(
+        F.col("node").alias("src"),
+        (F.col("gx") + F.col("o.dx")).alias("gx"),
+        (F.col("gy") + F.col("o.dy")).alias("gy"),
+    )
+    edges = nbr.join(occn.select(F.col("node").alias("dst"), "gx", "gy"), ["gx", "gy"]).select(
+        "src", "dst"
+    )
+
+    from gipspark.operators.shortestpath import multi_source_hops
+
+    return multi_source_hops(seeds, edges, _ISO_K).orderBy("node")
+
+
+@register(
+    "vocab_growth_curve",
+    f"""
+WITH firstocc AS (
+  SELECT term, min(doc_id) AS md
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+        FROM documents)
+  GROUP BY term
+), b AS (
+  SELECT (md * 10) // (SELECT count(*) FROM documents) + 1 AS decile FROM firstocc
+), per AS (
+  SELECT decile, cast(count(*) as bigint) AS new_terms FROM b GROUP BY decile
+), spine AS (
+  SELECT cast(d as bigint) AS decile
+  FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) AS t(d)
+), filled AS (
+  SELECT s.decile, coalesce(p.new_terms, 0) AS new_terms
+  FROM spine s LEFT JOIN per p ON s.decile = p.decile
+)
+SELECT cast(decile as bigint) AS decile,
+       cast((decile * (SELECT count(*) FROM documents)) // 10 as bigint) AS n_docs_k,
+       cast(new_terms as bigint) AS new_terms,
+       cast(sum(new_terms) OVER (ORDER BY decile) as bigint) AS vocab
+FROM filled ORDER BY decile
+""",
+)
+def vocab_growth_curve(spark, sf_dir):
+    """Heaps-law vocabulary growth curve: distinct-vocabulary size at
+    each corpus decile (docs ordered by their contiguous synthetic
+    doc_id) — the tokenizer-budget question (how fast does new
+    vocabulary appear as the crawl grows?). Scale shape: ONE hash agg
+    maps every term to its first-occurrence doc (map-side combinable,
+    shuffle ∝ vocabulary, not corpus); deciles are exact integer
+    division on that dim-sized table; the cumulative sum runs over ≤10
+    rows. No global sort of the corpus, no per-checkpoint rescan.
+    Exact integers end to end."""
+    n = table_rows(sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents")
+    first = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("md"))
+    )
+    per = (
+        first.select((F.expr(f"md * 10 DIV {n}") + F.lit(1)).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("new_terms"))
+    )
+    # gapfill to all 10 deciles: a decile contributing no NEW terms is
+    # itself the signal (the vocabulary saturated) and must appear
+    spine = spark.range(1, 11).select(F.col("id").alias("decile"))
+    filled = spine.join(per, "decile", "left").select(
+        "decile", F.coalesce(F.col("new_terms"), F.lit(0)).cast("long").alias("new_terms")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return filled.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.expr(f"CAST(decile * {n} DIV 10 AS BIGINT)").alias("n_docs_k"),
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("vocab"),
+    ).orderBy("decile")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
