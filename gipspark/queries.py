@@ -12370,6 +12370,131 @@ def vocab_growth_curve(spark, sf_dir):
     ).orderBy("decile")
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch: G-function NN-distance CDF + co-citation related pairs
+# ---------------------------------------------------------------------------
+
+
+_GFN_R_M = [100_000, 250_000, 500_000]
+
+
+@register(
+    "gfunction_customers",
+    f"""
+WITH p AS (SELECT c_custkey AS id, {_LAT.format(k='c_custkey')} AS lat,
+                  {_LON.format(k='c_custkey')} AS lon FROM customer),
+d AS (SELECT a.id,
+             cast(round(min({HAVERSINE_SQL.format(lat1='a.lat', lon1='a.lon', lat2='b.lat', lon2='b.lon')}), 0) as bigint) AS nn_m
+      FROM p a JOIN p b ON a.id <> b.id GROUP BY a.id),
+st AS (SELECT cast(count(*) as bigint) AS n,
+              {', '.join(f"cast(sum(CASE WHEN nn_m <= {r} THEN 1 ELSE 0 END) as bigint) AS n_{r}" for r in _GFN_R_M)}
+       FROM d),
+bands AS (
+  {' UNION ALL '.join(f"SELECT cast({r} as bigint) AS r_m, n_{r} AS n_within, n FROM st" for r in _GFN_R_M)}
+)
+SELECT r_m, n_within,
+       cast(n_within as double) / cast(n as double) AS g_hat
+FROM bands ORDER BY r_m
+""",
+)
+def gfunction_customers(spark, sf_dir):
+    """G-function (nearest-neighbor distance CDF) of the customer
+    cloud at three radii: Ĝ(r) = share of points whose NN lies within
+    r. Read against CSR's 1−exp(−λπr²), it separates clustering (G
+    rises early) from inhibition — the distributional complement to
+    the scalar Clark–Evans index above, sharing its exact machinery:
+    per-point NN comes from the k-ring-guaranteed kNN self-join with
+    k=2 (self is rank 1 at distance 0; derived-coordinate points are
+    never coincident), NN meters round to exact integer ticks, and all
+    radii are conditional sums in ONE single-row aggregate unpivoted to
+    bands. Ĝ is the only double. Oracle: brute min over the same
+    haversine text."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("p_id"),
+        C.derived_lat(F.col("c_custkey")).alias("p_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("p_lon"),
+    )
+    qs = pts.select(
+        F.col("p_id").alias("q_id"),
+        F.col("p_lat").alias("q_lat"),
+        F.col("p_lon").alias("q_lon"),
+    )
+    nn = (
+        knn_join(qs, pts, k=2, n_points_hint=table_rows(sf_dir, "customer"))
+        .filter(F.col("p_id") != F.col("q_id"))
+        .groupBy("q_id")
+        .agg(F.round(F.min("dist_m"), 0).cast("long").alias("nn_m"))
+    )
+    st = nn.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(F.when(F.col("nn_m") <= r, 1).otherwise(0)).cast("long").alias(f"n_{r}")
+            for r in _GFN_R_M
+        ],
+    )
+    stack_args = ", ".join(f"{r}L, n_{r}" for r in _GFN_R_M)
+    bands = st.select(
+        F.expr(f"stack({len(_GFN_R_M)}, {stack_args}) AS (r_m, n_within)"), "n"
+    )
+    return bands.select(
+        "r_m",
+        "n_within",
+        (F.col("n_within").cast("double") / F.col("n").cast("double")).alias("g_hat"),
+    ).orderBy("r_m")
+
+
+@register(
+    "cocitation_pairs_links",
+    f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+), pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b, cast(count(*) as bigint) AS n_common
+  FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT src_a, src_b, n_common
+FROM pairs ORDER BY n_common DESC, src_a, src_b LIMIT 25
+""",
+)
+def cocitation_pairs_links(spark, sf_dir):
+    """Co-citation related-page mining over the shared md5 link
+    fixture: the top document pairs that link to the most common
+    targets (Small 1973's relatedness signal; the web-graph cousin of
+    the inverted-index posting join). Scale shape: the DISTINCT edge
+    table is one hash agg; the self equi-join on dst is bounded by
+    in-degree² per target (in-degree is ~Poisson(3) under the md5 map —
+    the same per-key occupancy argument as the LSH band join); top-25
+    with the full (count desc, a, b) deterministic order. Exact
+    bigint counts only."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(
+                        F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))
+                    )
+                    % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    ).distinct()
+    a = edges.select(F.col("src").alias("src_a"), "dst")
+    b = edges.select(F.col("src").alias("src_b"), "dst")
+    pairs = (
+        a.join(b, ["dst"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return pairs.orderBy(F.desc("n_common"), "src_a", "src_b").limit(25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
