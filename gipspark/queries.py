@@ -12495,6 +12495,167 @@ def cocitation_pairs_links(spark, sf_dir):
     return pairs.orderBy(F.desc("n_common"), "src_a", "src_b").limit(25)
 
 
+# ---------------------------------------------------------------------------
+# round-3 batch: link reciprocity + directed modularity of the source partition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reciprocity_links",
+    f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+), st AS (
+  SELECT (SELECT cast(count(*) as bigint) FROM edges) AS n_edges,
+         (SELECT cast(count(*) as bigint)
+          FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src) AS n_mutual
+)
+SELECT n_edges, n_mutual,
+       cast(n_mutual as double) / cast(n_edges as double) AS reciprocity
+FROM st
+""",
+)
+def reciprocity_links(spark, sf_dir):
+    """Link reciprocity of the doc graph: the share of directed edges
+    whose reverse edge also exists (a self-loop is its own reverse and
+    counts once, identically in both engines) — the mutual-linking
+    signal separating organic cross-referencing from link farms. Scale
+    shape: DISTINCT edges in one hash agg, then ONE self equi-join on
+    the swapped (dst, src) key — per-key occupancy is the forward
+    in/out degree (~Poisson(3) under the md5 map), never quadratic.
+    Exact bigint counts; the ratio is the only double."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(
+                        F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))
+                    )
+                    % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    ).distinct()
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = edges.join(rev, ["src", "dst"]).agg(
+        F.count("*").cast("long").alias("n_mutual")
+    )
+    tot = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return tot.crossJoin(F.broadcast(mutual)).select(
+        "n_edges",
+        "n_mutual",
+        (F.col("n_mutual").cast("double") / F.col("n_edges").cast("double")).alias(
+            "reciprocity"
+        ),
+    )
+
+
+@register(
+    "modularity_by_source",
+    f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+), lab AS (SELECT doc_id AS id, source FROM documents),
+e2 AS (
+  SELECT ls.source AS src_c, ld.source AS dst_c
+  FROM edges e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id
+), m AS (SELECT cast(count(*) as bigint) AS m FROM e2),
+per AS (
+  SELECT c.source,
+         coalesce(ecc.e_cc, 0) AS e_cc,
+         coalesce(dout.d_out, 0) AS d_out,
+         coalesce(din.d_in, 0) AS d_in
+  FROM (SELECT DISTINCT source FROM documents) c
+  LEFT JOIN (SELECT src_c AS source, cast(count(*) as bigint) AS e_cc
+             FROM e2 WHERE src_c = dst_c GROUP BY src_c) ecc ON c.source = ecc.source
+  LEFT JOIN (SELECT src_c AS source, cast(count(*) as bigint) AS d_out
+             FROM e2 GROUP BY src_c) dout ON c.source = dout.source
+  LEFT JOIN (SELECT dst_c AS source, cast(count(*) as bigint) AS d_in
+             FROM e2 GROUP BY dst_c) din ON c.source = din.source
+)
+SELECT p.source,
+       cast(p.e_cc as bigint) AS e_cc,
+       cast(p.d_out as bigint) AS d_out,
+       cast(p.d_in as bigint) AS d_in,
+       cast(p.e_cc * m.m - p.d_out * p.d_in as bigint) AS q_num_c
+FROM per p, m ORDER BY p.source
+""",
+)
+def modularity_by_source(spark, sf_dir):
+    """Directed Newman modularity of the SOURCE partition over the doc
+    link graph: per community c, Q_c·m² = e_cc·m − dout_c·din_c (sum
+    over c then divide by m² for Q) — does linking stay within a
+    source (siloed crawl) or cross sources? Kept as exact bigint
+    numerators (m ≤ 3n keeps e_cc·m under int64 up to ~10^9 docs; at
+    the sf1 contract move to DECIMAL(38,0) per the chisq lesson —
+    documented, not silently wrapped). Scale shape: two node-sized
+    equi-joins label the edge endpoints (AQE strategy), then three hash
+    aggs on the SOURCE-dim key and a 1-row m broadcast. The partition
+    spine is the distinct source dim, so silent communities appear with
+    zeros."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(
+                        F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))
+                    )
+                    % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    ).distinct()
+    lab = d.select(F.col("doc_id").alias("id"), "source")
+    e2 = (
+        edges.join(lab.select(F.col("id").alias("src"), F.col("source").alias("src_c")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("source").alias("dst_c")), "dst")
+        .select("src_c", "dst_c")
+    )
+    m = e2.agg(F.count("*").cast("long").alias("m"))
+    spine = d.select("source").distinct()
+    ecc = (
+        e2.filter(F.col("src_c") == F.col("dst_c"))
+        .groupBy(F.col("src_c").alias("source"))
+        .agg(F.count("*").cast("long").alias("e_cc"))
+    )
+    dout = e2.groupBy(F.col("src_c").alias("source")).agg(
+        F.count("*").cast("long").alias("d_out")
+    )
+    din = e2.groupBy(F.col("dst_c").alias("source")).agg(
+        F.count("*").cast("long").alias("d_in")
+    )
+    per = (
+        spine.join(ecc, "source", "left")
+        .join(dout, "source", "left")
+        .join(din, "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("e_cc"), F.lit(0)).cast("long").alias("e_cc"),
+            F.coalesce(F.col("d_out"), F.lit(0)).cast("long").alias("d_out"),
+            F.coalesce(F.col("d_in"), F.lit(0)).cast("long").alias("d_in"),
+        )
+    )
+    return per.crossJoin(F.broadcast(m)).select(
+        "source",
+        "e_cc",
+        "d_out",
+        "d_in",
+        (F.col("e_cc") * F.col("m") - F.col("d_out") * F.col("d_in"))
+        .cast("long")
+        .alias("q_num_c"),
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

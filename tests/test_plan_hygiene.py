@@ -54,6 +54,8 @@ CROSS_OK = {
     "bivariate_moran_cells",  # 1-row moment broadcasts into the lattice (morans sibling)
     "cross_k_events",  # 1-row count aggregates broadcast into the radius bands (ripleys sibling)
     "catchment_counts_suppliers",  # knn_join straggler fallback branch plans a bounded NL join
+    "reciprocity_links",  # two 1-row count aggregates cross-combined (hll sibling)
+    "modularity_by_source",  # 1-row edge-total broadcast into the source spine (chisq sibling)
 }
 
 
