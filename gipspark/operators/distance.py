@@ -17,9 +17,10 @@ at sf0.1 vs ~15 µs/row for the codegen'd least-tree (BENCH.md round 2).
 Same story for explode + min(struct): as fast per-row but pays a
 map-side-combined shuffle of |points| rows that the narrow form never
 does. The unroll caps the edge count (codegen size grows linearly,
-~64 KB method limits bite near a few hundred edges) — for genuinely
-large boundary layers the bbox tile-cover prefilter (operators/bbox.py)
-bounds the per-point candidate set first.
+~64 KB method limits bite near a few hundred edges) — past UNROLL_CAP
+the *_auto dispatchers switch to the grid-indexed path at the bottom of
+this file, which handles any layer size with the SAME bit-exact result
+(tests/test_distance_grid.py).
 
 Exactness/portability: squared planar distance in degree² is computed
 with the textbook clamp-projection formula in a fixed textual operation
@@ -33,8 +34,15 @@ degrees → meters downstream; ordering is invariant.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Past this many edges the unrolled least-tree stops being the right
+# plan (expression-tree build time and codegen method limits — BENCH.md
+# finding 11); the *_auto dispatchers switch to the grid-indexed path.
+UNROLL_CAP = 256
 
 
 def _edge_rows(polygons: list[dict]) -> list[tuple[int, float, float, float, float]]:
@@ -246,3 +254,289 @@ SELECT {key}, cast(poly_id as bigint) AS nearest_poly,
        cast(round(cy * 1000000.0, 0) as bigint) AS snap_lat_ticks
 FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Grid-indexed path: nearest edge over layers too large to unroll
+# ---------------------------------------------------------------------------
+#
+# The least-tree above is the right plan for dim-sized layers (≤ a few
+# hundred edges); a real coastline/road layer is 10⁴–10⁶ edges and the
+# literal expression tree stops being buildable long before codegen
+# limits bite (VERDICT r3 "what's wrong" #1). The scale path below is
+# the same prefilter+refine shape as the PIP join, generalized from the
+# fixed 5° graticule of operators/bbox.py to an ADAPTIVE grid with a
+# nearest-neighbour guarantee:
+#
+#  level ℓ = 0, 1, 2, …: cell size g_ℓ = g₀·2^ℓ. Each edge is indexed
+#  under every level-ℓ cell its bbox INFLATED BY g_ℓ covers (driver-side
+#  over the edge dim, Arrow-shipped; broadcast when small, shuffle join
+#  otherwise). A point meets exactly the edges indexed under its cell.
+#  Guarantee: an edge NOT indexed under the point's cell has
+#  d(point, edge) > g_ℓ — the inflated-cover test is a proof of
+#  distance, so once a point's best candidate satisfies
+#  ticks < T_ℓ = int(g_ℓ²·10⁶) − 1 (one-tick safety margin for the
+#  round-half-up quantization), NO unseen edge can beat OR TIE it and
+#  the point settles with the exact argmin. Unsettled points (far from
+#  every edge) continue to the next, coarser level; the index size per
+#  level is O(edges) (coarser cells ⇒ fewer cover cells), and
+#  g_ℓ ≥ 540° indexes every edge under every cell, so the last level
+#  settles unconditionally after ~log₂(540/g₀) levels.
+#
+# Per level the plan is: narrow cell-id compute → equi join against the
+# edge index → ONE map-side-combinable min(struct) aggregate keyed by
+# the point id (the point's payload rides inside the struct, so there
+# is no join-back). The arithmetic per candidate is textually the same
+# clamp-projection + tick quantization as the least-tree, so the two
+# paths are bit-identical — tests/test_distance_grid.py asserts it.
+#
+# Requirements: ``key_col`` must be unique per point row, and point
+# payload columns must be orderable types (no maps) — they ride in a
+# trailing struct field that is only ever compared on full candidate
+# ties, which cannot occur across distinct candidates.
+
+_SENTINEL_TICKS = 1 << 62
+
+
+def _edge_arrays(polygons: list[dict]):
+    import numpy as np
+
+    rows = _edge_rows(polygons)
+    if not rows:
+        raise ValueError("nearest_edge_grid: polygon layer has no edges")
+    pid = np.asarray([r[0] for r in rows], dtype=np.int64)
+    x1 = np.asarray([r[1] for r in rows], dtype=np.float64)
+    y1 = np.asarray([r[2] for r in rows], dtype=np.float64)
+    x2 = np.asarray([r[3] for r in rows], dtype=np.float64)
+    y2 = np.asarray([r[4] for r in rows], dtype=np.float64)
+    return pid, x1, y1, x2, y2
+
+
+def _pick_cell_size(x1, y1, x2, y2, budget_rows: int) -> float:
+    """Smallest power-of-two multiple of the density-matched pitch whose
+    level-0 index fits ``budget_rows`` — deterministic, data-driven."""
+    import numpy as np
+
+    bx0, bx1 = np.minimum(x1, x2), np.maximum(x1, x2)
+    by0, by1 = np.minimum(y1, y2), np.maximum(y1, y2)
+    span = max(float(bx1.max() - bx0.min()), float(by1.max() - by0.min()), 1e-6)
+    g = span / max(1.0, math.sqrt(len(x1)))
+    # inflating a bbox by g always covers ≥ 3×3 cells, so 9 rows/edge is
+    # the floor — the budget below is kept above it by the caller; the
+    # g > 1e6 break is the can't-happen backstop (cover is ~9/edge long
+    # before that), not a correctness gate
+    while g <= 1e6:
+        nx = np.floor((bx1 + g) / g) - np.floor((bx0 - g) / g) + 1.0
+        ny = np.floor((by1 + g) / g) - np.floor((by0 - g) / g) + 1.0
+        if float((nx * ny).sum()) <= budget_rows:
+            return g
+        g *= 2.0
+    return g
+
+
+def _edge_index_pdf(pid, x1, y1, x2, y2, g: float):
+    """(cix, ciy, pid, eidx, x1, y1, x2, y2) cover rows at cell size g."""
+    import numpy as np
+    import pandas as pd
+
+    bx0, bx1 = np.minimum(x1, x2), np.maximum(x1, x2)
+    by0, by1 = np.minimum(y1, y2), np.maximum(y1, y2)
+    ix0 = np.floor((bx0 - g) / g).astype(np.int64)
+    ix1 = np.floor((bx1 + g) / g).astype(np.int64)
+    iy0 = np.floor((by0 - g) / g).astype(np.int64)
+    iy1 = np.floor((by1 + g) / g).astype(np.int64)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    per = nx * ny
+    e = np.repeat(np.arange(len(pid), dtype=np.int64), per)
+    # within-edge cover offset, vectorized (no per-edge Python loop)
+    off = np.arange(len(e), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(per)[:-1])), per
+    )
+    cix = ix0[e] + off // ny[e]
+    ciy = iy0[e] + off % ny[e]
+    return pd.DataFrame(
+        {
+            "__ne_cix": cix,
+            "__ne_ciy": ciy,
+            "__ne_pid": pid[e],
+            "__ne_eidx": e,
+            "__ne_x1": x1[e],
+            "__ne_y1": y1[e],
+            "__ne_x2": x2[e],
+            "__ne_y2": y2[e],
+        }
+    )
+
+
+def _grid_candidate_struct(px: Column, py: Column, payload: Column) -> Column:
+    """Same clamp-projection, tick quantization and (ticks, poly, edge)
+    ordering as :func:`_cand`, with edge coords as COLUMNS from the
+    index join instead of literals — identical IEEE arithmetic."""
+    x1, y1 = F.col("__ne_x1"), F.col("__ne_y1")
+    dx = F.col("__ne_x2") - x1
+    dy = F.col("__ne_y2") - y1
+    l2 = dx * dx + dy * dy
+    t = F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), ((px - x1) * dx + (py - y1) * dy) / l2)
+    )
+    cx = x1 + t * dx
+    cy = y1 + t * dy
+    d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+    return F.struct(
+        F.round(d2 * F.lit(1000000.0), 0).cast("long").alias("ticks"),
+        F.col("__ne_pid").alias("poly"),
+        F.col("__ne_eidx").alias("edge"),
+        cx.alias("slon"),
+        cy.alias("slat"),
+        payload.alias("p"),
+    )
+
+
+def _sentinel_struct(payload: Column) -> Column:
+    return F.struct(
+        F.lit(_SENTINEL_TICKS).cast("long").alias("ticks"),
+        F.lit(-1).cast("long").alias("poly"),
+        F.lit(-1).cast("long").alias("edge"),
+        F.lit(0.0).alias("slon"),
+        F.lit(0.0).alias("slat"),
+        payload.alias("p"),
+    )
+
+
+def _edge_grid_best(
+    points: DataFrame,
+    polygons: list[dict],
+    key_col: str,
+    lat_col: str,
+    lon_col: str,
+    broadcast_rows: int = 2_000_000,
+    index_budget_per_edge: float = 16.0,
+    max_levels: int = 40,
+) -> DataFrame:
+    """(key, __ne_best struct) with the exact global argmin per point."""
+    spark = points.sparkSession
+    pid, x1, y1, x2, y2 = _edge_arrays(polygons)
+    budget = max(int(index_budget_per_edge * len(pid)), 4096)
+    g = _pick_cell_size(x1, y1, x2, y2, budget)
+
+    pcols = points.columns
+    payload = F.struct(*[F.col(c) for c in pcols])
+    px, py = F.col(lon_col), F.col(lat_col)
+    pending = points.select(
+        F.col(key_col).alias("__ne_key"), px.alias("__ne_px"), py.alias("__ne_py"),
+        _sentinel_struct(payload).alias("__ne_best"),
+    )
+    settled = []
+    for level in range(max_levels):
+        idx_pdf = _edge_index_pdf(pid, x1, y1, x2, y2, g)
+        idx = spark.createDataFrame(idx_pdf)
+        if len(idx_pdf) <= broadcast_rows:
+            idx = F.broadcast(idx)
+        pts_l = pending.select(
+            "__ne_key", "__ne_px", "__ne_py", "__ne_best",
+            F.floor(F.col("__ne_px") / F.lit(g)).cast("long").alias("__ne_cix"),
+            F.floor(F.col("__ne_py") / F.lit(g)).cast("long").alias("__ne_ciy"),
+        )
+        cand = pts_l.join(idx, ["__ne_cix", "__ne_ciy"]).select(
+            "__ne_key", "__ne_px", "__ne_py",
+            _grid_candidate_struct(
+                F.col("__ne_px"), F.col("__ne_py"), F.col("__ne_best.p")
+            ).alias("__ne_c"),
+        )
+        carried = pending.select(
+            "__ne_key", "__ne_px", "__ne_py", F.col("__ne_best").alias("__ne_c")
+        )
+        merged = (
+            carried.unionByName(cand)
+            .groupBy("__ne_key")
+            .agg(
+                F.min("__ne_c").alias("__ne_best"),
+                F.first("__ne_px").alias("__ne_px"),
+                F.first("__ne_py").alias("__ne_py"),
+            )
+        )
+        if g >= 540.0:
+            # every edge is indexed under every cell: exact by exhaustion
+            settled.append(merged)
+            pending = None
+            break
+        merged = merged.localCheckpoint(eager=True)
+        threshold = int(g * g * 1e6) - 1
+        done = F.col("__ne_best.ticks") < F.lit(threshold)
+        settled.append(merged.filter(done))
+        pending = merged.filter(~done)
+        if pending.limit(1).count() == 0:
+            pending = None
+            break
+        g *= 2.0
+    if pending is not None:
+        raise RuntimeError("nearest_edge_grid: did not settle within max_levels")
+    out = settled[0]
+    for s in settled[1:]:
+        out = out.unionByName(s)
+    return out.select("__ne_best")
+
+
+def nearest_edge_grid(
+    points: DataFrame,
+    polygons: list[dict],
+    key_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Scale-path :func:`nearest_edge`: same output, any layer size."""
+    best = _edge_grid_best(points, polygons, key_col, lat_col, lon_col)
+    return best.select(
+        *[F.col(f"__ne_best.p.{c}").alias(c) for c in points.columns],
+        F.col("__ne_best.poly").alias("nearest_poly"),
+        F.col("__ne_best.ticks").alias("d2_ticks"),
+    )
+
+
+def snap_to_edge_grid(
+    points: DataFrame,
+    polygons: list[dict],
+    key_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Scale-path :func:`snap_to_edge`: same output, any layer size."""
+    best = _edge_grid_best(points, polygons, key_col, lat_col, lon_col)
+    return best.select(
+        *[F.col(f"__ne_best.p.{c}").alias(c) for c in points.columns],
+        F.col("__ne_best.poly").alias("nearest_poly"),
+        F.col("__ne_best.edge").alias("edge_idx"),
+        F.col("__ne_best.ticks").alias("d2_ticks"),
+        F.col("__ne_best.slon").alias("snap_lon"),
+        F.col("__ne_best.slat").alias("snap_lat"),
+    )
+
+
+def nearest_edge_auto(
+    points: DataFrame,
+    polygons: list[dict],
+    key_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cap: int = UNROLL_CAP,
+) -> DataFrame:
+    """Dispatch: least-tree for dim-sized layers, grid index past the
+    unroll cap — a coastline layer can no longer break the plan."""
+    if len(_edge_rows(polygons)) <= cap:
+        return nearest_edge(points, polygons, lat_col, lon_col)
+    return nearest_edge_grid(points, polygons, key_col, lat_col, lon_col)
+
+
+def snap_to_edge_auto(
+    points: DataFrame,
+    polygons: list[dict],
+    key_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cap: int = UNROLL_CAP,
+) -> DataFrame:
+    """Dispatch twin of :func:`nearest_edge_auto` for the snap family."""
+    if len(_edge_rows(polygons)) <= cap:
+        return snap_to_edge(points, polygons, lat_col, lon_col)
+    return snap_to_edge_grid(points, polygons, key_col, lat_col, lon_col)

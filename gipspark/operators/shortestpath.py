@@ -84,7 +84,7 @@ def multi_source_hops(
     dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().select(
         "node", F.lit(0).cast("long").alias("hops")
     )
-    for _ in range(k):
+    for r in range(k):
         relaxed = dist.join(edges, dist.node == edges.src).select(
             F.col("dst").alias("node"), (F.col("hops") + F.lit(1)).alias("hops")
         )
@@ -93,4 +93,9 @@ def multi_source_hops(
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
         )
+        # cut lineage every few rounds (khop_cheapest converge-mode
+        # discipline) so the plan stays flat for large-k callers; at the
+        # isochrone's k=4 this never fires and the plan is unchanged
+        if (r + 1) % 8 == 0 and r + 1 < k:
+            dist = dist.localCheckpoint(eager=True)
     return dist

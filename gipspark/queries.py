@@ -2798,10 +2798,12 @@ def nearest_edge_customers(spark, sf_dir):
     Quantize-then-argmin keeps the winner exact on both engines; the
     oracle cross-joins the same edges (bounded, oracle-only) and ranks
     by the identical integer ticks."""
-    from gipspark.operators.distance import nearest_edge
+    from gipspark.operators.distance import nearest_edge_auto
 
     pts = _cust_pts(spark, sf_dir)
-    return nearest_edge(pts, ORACLE_POLYGONS).select("c_custkey", "nearest_poly", "d2_ticks")
+    return nearest_edge_auto(pts, ORACLE_POLYGONS, key_col="c_custkey").select(
+        "c_custkey", "nearest_poly", "d2_ticks"
+    )
 
 
 @register(
@@ -3791,10 +3793,10 @@ def snap_to_edge_customers(spark, sf_dir):
     1 ulp across engines (DuckDB's compiled multiply-add contracts
     where the JVM never fuses), and the house rule is to quantize any
     libm/FMA-sensitive value before it reaches a hash."""
-    from gipspark.operators.distance import snap_to_edge
+    from gipspark.operators.distance import snap_to_edge_auto
 
     pts = _cust_pts(spark, sf_dir)
-    return snap_to_edge(pts, ORACLE_POLYGONS).select(
+    return snap_to_edge_auto(pts, ORACLE_POLYGONS, key_col="c_custkey").select(
         "c_custkey",
         "nearest_poly",
         "edge_idx",
@@ -5646,7 +5648,7 @@ def map_match_smooth_events(spark, sf_dir):
     probabilities, but the flicker rule is what correct 90%+ of real
     GPS jitter needs). One window shuffle on user_id after the narrow
     snap stage."""
-    from gipspark.operators.distance import nearest_edge
+    from gipspark.operators.distance import nearest_edge_auto
 
     ev = load(spark, sf_dir, "events")
     pts = ev.select(
@@ -5656,7 +5658,7 @@ def map_match_smooth_events(spark, sf_dir):
         C.derived_lat(F.col("event_id")).alias("lat"),
         C.derived_lon(F.col("event_id")).alias("lon"),
     )
-    ne = nearest_edge(pts, ORACLE_POLYGONS).select(
+    ne = nearest_edge_auto(pts, ORACLE_POLYGONS, key_col="event_id").select(
         "user_id", "ts", "event_id", F.col("nearest_poly").alias("raw_poly")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -8603,7 +8605,7 @@ def reverse_geocode_customers(spark, sf_dir):
     runs ONLY on the PIP-miss anti-join, so the expensive edge scan
     touches just the outside points. Ambiguous containment (overlapping
     fences) resolves deterministically to min(poly_id)."""
-    from gipspark.operators.distance import nearest_edge
+    from gipspark.operators.distance import nearest_edge_auto
 
     pts = _cust_pts(spark, sf_dir)
     inside = (
@@ -8612,7 +8614,7 @@ def reverse_geocode_customers(spark, sf_dir):
         .agg(F.min("poly_id").cast("long").alias("poly_id"))
     )
     rest = pts.join(inside.select("c_custkey"), "c_custkey", "left_anti")
-    near = nearest_edge(rest, ORACLE_POLYGONS).select(
+    near = nearest_edge_auto(rest, ORACLE_POLYGONS, key_col="c_custkey").select(
         "c_custkey",
         F.when(F.col("d2_ticks") <= _REVGEO_TICKS, F.col("nearest_poly").cast("long")).alias("poly_id"),
         F.when(F.col("d2_ticks") <= _REVGEO_TICKS, F.lit("near")).otherwise(F.lit("none")).alias("method"),
@@ -11968,8 +11970,11 @@ def spearman_tokens_chars(spark, sf_dir):
     )
     st = rk.groupBy("source").agg(
         F.count("*").cast(dec).alias("n"),
-        F.sum("rx").cast(dec).alias("sx"),
-        F.sum("ry").cast(dec).alias("sy"),
+        # sum the doubled ranks AS decimal — rx/ry are ~2n each, so an
+        # int64 sum wraps near 2e9 docs/source while DuckDB's
+        # sum(BIGINT) promotes to HUGEINT and stays exact (ADVICE r3)
+        F.sum(F.col("rx").cast(dec)).alias("sx"),
+        F.sum(F.col("ry").cast(dec)).alias("sy"),
         F.sum(F.col("rx").cast(dec) * F.col("rx")).cast(dec).alias("sxx"),
         F.sum(F.col("ry").cast(dec) * F.col("ry")).cast(dec).alias("syy"),
         F.sum(F.col("rx").cast(dec) * F.col("ry")).cast(dec).alias("sxy"),
@@ -12327,7 +12332,7 @@ WITH firstocc AS (
   FROM spine s LEFT JOIN per p ON s.decile = p.decile
 )
 SELECT cast(decile as bigint) AS decile,
-       cast((decile * (SELECT count(*) FROM documents)) // 10 as bigint) AS n_docs_k,
+       cast((decile * (SELECT count(*) FROM documents)) // 10 as bigint) AS n_docs,
        cast(new_terms as bigint) AS new_terms,
        cast(sum(new_terms) OVER (ORDER BY decile) as bigint) AS vocab
 FROM filled ORDER BY decile
@@ -12364,7 +12369,9 @@ def vocab_growth_curve(spark, sf_dir):
     w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return filled.select(
         F.col("decile").cast("long").alias("decile"),
-        F.expr(f"CAST(decile * {n} DIV 10 AS BIGINT)").alias("n_docs_k"),
+        # raw doc count at the decile boundary (was misnamed n_docs_k —
+        # renamed before the contract ossified, ADVICE r3)
+        F.expr(f"CAST(decile * {n} DIV 10 AS BIGINT)").alias("n_docs"),
         "new_terms",
         F.sum("new_terms").over(w).cast("long").alias("vocab"),
     ).orderBy("decile")
