@@ -104,3 +104,82 @@ def test_block_occupancy_bounded_on_zipf(spark):
     # and bounded by the fixture's per-band ceiling
     assert max(occ.values()) < stem_only.most_common(1)[0][1]
     assert max(occ.values()) <= 120
+
+
+def _same_length_hot_rows(seed=3, n=300, length=12):
+    """The PassJoin target: one Zipf-hot stem whose members ALL share a
+    length band (the r3 residual worst case — the (stem, bkt) key is
+    one 300-row block). Random letters make true matches rare; a few
+    planted near-dups keep the answer non-empty."""
+    rng = np.random.default_rng(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    rows = []
+    for i in range(n):
+        body = "".join(rng.choice(letters, length))
+        rows.append((i, f"home-{body}"))
+    # planted near-dups: 1- and 2-edit variants of row 0
+    base = rows[0][1]
+    rows.append((n, base[:-1] + ("a" if base[-1] != "a" else "b")))
+    rows.append((n + 1, base[:6] + "zz" + base[8:]))
+    return rows
+
+
+def test_passjoin_hot_same_length_equals_brute(spark):
+    rows = _same_length_hot_rows()
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join(df, stem=_stem_col(), max_dist=2, hot_threshold=16).collect()
+    }
+    want = _brute(rows, 2, _stem)
+    assert got == want
+    assert len(want) >= 2  # the planted dups were found
+
+
+def test_passjoin_candidate_bound_on_hot_block(spark):
+    """The scale assertion VERDICT r3 asked for: on a hot same-length
+    block the PassJoin candidate set is orders of magnitude below
+    occupancy² — segment signatures, not band co-membership, gate the
+    pairs."""
+    from gipspark.operators.linkage import _passjoin_candidates
+
+    rows = _same_length_hot_rows()
+    n = len(rows)
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    b = df.select(
+        F.col("doc_id").alias("__id"),
+        F.col("title").alias("__txt"),
+        _stem_col().alias("__stem"),
+        F.floor(F.length("title") / 2).alias("__bkt"),
+    )
+    cand = _passjoin_candidates(b, b, max_dist=2).count()
+    all_pairs = n * (n - 1) // 2
+    assert cand < all_pairs / 20, (cand, all_pairs)
+
+
+def test_hybrid_paths_disjoint_and_complete(spark):
+    """Mixed fixture with hot AND cold blocks at a threshold that splits
+    them: the union of the two paths equals brute force with no
+    duplicate pairs."""
+    rows = _zipf_rows(2) + [(10_000 + i, t) for i, (_, t) in enumerate(_same_length_hot_rows(5, 60))]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    res = fuzzy_self_join(df, stem=_stem_col(), max_dist=2, hot_threshold=30).collect()
+    got = [(r.id_a, r.id_b, r.dist) for r in res]
+    assert len(got) == len(set(got))  # no pair emitted twice
+    assert set(got) == _brute(rows, 2, _stem)
+
+
+def test_tiny_strings_pigeonhole_fallback(spark):
+    """Strings shorter than max_dist+1 can't be segment-partitioned and
+    must still pair correctly through the tiny key."""
+    rows = [(0, "ab"), (1, "ax"), (2, "a"), (3, "abcd"), (4, "xy")] + [
+        (10 + i, f"filler-{i:04d}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join(
+            df, stem=F.lit("s"), max_dist=2, hot_threshold=1
+        ).collect()
+    }
+    assert got == _brute(rows, 2, lambda t: "s")
