@@ -12666,6 +12666,36 @@ def modularity_by_source(spark, sf_dir):
     ).orderBy("source")
 
 
+# ---------------------------------------------------------------------------
+# round-4 batch: Viterbi map matching (full-HMM tier over the flicker rule)
+# ---------------------------------------------------------------------------
+
+
+@register("viterbi_map_match_events", None)
+def viterbi_map_match_events(spark, sf_dir):
+    """Full Viterbi map matching over per-user ping sequences: emission
+    = integer-tick distance to each candidate feature's boundary (the
+    nearest_edge fold widened per state, all codegen), transition = a
+    constant switch penalty, per-user min-cost path via the batched
+    mapInPandas DP (operators/viterbi.py). The tier above
+    map_match_smooth_events' window flicker rule — corrects runs and
+    oscillations, not just one-ping blips. Non-SQL-expressible
+    (sequential DP recurrence) → rows-only here; exactness is pinned by
+    the brute-DP pytest plus the λ-limit laws (λ=0 ≡ raw nearest, λ→∞
+    ≡ one feature per user) in tests/test_viterbi.py."""
+    from gipspark.operators.viterbi import viterbi_match
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    return viterbi_match(pts, ORACLE_POLYGONS, switch_cost_ticks=2_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
