@@ -1231,6 +1231,79 @@ def ivf_cosine_topk_q(spark, sf_dir):
     return ivf_cosine_topk(q, emb, k=5, n_centroids=16, n_probe=4)
 
 
+_ANN_FLOOR_PCT = 70
+
+_ANN_RECALL_SQL = f"""
+WITH b AS (
+  SELECT cast(count(distinct q_id) as bigint) AS n_queries,
+         cast(count(*) as bigint) AS brute_pairs
+  FROM ({_COS_SQL})
+)
+SELECT m.method, cast(5 as bigint) AS k, b.n_queries, b.brute_pairs,
+       cast({_ANN_FLOOR_PCT} as bigint) AS floor_pct,
+       TRUE AS floor_met
+FROM (VALUES ('ivf'), ('lsh')) AS m(method) CROSS JOIN b
+ORDER BY method
+"""
+
+
+@register("ann_recall_contract", _ANN_RECALL_SQL)
+def ann_recall_contract(spark, sf_dir):
+    """Driver-checkable ANN recall contract (VERDICT r3 next-round #5):
+    recall@5 of the LSH and IVF approximate paths against the brute
+    cosine top-k, computed INSIDE the query (one left-semi join + one
+    agg per method, nothing collected). The DuckDB oracle replays the
+    brute side EXACTLY (n_queries, brute_pairs — the denominator) and
+    pins ``floor_met`` to its contractual value TRUE: if either
+    approximate path ever drops below floor_pct recall, Spark emits
+    FALSE and the driver's hash check fails — the two former
+    ``no_oracle`` rows are now gated. Params are tuned for the floor on
+    THIS synthetic table (near-uniform random vectors, the hard case
+    for ANN: neighbors barely separate from the bulk): 16 LSH tables ×
+    4 planes, IVF probing 12/16 lists. Clustered real embeddings reach
+    the same recall with 8×6 / 4-probe configs
+    (tests/test_operators.py recall fixtures)."""
+    from gipspark.operators.similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = cosine_topk(q, emb, k=5).select("q_id", "vec_id")
+    b_stats = brute.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("brute_pairs"),
+    )
+    approx = {
+        "lsh": lsh_cosine_topk(q, emb, k=5, n_planes=4, n_tables=16),
+        "ivf": ivf_cosine_topk(q, emb, k=5, n_centroids=16, n_probe=12),
+    }
+    rows = []
+    for method in sorted(approx):
+        hits = (
+            brute.join(approx[method].select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi")
+            .agg(F.count("*").alias("hit_pairs"))
+            .withColumn("method", F.lit(method))
+        )
+        rows.append(hits)
+    hit_tbl = rows[0].unionByName(*rows[1:]) if len(rows) > 1 else rows[0]
+    return (
+        hit_tbl.crossJoin(F.broadcast(b_stats))
+        .select(
+            "method",
+            F.lit(5).cast("long").alias("k"),
+            "n_queries",
+            "brute_pairs",
+            F.lit(_ANN_FLOOR_PCT).cast("long").alias("floor_pct"),
+            (
+                F.col("hit_pairs") * F.lit(100)
+                >= F.col("brute_pairs") * F.lit(_ANN_FLOOR_PCT)
+            ).alias("floor_met"),
+        )
+        .orderBy("method")
+    )
+
+
 # --- rows-only queries (non-SQL-expressible: vendored cell geometry) -------
 
 
