@@ -31,9 +31,16 @@ def run_cms_stream(
     ck_dir: str,
     d: int = 3,
     w: int = 1024,
+    fail_after_batch: int | None = None,
 ) -> None:
     """Drive the stream to completion (availableNow), appending one
-    partial sketch per micro-batch to ``out_dir``."""
+    partial sketch per micro-batch to ``out_dir``.
+
+    ``fail_after_batch`` is the soak tests' crash injection: raise
+    AFTER batch N's partial is written but BEFORE its offset commits —
+    the worst-case crash window, in which a restart replays the batch
+    and appends its partial a second time. cms_merge_partials below is
+    replay-idempotent, so the merged sketch is still exact."""
 
     def _fb(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -43,6 +50,8 @@ def run_cms_stream(
             .write.mode("append")
             .parquet(out_dir)
         )
+        if fail_after_batch is not None and batch_id == fail_after_batch:
+            raise RuntimeError(f"injected crash after batch {batch_id}")
 
     q = (
         st.writeStream.foreachBatch(_fb)
@@ -54,9 +63,19 @@ def run_cms_stream(
 
 
 def cms_merge_partials(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Merge per-batch partial sketches into the final sketch(r, c, cnt)."""
+    """Merge per-batch partial sketches into the final sketch(r, c, cnt).
+
+    Replay-idempotent (exactly-once despite an at-least-once sink): a
+    crash between the foreachBatch append and the offset commit makes
+    the restart replay that batch — with availableNow the batch's file
+    set is pinned in the offset WAL before processing, so the replayed
+    partial is IDENTICAL, and collapsing per (batch_id, r, c) with max
+    (≡ any) before the additive merge removes the duplicate without
+    touching genuine per-batch partials."""
     return (
         spark.read.parquet(out_dir)
+        .groupBy("batch_id", "r", "c")
+        .agg(F.max("cnt").alias("cnt"))
         .groupBy("r", "c")
         .agg(F.sum("cnt").alias("cnt"))
     )
