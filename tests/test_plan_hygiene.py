@@ -56,6 +56,10 @@ CROSS_OK = {
     "catchment_counts_suppliers",  # knn_join straggler fallback branch plans a bounded NL join
     "reciprocity_links",  # two 1-row count aggregates cross-combined (hll sibling)
     "modularity_by_source",  # 1-row edge-total broadcast into the source spine (chisq sibling)
+    "ann_recall_contract",  # 1-row brute-denominator broadcast into per-method hit rows
+    "q15_top_supplier",  # 1-row max-revenue scalar broadcast back over the quarter agg
+    "q11_important_stock",  # 1-row regional-total broadcast into the per-part values
+    "q22_dormant_customers",  # 1-row positive-balance moment broadcast into customers
 }
 
 
