@@ -52,9 +52,7 @@ def global_row_number(
     within a partition break by the same columns, matching the oracle
     only when the order is total.
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    with_pid = _ranged_with_pid(df, order_cols, num_partitions)
     # bounded driver-side collect: one row per partition, never data rows
     counts = sorted(
         with_pid.groupBy("__pid").agg(F.count("*").alias("c")).collect(),
@@ -72,6 +70,74 @@ def global_row_number(
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
     return (
         with_pid.withColumn("__local", F.row_number().over(w))
+        .join(off_df, "__pid")
+        .withColumn(out, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__pid", "__off", "__local")
+    )
+
+
+def _ranged_with_pid(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+) -> DataFrame:
+    """Range-partition ``df`` on ``order_cols`` and PIN the resulting
+    row→partition assignment with a localCheckpoint.
+
+    The pin is load-bearing for correctness, not a cache hint:
+    ``repartitionByRange`` picks its boundaries from a reservoir
+    sample whose seed folds in the RDD id, and the two-phase rank runs
+    TWO jobs (the per-partition stats collect, then the windowed
+    pass). Without the checkpoint each job re-plans the exchange with
+    a fresh RDD id → a fresh sample → different boundaries, and the
+    driver-computed offsets no longer describe the partitions the
+    window ran over — silently wrong ranks (caught at 15k rows; small
+    inputs hide it because a sample that covers the whole partition is
+    deterministic). Materializing once makes both jobs read the same
+    partitioning. Cost: one MEMORY_AND_DISK copy of the input for the
+    operator's lifetime — the same price TeraSort-style sorts pay to
+    share one boundary computation across stages."""
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+    return ranged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive global running sum of ``value_col`` in
+    ``order_cols`` order WITHOUT a single-partition window — the same
+    two-phase construction as :func:`global_row_number`, with the
+    driver-side prefix over per-partition COUNTS replaced by one over
+    per-partition SUMS (still ≤ num_partitions rows collected, never
+    data rows). ``value_col`` must be integer-typed: integer partial
+    sums re-associate exactly, which is what keeps the distributed
+    cumsum bit-identical to the oracle's single-sequence
+    ``sum() OVER (ORDER BY ...)``. ``order_cols`` must be a total
+    order (append a unique key)."""
+    with_pid = _ranged_with_pid(df, order_cols, num_partitions)
+    sums = sorted(
+        with_pid.groupBy("__pid").agg(F.sum(value_col).cast("long").alias("s")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = {}, 0
+    for r in sums:
+        offsets[r["__pid"]] = acc
+        acc += r["s"]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off bigint"
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.withColumn("__local", F.sum(value_col).over(w))
         .join(off_df, "__pid")
         .withColumn(out, (F.col("__off") + F.col("__local")).cast("long"))
         .drop("__pid", "__off", "__local")

@@ -13540,6 +13540,577 @@ def q22_dormant_customers(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 batch B: IR ranking, link prediction, space-time composition,
+# stylometry, seasonal anomaly, weighted sampling, pipeline audits
+# ---------------------------------------------------------------------------
+
+# BM25 query terms are frozen — the score sum must have a fixed textual
+# order (t1 + t2 + t3) so double addition is identical in both engines.
+_BM25_TERMS = ["join", "hash", "scan"]
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return (
+        "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+        f" x -> x = '{term}'))"
+    )
+
+
+@register(
+    "bm25_topk_docs",
+    f"""
+WITH pt AS (
+  SELECT doc_id,
+         cast({T.TOKEN_COUNT_SQL.format(t='text')} as bigint) AS dl,
+         cast({_bm25_tf_sql('join')} as bigint) AS tf1,
+         cast({_bm25_tf_sql('hash')} as bigint) AS tf2,
+         cast({_bm25_tf_sql('scan')} as bigint) AS tf3
+  FROM documents
+), st AS (
+  SELECT cast(count(*) as bigint) AS n, cast(sum(dl) as bigint) AS sumdl,
+         cast(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) as bigint) AS df1,
+         cast(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) as bigint) AS df2,
+         cast(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) as bigint) AS df3
+  FROM pt
+), sc AS (
+  SELECT doc_id,
+    (CASE WHEN tf1 > 0 THEN ((cast(st.n - st.df1 as double) + 0.5) / (cast(st.df1 as double) + 0.5) + 1.0)
+      * ((cast(tf1 as double) * 2.2) / (cast(tf1 as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / (cast(st.sumdl as double) / cast(st.n as double)))))) ELSE 0.0 END)
+    + (CASE WHEN tf2 > 0 THEN ((cast(st.n - st.df2 as double) + 0.5) / (cast(st.df2 as double) + 0.5) + 1.0)
+      * ((cast(tf2 as double) * 2.2) / (cast(tf2 as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / (cast(st.sumdl as double) / cast(st.n as double)))))) ELSE 0.0 END)
+    + (CASE WHEN tf3 > 0 THEN ((cast(st.n - st.df3 as double) + 0.5) / (cast(st.df3 as double) + 0.5) + 1.0)
+      * ((cast(tf3 as double) * 2.2) / (cast(tf3 as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / (cast(st.sumdl as double) / cast(st.n as double)))))) ELSE 0.0 END)
+    AS score
+  FROM pt CROSS JOIN st
+)
+SELECT doc_id, score FROM sc WHERE score > 0.0
+ORDER BY score DESC, doc_id LIMIT 20
+""",
+)
+def bm25_topk_docs(spark, sf_dir):
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a frozen 3-term query
+    over the documents table — the missing IR tier above the boolean
+    inverted index. Per-doc tf comes from JVM higher-order filters over
+    the token array (no explode, no shuffle on the term key), corpus
+    stats (N, Σdl, per-term df) are ONE single-row aggregate broadcast
+    back, and the top-20 plans as TakeOrderedAndProject. The idf keeps
+    BM25's exact rational form (N−df+0.5)/(df+0.5)+1 WITHOUT the log —
+    log is monotone so per-term ordering is preserved, and dropping it
+    is what keeps both engines bit-exact (÷, ×, + on doubles derived
+    from exact integers, summed in fixed textual term order; libm ln
+    ulps would not survive the hash compare). At 10^12 docs this is a
+    scan + map + 1-row broadcast + top-k: no quadratic anywhere."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+
+    def _tf(term):
+        return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("long")
+
+    pt = d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("dl"),
+        *[_tf(t).alias(f"tf{i + 1}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    st = pt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i + 1}") > 0, 1).otherwise(0)).alias(f"df{i + 1}")
+            for i in range(3)
+        ],
+    )
+    dlov = F.col("dl").cast("double") / (
+        F.col("sumdl").cast("double") / F.col("n").cast("double")
+    )
+
+    def _score(i):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (
+            (F.col("n") - df).cast("double") + F.lit(0.5)
+        ) / (df.cast("double") + F.lit(0.5)) + F.lit(1.0)
+        tfn = (tf.cast("double") * F.lit(2.2)) / (
+            tf.cast("double") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * dlov)
+        )
+        return F.when(tf > 0, idf * tfn).otherwise(F.lit(0.0))
+
+    sc = pt.crossJoin(F.broadcast(st)).select(
+        "doc_id", (_score(1) + _score(2) + _score(3)).alias("score")
+    )
+    return (
+        sc.filter(F.col("score") > 0.0)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_RA_TICK = 1_000_000_000_000
+
+
+@register(
+    "resource_allocation_links",
+    f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+), indeg AS (
+  SELECT dst, cast(count(*) as bigint) AS deg FROM edges GROUP BY dst
+), pairs AS (
+  SELECT a.src AS id_a, b.src AS id_b, a.dst AS c
+  FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+)
+SELECT p.id_a, p.id_b,
+       cast(count(*) as bigint) AS n_common,
+       cast(sum({_RA_TICK} // i.deg) as bigint) AS ra_score
+FROM pairs p JOIN indeg i ON p.c = i.dst
+GROUP BY p.id_a, p.id_b
+ORDER BY ra_score DESC, id_a, id_b LIMIT 30
+""",
+)
+def resource_allocation_links(spark, sf_dir):
+    """Resource-allocation link prediction (Zhou/Lü/Zhang 2009) over
+    the shared deterministic doc link graph: candidate pair score
+    Σ_c 1/deg(c) over common neighbors c, in integer ticks
+    (10^12 // deg) so both engines agree bit-exactly. Unlike the plain
+    common-neighbor count (cocitation_pairs_links) this downweights
+    hub intermediaries — the score that actually ranks well on web
+    graphs. Shape: dedup edges, ONE self equi-join on the shared
+    neighbor key (shuffle ∝ Σ indeg², bounded because indeg is
+    Poisson-thin here; a real crawl would df-cap supernode neighbors
+    exactly like the containment posting cap), then group by pair.
+    Never materializes the non-edge candidate universe."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        D.md5_long(
+                            F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))
+                        )
+                        % n
+                        for j in range(3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+    e2 = edges.select(F.col("src").alias("src_b"), F.col("dst").alias("dst_b"))
+    pairs = edges.join(
+        e2, (F.col("dst") == F.col("dst_b")) & (F.col("src") < F.col("src_b"))
+    ).select(F.col("src").alias("id_a"), F.col("src_b").alias("id_b"), F.col("dst").alias("c"))
+    return (
+        pairs.join(indeg, F.col("c") == F.col("dst"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr(f"cast({_RA_TICK} as bigint) div deg")).cast("long").alias("ra_score"),
+        )
+        .orderBy(F.col("ra_score").desc(), "id_a", "id_b")
+        .limit(30)
+    )
+
+
+_EH_GRID = 30.0
+
+
+@register(
+    "emerging_hotspots",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         epoch_us(ts) // 1000000 // 86400 AS d
+  FROM events
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_EH_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_EH_GRID}) as int) AS gy,
+         d, cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy, d
+), tot AS (
+  SELECT gx, gy, cast(sum(x) as bigint) AS total_x FROM c GROUP BY gx, gy
+), g AS (
+  SELECT cast(count(*) as bigint) AS n_cells, cast(sum(total_x) as bigint) AS grand
+  FROM tot
+), mk AS (
+  SELECT a.gx, a.gy,
+         cast(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+              as bigint) AS s_stat
+  FROM c a JOIN c b ON a.gx = b.gx AND a.gy = b.gy AND b.d > a.d
+  GROUP BY a.gx, a.gy
+)
+SELECT t.gx, t.gy, t.total_x,
+       coalesce(mk.s_stat, 0) AS s_stat,
+       cast(CASE WHEN t.total_x * g.n_cells > g.grand THEN 1 ELSE 0 END as int) AS is_hot,
+       CASE WHEN t.total_x * g.n_cells > g.grand AND coalesce(mk.s_stat, 0) > 0
+              THEN 'intensifying'
+            WHEN t.total_x * g.n_cells > g.grand AND coalesce(mk.s_stat, 0) < 0
+              THEN 'diminishing'
+            WHEN t.total_x * g.n_cells > g.grand THEN 'persistent'
+            WHEN coalesce(mk.s_stat, 0) > 0 THEN 'emerging'
+            WHEN coalesce(mk.s_stat, 0) < 0 THEN 'receding'
+            ELSE 'quiet' END AS phase
+FROM tot t LEFT JOIN mk ON mk.gx = t.gx AND mk.gy = t.gy, g
+""",
+)
+def emerging_hotspots(spark, sf_dir):
+    """Space-time-cube emerging-hotspot classification (the ESRI
+    composition): per 30° cell, combine current hotness (total events
+    strictly above the cross-cell mean — exact integer inequality
+    total·n_cells > grand, no division) with the Mann–Kendall trend of
+    the cell's DAILY counts (operators/morans.py mann_kendall), and
+    label intensifying / diminishing / persistent / emerging /
+    receding / quiet. Every comparison is on exact integers. Shape:
+    one groupBy to daily cells, the calendar-bounded MK self-join, one
+    per-cell rollup, and a single-row global aggregate broadcast back
+    — no step holds more than #cells rows after the first agg."""
+    from gipspark.operators.morans import mann_kendall
+
+    ev = load(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+    )
+    c = ev.groupBy(
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_EH_GRID)).cast("int").alias("gx"),
+        F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_EH_GRID)).cast("int").alias("gy"),
+        "d",
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tot = c.groupBy("gx", "gy").agg(F.sum("x").cast("long").alias("total_x"))
+    g = tot.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("total_x").cast("long").alias("grand"),
+    )
+    mk = mann_kendall(c, ["gx", "gy"], t_col="d", v_col="x").select(
+        "gx", "gy", "s_stat"
+    )
+    j = tot.join(mk, ["gx", "gy"], "left").crossJoin(F.broadcast(g))
+    s = F.coalesce("s_stat", F.lit(0).cast("long"))
+    hot = F.col("total_x") * F.col("n_cells") > F.col("grand")
+    return j.select(
+        "gx",
+        "gy",
+        "total_x",
+        s.alias("s_stat"),
+        F.when(hot, 1).otherwise(0).cast("int").alias("is_hot"),
+        F.when(hot & (s > 0), "intensifying")
+        .when(hot & (s < 0), "diminishing")
+        .when(hot, "persistent")
+        .when(s > 0, "emerging")
+        .when(s < 0, "receding")
+        .otherwise("quiet")
+        .alias("phase"),
+    )
+
+
+_BD_VOCAB = 20
+_BD_TICK = 1_000_000_000  # rel-freq ticks; exact while count·10⁹ < 2⁶³ per (source, word)
+
+
+@register(
+    "burrows_delta_sources",
+    f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, cast(count(*) as bigint) AS cnt FROM tok GROUP BY w
+  ) ORDER BY cnt DESC, w LIMIT {_BD_VOCAB}
+), toks AS (
+  SELECT source, cast(count(*) as bigint) AS tok_s FROM tok GROUP BY source
+), cnts AS (
+  SELECT t.source, t.w, cast(count(*) as bigint) AS c
+  FROM tok t JOIN vocab v ON t.w = v.w
+  GROUP BY t.source, t.w
+), f AS (
+  SELECT s.source, v.w,
+         (coalesce(c.c, 0) * {_BD_TICK}) // s.tok_s AS ft
+  FROM toks s CROSS JOIN vocab v
+  LEFT JOIN cnts c ON c.source = s.source AND c.w = v.w
+), st AS (
+  SELECT w, cast(count(*) as bigint) AS ns, cast(sum(ft) as bigint) AS s,
+         cast(sum(cast(ft as hugeint) * ft) as hugeint) AS sx2
+  FROM f GROUP BY w
+), z AS (
+  SELECT f.source, f.w,
+         CASE WHEN st.ns * st.sx2 - cast(st.s as hugeint) * st.s = 0 THEN 0.0
+              ELSE cast(st.ns * f.ft - st.s as double)
+                   / sqrt(cast(st.ns * st.sx2 - cast(st.s as hugeint) * st.s as double)
+                          * cast(st.ns as double) / cast(st.ns - 1 as double))
+         END AS z
+  FROM f JOIN st ON st.w = f.w
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       cast(count(*) as bigint) AS n_words,
+       cast(sum(cast(floor(abs(a.z - b.z) * 1000000000.0) as bigint)) as bigint)
+         AS delta_tick
+FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+GROUP BY src_a, src_b
+ORDER BY delta_tick, src_a, src_b LIMIT 40
+""",
+)
+def burrows_delta_sources(spark, sf_dir):
+    """Burrows' Delta stylometric distance between sources (the
+    classic authorship-attribution measure): z-score each source's
+    relative frequency of the top-{_BD_VOCAB} corpus words against the
+    across-source distribution, then Delta(a,b) = Σ_w |z_aw − z_bw|.
+    Exactness: relative frequencies are integer ticks
+    (count·10⁹ // source_tokens — exact while a (source, word) count
+    stays below ~9.2e9), moments are integer/decimal sums (order-free),
+    each z is ONE fixed-form double expression from exact integers
+    (sqrt is correctly rounded; no libm transcendental), and the
+    pair sum is over floor(|Δz|·10⁹) ticks so double summation order
+    cannot matter. σ=0 words contribute z=0. The 40 closest pairs
+    (most similar style) are returned. Shape: explode → two counts,
+    a {_BD_VOCAB}-row broadcast vocab, a sources×vocab grid (S·V rows),
+    and a self-join on the word key — S² · V pair rows, fine for
+    thousands of sources; past that the same profiles feed the LSH
+    cosine path (operators/similarity.py)."""
+    dec = "decimal(38,0)"
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(_BD_VOCAB)
+        .select("w")
+    )
+    toks = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("tok_s"))
+    cnts = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    f = (
+        toks.crossJoin(F.broadcast(vocab))
+        .join(cnts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(f"(coalesce(c, 0) * {_BD_TICK}) div tok_s").alias("ft"),
+        )
+    )
+    st = f.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("ft").cast("long").alias("s"),
+        F.sum(F.col("ft").cast(dec) * F.col("ft")).cast(dec).alias("sx2"),
+    )
+    var_num = F.col("ns").cast(dec) * F.col("sx2") - F.col("s").cast(dec) * F.col("s")
+    z_val = (F.col("ns") * F.col("ft") - F.col("s")).cast("double") / F.sqrt(
+        var_num.cast("double")
+        * F.col("ns").cast("double")
+        / (F.col("ns") - 1).cast("double")
+    )
+    z = f.join(st, "w").select(
+        "source", "w", F.when(var_num == 0, F.lit(0.0)).otherwise(z_val).alias("z")
+    )
+    zb = z.select(
+        F.col("source").alias("src_b"), F.col("w").alias("wb"), F.col("z").alias("zb")
+    )
+    return (
+        z.join(zb, (F.col("w") == F.col("wb")) & (F.col("source") < F.col("src_b")))
+        .select(
+            F.col("source").alias("src_a"),
+            "src_b",
+            F.floor(F.abs(F.col("z") - F.col("zb")) * F.lit(1000000000.0))
+            .cast("long")
+            .alias("dz"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("dz").cast("long").alias("delta_tick"),
+        )
+        .orderBy("delta_tick", "src_a", "src_b")
+        .limit(40)
+    )
+
+
+@register(
+    "dow_baseline_anomaly",
+    """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS d,
+         cast(count(*) as bigint) AS x
+  FROM events GROUP BY event_type, d
+), c2 AS (
+  SELECT event_type, d, cast((d + 4) % 7 as int) AS dow, x FROM c
+), base AS (
+  SELECT event_type, dow, cast(count(*) as bigint) AS n, cast(sum(x) as bigint) AS s,
+         cast(sum(cast(x as hugeint) * x) as hugeint) AS sx2
+  FROM c2 GROUP BY event_type, dow
+)
+SELECT c2.event_type, c2.d, c2.dow, c2.x, b.n, b.s,
+       cast(b.n * c2.x - b.s as bigint) AS dev_num,
+       cast(CASE WHEN b.n >= 3 AND
+              cast(b.n * c2.x - b.s as hugeint) * (b.n * c2.x - b.s) * (b.n - 1)
+              > 4 * b.n * (b.n * b.sx2 - cast(b.s as hugeint) * b.s)
+            THEN 1 ELSE 0 END as int) AS is_anomaly
+FROM c2 JOIN base b ON b.event_type = c2.event_type AND b.dow = c2.dow
+""",
+)
+def dow_baseline_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly detection: each (event_type, day)
+    count is tested against that type's same-day-of-week baseline —
+    flagged when it sits more than 2 sample standard deviations from
+    the weekday mean. The z²>4 test is kept ENTIRELY in integers:
+    (n·x − s)²·(n−1) > 4·n·(n·sx2 − s²) clears the denominators of
+    (x−μ)²/σ², so the flag is exact (decimal38 / HUGEINT for the
+    squared moments — the chisq ADVICE lesson). Day-of-week comes from
+    epoch days ((d+4) mod 7; 1970-01-01 was a Thursday) so both
+    engines agree without locale-sensitive date functions. Shape: two
+    groupBys and a broadcast-sized join back on (type, dow) — 7·#types
+    baseline rows regardless of input scale."""
+    dec = "decimal(38,0)"
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    )
+    c = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    c2 = c.select(
+        "event_type", "d", ((F.col("d") + 4) % 7).cast("int").alias("dow"), "x"
+    )
+    base = c2.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sx2"),
+    )
+    j = c2.join(F.broadcast(base), ["event_type", "dow"])
+    dev = F.col("n") * F.col("x") - F.col("s")
+    lhs = dev.cast(dec) * dev * (F.col("n") - 1)
+    rhs = (
+        F.lit(4).cast(dec)
+        * F.col("n")
+        * (F.col("n").cast(dec) * F.col("sx2") - F.col("s").cast(dec) * F.col("s"))
+    )
+    return j.select(
+        "event_type",
+        "d",
+        "dow",
+        "x",
+        "n",
+        "s",
+        dev.cast("long").alias("dev_num"),
+        F.when((F.col("n") >= 3) & (lhs > rhs), 1).otherwise(0).cast("int").alias("is_anomaly"),
+    )
+
+
+_WSS_K = 100
+
+
+@register(
+    "weighted_systematic_sample",
+    f"""
+WITH w AS (
+  SELECT o_orderkey, cast(round(cast(o_totalprice as {DEC}) * 100) as bigint) AS cents
+  FROM orders
+), c AS (
+  SELECT o_orderkey, cents,
+         cast(sum(cents) OVER (ORDER BY o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              as bigint) AS cum
+  FROM w
+), g AS (SELECT cast(sum(cents) as bigint) // {_WSS_K} AS step FROM w)
+SELECT c.o_orderkey, c.cents, c.cum
+FROM c, g
+WHERE g.step > 0 AND c.cum // g.step > (c.cum - c.cents) // g.step
+ORDER BY c.o_orderkey
+""",
+)
+def weighted_systematic_sample(spark, sf_dir):
+    """Systematic probability-proportional-to-size sampling of orders
+    weighted by price — the classic PPS design (one pass, fixed grid
+    of k={_WSS_K} equally spaced skip points over the cumulative
+    weight axis; a row is drawn iff its weight interval
+    (cum−w, cum] covers a grid multiple). Fully deterministic and
+    integer-exact: weights are integer cents, the inclusive running
+    total is the two-phase distributed cumsum
+    (operators/ranking.py global_cumsum — NO single-partition window;
+    per-partition sums + driver prefix offsets, integer so
+    re-association is exact), and the draw test is pure integer
+    division. Heavy rows (w ≥ step) are always drawn — the PPS
+    certainty stratum — so the sample size is ≥k−1 but not fixed."""
+    from gipspark.operators.ranking import global_cumsum
+
+    w = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    c = global_cumsum(w, ["o_orderkey"], "cents", out="cum")
+    g = w.agg((F.sum("cents").cast("long") / F.lit(_WSS_K)).cast("long").alias("step"))
+    return (
+        c.crossJoin(F.broadcast(g))
+        .filter(
+            (F.col("step") > 0)
+            & (
+                F.expr("cum div step")
+                > F.expr("(cum - cents) div step")
+            )
+        )
+        .select("o_orderkey", "cents", "cum")
+        .orderBy("o_orderkey")
+    )
+
+
+_CPA_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+
+
+@register(
+    "column_profile_audit",
+    "\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS col_name,
+       cast(count(*) as bigint) AS n_rows,
+       cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null,
+       cast(count(DISTINCT {c}) as bigint) AS n_distinct,
+       min(cast({c} as double)) AS min_v,
+       max(cast({c} as double)) AS max_v
+FROM lineitem"""
+        for c in _CPA_COLS
+    ),
+)
+def column_profile_audit(spark, sf_dir):
+    """Single-pass pipeline data-quality audit: per numeric lineitem
+    column, row count, null count, EXACT distinct count, and min/max —
+    the profile a training-data ingest job runs before accepting a
+    drop. Spark computes all {len(_CPA_COLS)} column profiles in ONE
+    aggregate (the multi-distinct plans as a single Expand + partial
+    aggs — one scan, {len(_CPA_COLS)}× expand; at petabyte scale swap
+    count(distinct) for the HLL contract in approx_vs_exact_distinct)
+    then unpivots the 1-row result with stack(). The oracle is the
+    naive {len(_CPA_COLS)}-scan UNION ALL — same rows, so the
+    single-scan claim is verified, not assumed."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _CPA_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"nr_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"nn_{c}"),
+            F.countDistinct(c).cast("long").alias(f"nd_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack = "stack({}, {}) as (col_name, n_rows, n_null, n_distinct, min_v, max_v)".format(
+        len(_CPA_COLS),
+        ", ".join(f"'{c}', nr_{c}, nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _CPA_COLS),
+    )
+    return one.select(F.expr(stack))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -60,6 +60,10 @@ CROSS_OK = {
     "q15_top_supplier",  # 1-row max-revenue scalar broadcast back over the quarter agg
     "q11_important_stock",  # 1-row regional-total broadcast into the per-part values
     "q22_dormant_customers",  # 1-row positive-balance moment broadcast into customers
+    "bm25_topk_docs",  # 1-row corpus-stats (N, Σdl, df) broadcast into per-doc scores
+    "emerging_hotspots",  # 1-row (n_cells, grand) aggregate broadcast into the cell table
+    "burrows_delta_sources",  # 20-row vocab dim × source spine (tfidf sibling)
+    "weighted_systematic_sample",  # 1-row step scalar broadcast into the cumsum table
 }
 
 

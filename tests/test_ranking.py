@@ -22,6 +22,32 @@ def test_global_row_number_matches_single_window(spark):
     assert got == want
 
 
+def test_global_rank_and_cumsum_survive_boundary_resampling(spark):
+    """Regression for the two-job range-boundary pin: repartitionByRange
+    re-samples its boundaries per job (seed folds in the RDD id), so
+    without _ranged_with_pid's localCheckpoint the offsets collect and
+    the window pass can disagree on row→partition assignment. Small
+    inputs are fully sampled (deterministic) and hide it — this needs
+    enough rows per partition that a reservoir sample differs across
+    jobs (caught live at 15k rows over 32 partitions)."""
+    from gipspark.operators.ranking import global_cumsum, global_row_number
+
+    rng = random.Random(17)
+    rows = [(k, rng.randrange(1, 10_000)) for k in range(20_000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, w long").repartition(8)
+
+    got_rn = {r.k: r.rn for r in global_row_number(df, ["k"], num_partitions=32).collect()}
+    assert got_rn == {k: k + 1 for k, _ in rows}
+
+    got = {r.k: r.cum for r in global_cumsum(df, ["k"], "w", num_partitions=32).collect()}
+    acc, want = 0, {}
+    for k, w in sorted(rows):
+        acc += w
+        want[k] = acc
+    assert got == want
+
+
 def test_str_pack_vs_brute(spark):
     from gipspark.operators.ranking import _ceil_isqrt, str_pack
 
