@@ -14111,6 +14111,150 @@ def column_profile_audit(spark, sf_dir):
     return one.select(F.expr(stack))
 
 
+@register(
+    "polygon_density_customers",
+    f"""
+WITH ed AS (
+  SELECT poly_id,
+         cast(round(x1 * 1000000) as bigint) AS xa,
+         cast(round(y1 * 1000000) as bigint) AS ya,
+         cast(round(x2 * 1000000) as bigint) AS xb,
+         cast(round(y2 * 1000000) as bigint) AS yb
+  FROM {_edges_values_sql()}
+), geo AS (
+  SELECT poly_id, cast(count(*) as bigint) AS n_edges,
+         cast(sum(xa * yb - xb * ya) as bigint) AS area2,
+         cast(sum(cast(xa * yb - xb * ya as hugeint) * (xa + xb)) as decimal(38,0)) AS cx_num,
+         cast(sum(cast(xa * yb - xb * ya as hugeint) * (ya + yb)) as decimal(38,0)) AS cy_num
+  FROM ed GROUP BY poly_id
+), pts AS (
+  SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), m AS ({_pip_matches_sql('pts', 'c_custkey')}
+), cnt AS (
+  SELECT poly_id, cast(count(*) as bigint) AS n_inside FROM m GROUP BY poly_id
+)
+SELECT g.poly_id, g.n_edges, g.area2, g.cx_num, g.cy_num,
+       coalesce(c.n_inside, 0) AS n_inside,
+       cast(g.cx_num as double) / (3.0 * cast(g.area2 as double) * 1000000.0) AS cx_deg,
+       cast(g.cy_num as double) / (3.0 * cast(g.area2 as double) * 1000000.0) AS cy_deg,
+       cast(coalesce(c.n_inside, 0) as double) * 2000000000000.0
+         / abs(cast(g.area2 as double)) AS density_per_deg2
+FROM geo g LEFT JOIN cnt c ON c.poly_id = g.poly_id
+""",
+)
+def polygon_density_customers(spark, sf_dir):
+    """Choropleth geometry: exact shoelace area + centroid of each
+    oracle polygon (ST_Area / ST_Centroid) joined with the PIP
+    population count → point density per deg². Vertices snap to
+    integer microdegrees (they are 6-dp literals, so the snap is
+    exact), making the signed doubled area Σ(x₁y₂ − x₂y₁) and the
+    centroid numerators Σcross·(x₁+x₂) pure integer sums — holes work
+    for free because the inner ring is wound opposite (its signed area
+    subtracts). Only the final centroid-degrees and density columns
+    are doubles, each ONE fixed-form expression of exact integers.
+    Shape: the polygon side is a ~40-row literal table (one tiny agg);
+    the density join reuses the broadcast cell-cover PIP path — the
+    only scan of a big table is the point side."""
+    dec = "decimal(38,0)"
+    rows = []
+    for p in ORACLE_POLYGONS:
+        for ring in p["rings"]:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                rows.append((int(p["poly_id"]), x1, y1, x2, y2))
+    ed = spark.createDataFrame(
+        rows, "poly_id int, x1 double, y1 double, x2 double, y2 double"
+    ).select(
+        "poly_id",
+        F.round(F.col("x1") * 1000000).cast("long").alias("xa"),
+        F.round(F.col("y1") * 1000000).cast("long").alias("ya"),
+        F.round(F.col("x2") * 1000000).cast("long").alias("xb"),
+        F.round(F.col("y2") * 1000000).cast("long").alias("yb"),
+    )
+    cross = F.col("xa") * F.col("yb") - F.col("xb") * F.col("ya")
+    geo = ed.groupBy("poly_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(cross).cast("long").alias("area2"),
+        F.sum(cross.cast(dec) * (F.col("xa") + F.col("xb"))).cast(dec).alias("cx_num"),
+        F.sum(cross.cast(dec) * (F.col("ya") + F.col("yb"))).cast(dec).alias("cy_num"),
+    )
+    cnt = (
+        pip_join(_cust_pts(spark, sf_dir), ORACLE_POLYGONS, level=7)
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inside"))
+    )
+    j = geo.join(cnt, "poly_id", "left").select(
+        "poly_id",
+        "n_edges",
+        "area2",
+        "cx_num",
+        "cy_num",
+        F.coalesce("n_inside", F.lit(0).cast("long")).alias("n_inside"),
+    )
+    denom = F.lit(3.0) * F.col("area2").cast("double") * F.lit(1000000.0)
+    return j.select(
+        "poly_id",
+        "n_edges",
+        "area2",
+        "cx_num",
+        "cy_num",
+        "n_inside",
+        (F.col("cx_num").cast("double") / denom).alias("cx_deg"),
+        (F.col("cy_num").cast("double") / denom).alias("cy_deg"),
+        (
+            F.col("n_inside").cast("double")
+            * F.lit(2000000000000.0)
+            / F.abs(F.col("area2").cast("double"))
+        ).alias("density_per_deg2"),
+    )
+
+
+@register(
+    "herfindahl_lang_source",
+    """
+WITH c AS (
+  SELECT source, lang, cast(count(*) as bigint) AS n
+  FROM documents GROUP BY source, lang
+), s AS (
+  SELECT source, cast(sum(n) as bigint) AS n_docs,
+         cast(count(*) as bigint) AS n_langs,
+         cast(sum(cast(n as hugeint) * n) as decimal(38,0)) AS sum_sq
+  FROM c GROUP BY source
+)
+SELECT source, n_docs, n_langs, sum_sq,
+       cast(sum_sq as double) / (cast(n_docs as double) * cast(n_docs as double)) AS hhi
+FROM s
+""",
+)
+def herfindahl_lang_source(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of languages within each
+    source (= Simpson index; 1/HHI is the effective language count) —
+    the diversity audit a crawl pipeline runs to catch sources whose
+    lang mix collapsed. Exact: shares never materialize; HHI =
+    Σn²/N² with both moments integer (decimal38 for the squares) and
+    ONE fixed-form double division at the end — the entropy variant is
+    deliberately avoided because ln() ulps differ across libm
+    implementations. Two groupBys, second over #sources·#langs rows."""
+    dec = "decimal(38,0)"
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("n").cast(dec) * F.col("n")).cast(dec).alias("sum_sq"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "sum_sq",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("n_docs").cast("double") * F.col("n_docs").cast("double"))
+        ).alias("hhi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
