@@ -14255,6 +14255,846 @@ def herfindahl_lang_source(spark, sf_dir):
     )
 
 
+# --- round-4 batch: iterative/recursive + inequality/graph stats -----------
+
+
+@register(
+    "flow_accumulation_cells",
+    f"""
+WITH RECURSIVE {_D8_GRID_SQL}, walk AS (
+  SELECT cx, cy, tx AS ccx, ty AS ccy FROM full_grid WHERE dir >= 0
+  UNION ALL
+  SELECT w.cx, w.cy, f.tx, f.ty
+  FROM walk w JOIN full_grid f ON f.cx = w.ccx AND f.cy = w.ccy AND f.dir >= 0
+), ups AS (
+  SELECT w.ccx AS cx, w.ccy AS cy, cast(count(*) as bigint) AS n_upstream,
+         cast(sum(g.v) as bigint) AS v_upstream
+  FROM walk w JOIN full_grid g ON g.cx = w.cx AND g.cy = w.cy
+  GROUP BY w.ccx, w.ccy
+)
+SELECT f.cx, f.cy, f.v,
+       coalesce(u.n_upstream, cast(0 as bigint)) AS n_upstream,
+       cast(f.v + coalesce(u.v_upstream, 0) as bigint) AS drainage,
+       (f.dir = -1) AS is_sink
+FROM full_grid f LEFT JOIN ups u ON u.cx = f.cx AND u.cy = f.cy
+""",
+)
+def flow_accumulation_cells(spark, sf_dir):
+    """Flow accumulation over the D8 pointer raster — the hydrology
+    step between d8_flow_cells (local pointers) and watershed_basins
+    (sink labels): every cell's upstream-cell count and accumulated
+    drainage volume (own density + all upstream densities). The
+    upstream relation is the transitive closure of a FUNCTIONAL forest
+    (each cell ≤1 out-pointer, strictly decreasing density ⇒ acyclic),
+    so Spark materializes the (cell, ancestor) pair set by pointer
+    DOUBLING — P ← P ∪ P∘P, ⌈log₂ depth⌉ equi-join rounds with
+    localCheckpoint lineage cuts — never one-hop-per-pass. Pair volume
+    is O(cells·depth), the same rows the oracle's recursive CTE walks;
+    the raster is fixed-size (grid cells, not points), so at 100 TB the
+    only point-scale work remains the ONE map-side-combinable density
+    agg inside _d8_full. All-integer sums; no floats anywhere."""
+    full = _d8_full(spark, sf_dir)
+    nodes = full.select(
+        (F.col("cx").cast("long") * 1000 + F.col("cy")).alias("id"),
+        F.col("v"),
+        F.when(
+            F.col("dir") >= 0, F.col("tx").cast("long") * 1000 + F.col("ty")
+        ).alias("nxt"),
+    )
+    pairs = nodes.filter(F.col("nxt").isNotNull()).select(
+        "id", F.col("nxt").alias("anc")
+    ).localCheckpoint()
+    prev = pairs.count()
+    for _ in range(8):  # depth ≤ 2^8 — the 2.5° grid is ≤144 cells wide
+        comp = (
+            pairs.alias("x")
+            .join(pairs.alias("y"), F.col("x.anc") == F.col("y.id"))
+            .select(F.col("x.id").alias("id"), F.col("y.anc").alias("anc"))
+        )
+        pairs = pairs.unionByName(comp).distinct().localCheckpoint()
+        cur = pairs.count()
+        if cur == prev:
+            break
+        prev = cur
+    ups = (
+        pairs.join(nodes.select("id", F.col("v").alias("uv")), "id")
+        .groupBy(F.col("anc").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_upstream"),
+            F.sum("uv").cast("long").alias("v_upstream"),
+        )
+    )
+    return nodes.join(ups, "id", "left").select(
+        F.expr("cast(id div 1000 as int)").alias("cx"),
+        F.expr("cast(id % 1000 as int)").alias("cy"),
+        "v",
+        F.coalesce("n_upstream", F.lit(0).cast("long")).alias("n_upstream"),
+        (F.col("v") + F.coalesce("v_upstream", F.lit(0))).cast("long").alias("drainage"),
+        F.col("nxt").isNull().alias("is_sink"),
+    )
+
+
+@register(
+    "location_quotient_cells",
+    f"""
+WITH d AS (
+  SELECT cast(floor((({_LON.format(k='doc_id')}) + 180.0) / 15.0) as int) AS gx,
+         cast(floor((90.0 - ({_LAT.format(k='doc_id')})) / 15.0) as int) AS gy,
+         lang
+  FROM documents
+), cl AS (
+  SELECT gx, gy, lang, cast(count(*) as bigint) AS n_cl FROM d GROUP BY gx, gy, lang
+), c AS (
+  SELECT gx, gy, cast(sum(n_cl) as bigint) AS n_c FROM cl GROUP BY gx, gy
+), l AS (
+  SELECT lang, cast(sum(n_cl) as bigint) AS n_l FROM cl GROUP BY lang
+), t AS (
+  SELECT cast(count(*) as bigint) AS n_tot FROM d
+)
+SELECT cl.gx, cl.gy, cl.lang, cl.n_cl, c.n_c, l.n_l, t.n_tot,
+       (cast(cl.n_cl as double) * cast(t.n_tot as double))
+         / (cast(c.n_c as double) * cast(l.n_l as double)) AS lq
+FROM cl JOIN c ON c.gx = cl.gx AND c.gy = cl.gy
+JOIN l ON l.lang = cl.lang CROSS JOIN t
+WHERE cl.n_cl >= 2
+""",
+)
+def location_quotient_cells(spark, sf_dir):
+    """Location quotient per (15° cell, lang): the share of a language
+    inside a cell relative to its global share — LQ>1 marks regional
+    over-representation, the geo-web analogue of industry LQ in
+    regional science. Exact: LQ = n_cl·N / (n_c·n_l) with all four
+    moments integer and ONE fixed-form double expression (products in
+    double are exact below 2^53). Shape: one cell+lang agg off the doc
+    scan, two dim-scale reaggs, broadcast joins back — the corpus is
+    touched once; the n_cl≥2 floor keeps singleton noise out. The
+    global total rides as a window sum over the tiny per-lang dim (no
+    1-row cross join, which would plan a BroadcastNestedLoopJoin)."""
+    d = load(spark, sf_dir, "documents").select(
+        F.floor((C.derived_lon(F.col("doc_id")) + 180.0) / 15.0).cast("int").alias("gx"),
+        F.floor((90.0 - C.derived_lat(F.col("doc_id"))) / 15.0).cast("int").alias("gy"),
+        "lang",
+    )
+    cl = d.groupBy("gx", "gy", "lang").agg(F.count(F.lit(1)).cast("long").alias("n_cl"))
+    c = cl.groupBy("gx", "gy").agg(F.sum("n_cl").cast("long").alias("n_c"))
+    lt = (
+        cl.groupBy("lang")
+        .agg(F.sum("n_cl").cast("long").alias("n_l"))
+        .withColumn("n_tot", F.sum("n_l").over(Window.partitionBy()))
+    )
+    return (
+        cl.filter(F.col("n_cl") >= 2)
+        .join(F.broadcast(c), ["gx", "gy"])
+        .join(F.broadcast(lt), "lang")
+        .select(
+            "gx", "gy", "lang", "n_cl", "n_c", "n_l", "n_tot",
+            (
+                (F.col("n_cl").cast("double") * F.col("n_tot").cast("double"))
+                / (F.col("n_c").cast("double") * F.col("n_l").cast("double"))
+            ).alias("lq"),
+        )
+    )
+
+
+@register(
+    "gini_concentration_orders",
+    """
+WITH v AS (
+  SELECT o_orderpriority AS pri,
+         cast(round(o_totalprice * 100) as bigint) AS cents,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY cast(round(o_totalprice * 100) as bigint), o_orderkey
+         ) AS i
+  FROM orders
+), s AS (
+  SELECT pri, cast(count(*) as bigint) AS n,
+         cast(sum(cents) as decimal(38,0)) AS sum_cents,
+         cast(sum(cast(i as decimal(38,0)) * cents) as decimal(38,0)) AS ix_sum
+  FROM v GROUP BY pri
+)
+SELECT pri, n, sum_cents,
+       cast(2 * ix_sum - (n + 1) * sum_cents as decimal(38,0)) AS gini_num,
+       cast(n * sum_cents as decimal(38,0)) AS gini_den,
+       cast(2 * ix_sum - (n + 1) * sum_cents as double)
+         / cast(n * sum_cents as double) AS gini
+FROM s
+""",
+)
+def gini_concentration_orders(spark, sf_dir):
+    """Gini coefficient of order-value concentration per priority class
+    — the inequality audit (is revenue dominated by a few whale
+    orders?) via the exact rank formula G = (2Σi·xᵢ − (n+1)Σx)/(n·Σx)
+    on cents-integer values. Σi·x is tie-permutation-invariant (tied x
+    contribute x·Σi regardless of rank order), so the orderkey
+    tie-break affects nothing; both moments are decimal(38,0)-exact and
+    gini is ONE fixed-form double division. Shape: one rank window per
+    priority partition (the sort IS the algorithm — no pair joins), one
+    agg; at 10^12 rows the two-phase distributed ranker
+    (operators/ranking.py) replaces row_number per partition."""
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("pri").orderBy("cents", "o_orderkey")
+    v = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            cents.alias("cents"),
+            "o_orderkey",
+        )
+        .withColumn("i", F.row_number().over(w))
+    )
+    s = v.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast(dec).alias("sum_cents"),
+        F.sum(F.col("i").cast(dec) * F.col("cents")).cast(dec).alias("ix_sum"),
+    )
+    gini_num = (
+        F.lit(2).cast(dec) * F.col("ix_sum")
+        - (F.col("n") + 1).cast(dec) * F.col("sum_cents")
+    ).cast(dec)
+    gini_den = (F.col("n").cast(dec) * F.col("sum_cents")).cast(dec)
+    return s.select(
+        "pri", "n", "sum_cents",
+        gini_num.alias("gini_num"),
+        gini_den.alias("gini_den"),
+        (gini_num.cast("double") / gini_den.cast("double")).alias("gini"),
+    )
+
+
+@register(
+    "local_clustering_links",
+    f"""
+WITH edges_raw AS (
+  SELECT doc_id AS src,
+         (doc_id + 1 + {_TRI_DST} % 25) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0),(1),(2),(4),(5)) AS t(j)
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src <> dst
+), deg AS (
+  SELECT id, cast(count(*) as bigint) AS deg
+  FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+  GROUP BY id
+), keyed AS (
+  SELECT und.a, und.b,
+         dd1.deg * 4294967296 + und.a AS ka,
+         dd2.deg * 4294967296 + und.b AS kb
+  FROM und
+  JOIN deg dd1 ON dd1.id = und.a
+  JOIN deg dd2 ON dd2.id = und.b
+), o AS (
+  SELECT CASE WHEN ka < kb THEN a ELSE b END AS u,
+         CASE WHEN ka < kb THEN b ELSE a END AS v,
+         greatest(ka, kb) AS kv
+  FROM keyed
+), wedges AS (
+  SELECT e1.u, e1.v AS v1, e2.v AS v2
+  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.kv < e2.kv
+), tris AS (
+  SELECT w.u, w.v1, w.v2
+  FROM wedges w JOIN o e3 ON e3.u = w.v1 AND e3.v = w.v2
+), corners AS (
+  SELECT u AS id FROM tris
+  UNION ALL SELECT v1 FROM tris
+  UNION ALL SELECT v2 FROM tris
+), tc AS (
+  SELECT id, cast(count(*) as bigint) AS n_triangles FROM corners GROUP BY id
+)
+SELECT d.id, d.deg, coalesce(t.n_triangles, cast(0 as bigint)) AS n_triangles,
+       cast(2 * coalesce(t.n_triangles, 0) as double)
+         / (cast(d.deg as double) * cast(d.deg - 1 as double)) AS lcc
+FROM deg d LEFT JOIN tc t ON t.id = d.id
+WHERE d.deg >= 2
+""",
+)
+def local_clustering_links(spark, sf_dir):
+    """Per-node local clustering coefficient over the small-world link
+    fixture (shared with triangle_count_links): lcc = 2·tri(v) /
+    (deg·(deg−1)) — the node-level cohesion score whose graph-wide mean
+    is the Watts–Strogatz clustering statistic; on a web graph it
+    separates mesh-linked communities from star-shaped spam hubs.
+    Exact: triangle and degree counts are integers, lcc is ONE
+    fixed-form double expression. Scale shape: identical to
+    triangle_count_links (degree-ordered wedge join, O(m^1.5) not
+    Σdeg²) plus one dim-scale degree join."""
+    from gipspark.operators.graph import triangle_counts, undirect
+
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    offs = [
+        D.md5_long(F.concat(F.lit(f"t:{j}:"), F.col("doc_id").cast("string"))) % 25
+        for j in (0, 1, 2, 4, 5)
+    ]
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[(F.col("doc_id") + 1 + o) % n for o in offs])).alias("dst"),
+    )
+    und = undirect(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(edges).select("id", F.col("n_triangles").cast("long").alias("n_triangles"))
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "id", "left")
+        .select(
+            "id", "deg",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+            (
+                (F.lit(2.0) * F.coalesce("n_triangles", F.lit(0)).cast("double"))
+                / (F.col("deg").cast("double") * (F.col("deg") - 1).cast("double"))
+            ).alias("lcc"),
+        )
+    )
+
+
+@register(
+    "minhash_estimate_contract",
+    _minhash_sig_sql(8, 2)
+    + """,
+banded AS (
+  SELECT doc_id, b.band, b.bucket FROM sig, LATERAL (
+    SELECT * FROM (VALUES
+      (0, """
+    + D.MD5_LONG_SQL.format(x="cast(h0 as varchar) || ',' || cast(h1 as varchar)")
+    + """),
+      (1, """
+    + D.MD5_LONG_SQL.format(x="cast(h2 as varchar) || ',' || cast(h3 as varchar)")
+    + """),
+      (2, """
+    + D.MD5_LONG_SQL.format(x="cast(h4 as varchar) || ',' || cast(h5 as varchar)")
+    + """),
+      (3, """
+    + D.MD5_LONG_SQL.format(x="cast(h6 as varchar) || ',' || cast(h7 as varchar)")
+    + """)) AS t(band, bucket)) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+  FROM banded a JOIN banded bb
+    ON a.band = bb.band AND a.bucket = bb.bucket AND a.doc_id < bb.doc_id),
+sz AS (SELECT doc_id, sh, len(sh) AS sz FROM base)
+SELECT c.id_a, c.id_b,
+       cast((sa.h0 = sb.h0)::int + (sa.h1 = sb.h1)::int + (sa.h2 = sb.h2)::int
+          + (sa.h3 = sb.h3)::int + (sa.h4 = sb.h4)::int + (sa.h5 = sb.h5)::int
+          + (sa.h6 = sb.h6)::int + (sa.h7 = sb.h7)::int as bigint) AS n_agree,
+       cast(len(list_intersect(za.sh, zb.sh)) as bigint) AS inter,
+       cast(za.sz + zb.sz - len(list_intersect(za.sh, zb.sh)) as bigint) AS uni,
+       cast((sa.h0 = sb.h0)::int + (sa.h1 = sb.h1)::int + (sa.h2 = sb.h2)::int
+          + (sa.h3 = sb.h3)::int + (sa.h4 = sb.h4)::int + (sa.h5 = sb.h5)::int
+          + (sa.h6 = sb.h6)::int + (sa.h7 = sb.h7)::int as double) / 8.0 AS est_jaccard,
+       cast(len(list_intersect(za.sh, zb.sh)) as double)
+         / cast(za.sz + zb.sz - len(list_intersect(za.sh, zb.sh)) as double) AS exact_jaccard,
+       (abs(((sa.h0 = sb.h0)::int + (sa.h1 = sb.h1)::int + (sa.h2 = sb.h2)::int
+           + (sa.h3 = sb.h3)::int + (sa.h4 = sb.h4)::int + (sa.h5 = sb.h5)::int
+           + (sa.h6 = sb.h6)::int + (sa.h7 = sb.h7)::int)
+            * (za.sz + zb.sz - len(list_intersect(za.sh, zb.sh)))
+          - 8 * len(list_intersect(za.sh, zb.sh)))
+        <= 4 * (za.sz + zb.sz - len(list_intersect(za.sh, zb.sh)))) AS within_half
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+JOIN sz za ON za.doc_id = c.id_a JOIN sz zb ON zb.doc_id = c.id_b
+""",
+)
+def minhash_estimate_contract(spark, sf_dir):
+    """Accuracy contract for the MinHash estimator — the sketch-audit
+    twin of approx_vs_exact_distinct: for every LSH candidate pair,
+    the signature-agreement estimate (n_agree/k, k=8) side-by-side
+    with the EXACT shingle Jaccard, plus an integer-exact
+    |est − jac| ≤ 0.5 bound check done by cross-multiplication
+    (|n_agree·uni − k·inter| ≤ k/2·uni — no float compare decides a
+    boolean). A pipeline tunes bands/rows from exactly this table.
+    Shape: candidates from the banded self-join (never |D|²); the
+    exact verify joins shingle sets for candidates only — identical
+    cost profile to near_dedup_decision."""
+    docs = load(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=2).select(
+        "id_a", "id_b"
+    )
+    side = docs.select(
+        F.col("doc_id").alias("sid"),
+        D.minhash_signature(F.col("text"), 8, 2).alias("sig"),
+        D.shingles(F.col("text"), 2).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    j = cand.join(
+        side.select(
+            F.col("sid").alias("id_a"), F.col("sig").alias("sig_a"),
+            F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"),
+        ),
+        "id_a",
+    ).join(
+        side.select(
+            F.col("sid").alias("id_b"), F.col("sig").alias("sig_b"),
+            F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"),
+        ),
+        "id_b",
+    )
+    n_agree = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1L, 0L)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    j = j.select(
+        "id_a", "id_b",
+        n_agree.alias("n_agree"),
+        inter.alias("inter"),
+        (F.col("sz_a") + F.col("sz_b") - inter).cast("long").alias("uni"),
+    )
+    return j.select(
+        "id_a", "id_b", "n_agree", "inter", "uni",
+        (F.col("n_agree").cast("double") / F.lit(8.0)).alias("est_jaccard"),
+        (F.col("inter").cast("double") / F.col("uni").cast("double")).alias(
+            "exact_jaccard"
+        ),
+        (
+            F.abs(F.col("n_agree") * F.col("uni") - 8 * F.col("inter"))
+            <= 4 * F.col("uni")
+        ).alias("within_half"),
+    )
+
+
+@register(
+    "bom_rollup_parts",
+    """
+WITH RECURSIVE nodes AS (
+  SELECT p_partkey AS id,
+         CASE WHEN p_partkey >= 10 THEN p_partkey // 10 END AS parent,
+         cast(round(p_retailprice * 100) as bigint) AS cents
+  FROM part
+), walk AS (
+  SELECT id, parent AS anc, 1 AS hops FROM nodes WHERE parent IS NOT NULL
+  UNION ALL
+  SELECT w.id, n.parent, w.hops + 1
+  FROM walk w JOIN nodes n ON n.id = w.anc AND n.parent IS NOT NULL
+), rootd AS (
+  SELECT n.id,
+         coalesce(t.anc, n.id) AS root_id,
+         cast(coalesce(t.hops, 0) as bigint) AS depth
+  FROM nodes n LEFT JOIN (
+    SELECT id, anc, hops,
+           row_number() OVER (PARTITION BY id ORDER BY hops DESC) AS rn
+    FROM walk
+  ) t ON t.id = n.id AND t.rn = 1
+), sub AS (
+  SELECT w.anc AS id, cast(count(*) as bigint) AS n_desc,
+         cast(sum(n.cents) as decimal(38,0)) AS desc_cents
+  FROM walk w JOIN nodes n ON n.id = w.id
+  GROUP BY w.anc
+)
+SELECT n.id AS p_partkey, r.root_id, r.depth, n.cents,
+       coalesce(s.n_desc, cast(0 as bigint)) AS n_desc,
+       cast(n.cents + coalesce(s.desc_cents, 0) as decimal(38,0)) AS subtree_cents
+FROM nodes n
+JOIN rootd r ON r.id = n.id
+LEFT JOIN sub s ON s.id = n.id
+""",
+)
+def bom_rollup_parts(spark, sf_dir):
+    """Recursive hierarchy rollup (bill-of-materials shape) over the
+    deterministic decimal-digit part forest (parent = partkey div 10):
+    every part's root assembly, depth, descendant count, and exact
+    subtree retail-price rollup — the classic warehouse recursive-CTE
+    workload Spark SQL lacks natively, expressed with the engine's two
+    scalable closure primitives. Root+depth ride the pointer-doubling
+    chain resolver (operators/chains.py, ⌈log₂ depth⌉ rounds); the
+    subtree aggregate materializes the (node, ancestor) closure by the
+    same doubling — O(n·depth) pairs, depth ≤ log₁₀(maxkey) ≈ 7, never
+    one-hop-per-pass. Cents-integer money, decimal(38,0) rollups."""
+    from gipspark.operators.chains import resolve_chains
+
+    dec = "decimal(38,0)"
+    nodes = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.when(
+            F.col("p_partkey") >= 10, F.expr("cast(p_partkey div 10 as long)")
+        ).alias("parent"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    rootd = resolve_chains(nodes.select("id", F.col("parent").alias("next"))).select(
+        F.col("id"),
+        F.col("final_id").alias("root_id"),
+        F.col("hops").cast("long").alias("depth"),
+    )
+    pairs = nodes.filter(F.col("parent").isNotNull()).select(
+        "id", F.col("parent").alias("anc")
+    ).localCheckpoint()
+    prev = pairs.count()
+    for _ in range(5):  # depth ≤ 2^5 covers any 10^9-key catalog
+        comp = (
+            pairs.alias("x")
+            .join(pairs.alias("y"), F.col("x.anc") == F.col("y.id"))
+            .select(F.col("x.id").alias("id"), F.col("y.anc").alias("anc"))
+        )
+        pairs = pairs.unionByName(comp).distinct().localCheckpoint()
+        cur = pairs.count()
+        if cur == prev:
+            break
+        prev = cur
+    sub = (
+        pairs.join(nodes.select("id", F.col("cents").alias("dc")), "id")
+        .groupBy(F.col("anc").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_desc"),
+            F.sum("dc").cast(dec).alias("desc_cents"),
+        )
+    )
+    return (
+        nodes.join(rootd, "id")
+        .join(sub, "id", "left")
+        .select(
+            F.col("id").alias("p_partkey"),
+            "root_id",
+            "depth",
+            "cents",
+            F.coalesce("n_desc", F.lit(0).cast("long")).alias("n_desc"),
+            (F.col("cents").cast(dec) + F.coalesce(F.col("desc_cents"), F.lit(0).cast(dec)))
+            .cast(dec)
+            .alias("subtree_cents"),
+        )
+    )
+
+
+@register(
+    "areal_interp_zones",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon,
+         cast(round(c_acctbal * 100) as bigint) AS cents
+  FROM customer
+), z AS (
+  SELECT cast(floor((lon + 180.0) / 10.0) as int) AS ax,
+         cast(floor((90.0 - lat) / 10.0) as int) AS ay,
+         cast(floor((lon + 185.0) / 10.0) as int) AS bx,
+         cast(floor((95.0 - lat) / 10.0) as int) AS by_,
+         cents
+  FROM pts
+), ints AS (
+  SELECT ax, ay, bx, by_, cast(count(*) as bigint) AS n_int FROM z
+  GROUP BY ax, ay, bx, by_
+), za AS (
+  SELECT ax, ay, cast(sum(n_int) as bigint) AS n_a FROM ints GROUP BY ax, ay
+), va AS (
+  SELECT ax, ay, cast(sum(cents) as decimal(38,0)) AS value_a_cents
+  FROM z GROUP BY ax, ay
+)
+SELECT i.ax, i.ay, i.bx, i.by_, i.n_int, a.n_a, v.value_a_cents,
+       cast(i.n_int as double) / cast(a.n_a as double) AS weight,
+       cast(v.value_a_cents as double) * cast(i.n_int as double)
+         / cast(a.n_a as double) AS alloc_value
+FROM ints i
+JOIN za a ON a.ax = i.ax AND a.ay = i.ay
+JOIN va v ON v.ax = i.ax AND v.ay = i.ay
+""",
+)
+def areal_interp_zones(spark, sf_dir):
+    """Areal interpolation weight matrix between two incompatible zone
+    systems (10° admin grid A vs the 5°-offset grid B) — the dasymetric
+    disaggregation step every census↔crawl reconciliation needs when
+    source values exist only at zone-A level. Weights are point-count
+    shares of each A∩B intersection (exact integers n_int/n_a — the
+    Goodchild–Lam binary-dasymetric estimator with population weighting
+    instead of raw area); value allocation is ONE fixed-form double
+    expression per row, never a float re-aggregation (downstream sums
+    pick their own rounding policy). Shape: one point-scale agg to the
+    intersection lattice, two dim-scale reaggs, broadcast-sized joins
+    — the customer table is scanned once."""
+    pts = load(spark, sf_dir, "customer").select(
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    z = pts.select(
+        F.floor((F.col("lon") + 180.0) / 10.0).cast("int").alias("ax"),
+        F.floor((90.0 - F.col("lat")) / 10.0).cast("int").alias("ay"),
+        F.floor((F.col("lon") + 185.0) / 10.0).cast("int").alias("bx"),
+        F.floor((95.0 - F.col("lat")) / 10.0).cast("int").alias("by_"),
+        "cents",
+    )
+    ints = z.groupBy("ax", "ay", "bx", "by_").agg(
+        F.count(F.lit(1)).cast("long").alias("n_int")
+    )
+    za = ints.groupBy("ax", "ay").agg(F.sum("n_int").cast("long").alias("n_a"))
+    va = z.groupBy("ax", "ay").agg(
+        F.sum("cents").cast("decimal(38,0)").alias("value_a_cents")
+    )
+    return (
+        ints.join(F.broadcast(za), ["ax", "ay"])
+        .join(F.broadcast(va), ["ax", "ay"])
+        .select(
+            "ax", "ay", "bx", "by_", "n_int", "n_a", "value_a_cents",
+            (F.col("n_int").cast("double") / F.col("n_a").cast("double")).alias(
+                "weight"
+            ),
+            (
+                F.col("value_a_cents").cast("double")
+                * F.col("n_int").cast("double")
+                / F.col("n_a").cast("double")
+            ).alias("alloc_value"),
+        )
+    )
+
+
+# --- round-4 batch 3: viewshed, toponym resolution, harmonic centrality ----
+
+
+_VS_SCALE = 1_048_576  # 2^20 tangent ticks — exact in double up to v ~ 2^32
+
+
+@register(
+    "viewshed_scanline_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+), sc AS (
+  SELECT cx, cy, v,
+         first_value(cx) OVER wr AS ocx,
+         first_value(v) OVER wr AS ov
+  FROM grid
+  WINDOW wr AS (PARTITION BY cy ORDER BY cx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tan AS (
+  SELECT cx, cy, v, cast(cx - ocx as bigint) AS d,
+         CASE WHEN cx > ocx THEN
+           cast(floor(cast((v - ov) * {_VS_SCALE} as double) / (cx - ocx)) as bigint)
+         END AS tan_ticks
+  FROM sc
+), vis AS (
+  SELECT cx, cy, v, d, tan_ticks,
+         max(tan_ticks) OVER (PARTITION BY cy ORDER BY cx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM tan
+)
+SELECT cx, cy, v, d, tan_ticks,
+       (d = 0 OR prevmax IS NULL OR tan_ticks > prevmax) AS visible
+FROM vis
+""",
+)
+def viewshed_scanline_cells(spark, sf_dir):
+    """Scanline viewshed over the 2.5° event-density raster — the GIS
+    line-of-sight kernel restricted to the west→east scan so it is
+    window-expressible: the observer sits on each row's westernmost
+    occupied cell, and a cell is visible iff its elevation angle
+    strictly exceeds every angle between it and the observer. The
+    tangent is frozen as integer ticks floor((v−v_obs)·2^20 / dist)
+    (numerator exact in double far past any cell count, one IEEE
+    divide + floor — bit-identical across engines), so the running
+    occlusion horizon is a plain cumulative MAX over the preceding
+    frame: two window passes on a cell-scale frame, zero joins, and
+    the only point-scale work is the one map-side-combinable density
+    agg. Classic viewshed's per-pair Bresenham walk never appears —
+    at 100 TB the raster stays fixed-size and the scan stays linear."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    wr = Window.partitionBy("cy").orderBy("cx")
+    sc = grid.select(
+        "cx", "cy", "v",
+        F.first("cx").over(wr).alias("ocx"),
+        F.first("v").over(wr).alias("ov"),
+    )
+    tan = sc.select(
+        "cx", "cy", "v",
+        (F.col("cx") - F.col("ocx")).cast("long").alias("d"),
+        F.when(
+            F.col("cx") > F.col("ocx"),
+            F.floor(
+                ((F.col("v") - F.col("ov")) * F.lit(_VS_SCALE)).cast("double")
+                / (F.col("cx") - F.col("ocx"))
+            ).cast("long"),
+        ).alias("tan_ticks"),
+    )
+    wprev = wr.rowsBetween(Window.unboundedPreceding, -1)
+    return tan.select(
+        "cx", "cy", "v", "d", "tan_ticks",
+        (
+            (F.col("d") == 0)
+            | F.max("tan_ticks").over(wprev).isNull()
+            | (F.col("tan_ticks") > F.max("tan_ticks").over(wprev))
+        ).alias("visible"),
+    )
+
+
+# deterministic multi-sense gazetteer over the fixed doc vocabulary:
+# 8 ambiguous place names × 3 senses; coordinates derive from the same
+# LCG the corpus geotags use, in integer millidegree ticks.
+_GAZ_NAMES = ("spark", "join", "window", "stream", "merge", "batch", "filter", "sort")
+_GAZ = [
+    (name, 100 * (ni + 1) + s, 7919 * (16 * ni + s) + 13)
+    for ni, name in enumerate(_GAZ_NAMES)
+    for s in range(3)
+]
+_GAZ_VALUES_SQL = ", ".join(f"('{n}', {pid}, {key})" for n, pid, key in _GAZ)
+
+
+@register(
+    "toponym_resolution_docs",
+    f"""
+WITH gaz AS (
+  SELECT name, place_id,
+         (cast(key as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} AS glat_t,
+         (cast(key as bigint) * {C.LON_MUL}) % {C.LON_MOD} AS glon_t
+  FROM (VALUES {_GAZ_VALUES_SQL}) AS g(name, place_id, key)
+), mentions AS (
+  SELECT DISTINCT doc_id, w AS name FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE w IN ({", ".join(f"'{n}'" for n in _GAZ_NAMES)})
+), cand AS (
+  SELECT m.doc_id, m.name, g.place_id,
+         ((cast(m.doc_id as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} - g.glat_t) AS dy,
+         ((cast(m.doc_id as bigint) * {C.LON_MUL}) % {C.LON_MOD} - g.glon_t) AS dx
+  FROM mentions m JOIN gaz g ON g.name = m.name
+), scored AS (
+  SELECT doc_id, name, place_id, dy * dy + dx * dx AS d2_ticks,
+         row_number() OVER (PARTITION BY doc_id, name
+                            ORDER BY dy * dy + dx * dx, place_id) AS rn
+  FROM cand
+)
+SELECT name, place_id, cast(count(*) as bigint) AS n_docs,
+       cast(sum(d2_ticks) as bigint) AS sum_d2_ticks
+FROM scored WHERE rn = 1 GROUP BY name, place_id
+""",
+)
+def toponym_resolution_docs(spark, sf_dir):
+    """Toponym resolution — the geotagger's entity-disambiguation step:
+    a mention of an ambiguous place name resolves to the gazetteer
+    sense nearest the document's own geotag (planar millideg-tick d²,
+    place_id tie-break). The gazetteer is a 24-row broadcast literal
+    (8 names × 3 senses, coordinates from the corpus LCG so every
+    quantity is BIGINT — no doubles anywhere); mentions are the
+    per-doc DISTINCT vocabulary hits, so the candidate join emits ≤3
+    rows per mention and the argmin is a ≤3-row window. Scale shape:
+    one token explode + distinct (the same linear pass every text op
+    pays), a broadcast-hash join against a dim that never grows with
+    the corpus, and one final hash agg — no shuffle keyed on anything
+    wider than (doc_id, name)."""
+    gaz = spark.createDataFrame(
+        [(n, pid, key) for n, pid, key in _GAZ], "name string, place_id int, key long"
+    ).select(
+        "name", "place_id",
+        ((F.col("key") * C.LAT_MUL) % C.LAT_MOD).alias("glat_t"),
+        ((F.col("key") * C.LON_MUL) % C.LON_MOD).alias("glon_t"),
+    )
+    d = load(spark, sf_dir, "documents")
+    mentions = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("name"))
+        .filter(F.col("name").isin(*_GAZ_NAMES))
+        .distinct()
+    )
+    cand = mentions.join(F.broadcast(gaz), "name").select(
+        "doc_id", "name", "place_id",
+        ((F.col("doc_id").cast("long") * C.LAT_MUL) % C.LAT_MOD - F.col("glat_t")).alias("dy"),
+        ((F.col("doc_id").cast("long") * C.LON_MUL) % C.LON_MOD - F.col("glon_t")).alias("dx"),
+    )
+    w = Window.partitionBy("doc_id", "name").orderBy(
+        (F.col("dy") * F.col("dy") + F.col("dx") * F.col("dx")).asc(), F.col("place_id").asc()
+    )
+    best = (
+        cand.withColumn("d2_ticks", F.col("dy") * F.col("dy") + F.col("dx") * F.col("dx"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return best.groupBy("name", "place_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("d2_ticks").cast("long").alias("sum_d2_ticks"),
+    )
+
+
+_HC_K = 3  # hop bound: reach ≤ outdeg + outdeg² + outdeg³ per source
+
+
+def _hc_oracle_sql() -> str:
+    rounds = []
+    for i in range(_HC_K):
+        rounds.append(
+            f"""d{i + 1} AS (
+  SELECT src, node, cast(min(dist) as bigint) AS dist FROM (
+    SELECT src, node, dist FROM d{i}
+    UNION ALL
+    SELECT d.src, e.dst AS node, d.dist + 1 AS dist
+    FROM d{i} d JOIN edges e ON d.node = e.src
+  ) GROUP BY src, node)"""
+        )
+    return (
+        f"""
+WITH edges AS (
+  SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+d0 AS (SELECT doc_id AS src, cast(doc_id as bigint) AS node, cast(0 as bigint) AS dist FROM documents),
+"""
+        + ",\n".join(rounds)
+        + f"""
+SELECT src, cast(count(*) as bigint) AS n_reach,
+       cast(sum(1000000 // dist) as bigint) AS h_ticks
+FROM d{_HC_K} WHERE dist > 0 GROUP BY src
+"""
+    )
+
+
+@register("harmonic_centrality_links", _hc_oracle_sql())
+def harmonic_centrality_links(spark, sf_dir):
+    """K-bounded harmonic centrality over the deterministic doc link
+    graph: H(u) = Σ_{{0<dist(u,v)≤K}} floor(10⁶/dist) — the centrality
+    that, unlike closeness, is defined on disconnected graphs and,
+    unlike PageRank, measures OUT-reach. Exact-integer ticks (10⁶/1,
+    /2, /3) so parallel sums reassociate freely. The unbounded version
+    is all-pairs BFS (O(V·E) — never at 100 TB); the K-bound caps the
+    frontier at outdeg^K pairs per source, and each of the K unrolled
+    rounds is one equi-join + per-(src,node) min-agg — the same
+    frontier-relax shape as khop_cheapest, fanned out from EVERY node
+    at once instead of one seed. The oracle replays the identical K
+    rounds as chained CTEs."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    edges = d.select(
+        F.col("doc_id").alias("esrc"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    dist = d.select(
+        F.col("doc_id").alias("src"),
+        F.col("doc_id").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(_HC_K):
+        expand = (
+            dist.join(edges, dist.node == edges.esrc)
+            .select("src", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expand)
+            .groupBy("src", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reach"),
+            F.sum(F.expr("1000000L div dist")).cast("long").alias("h_ticks"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
