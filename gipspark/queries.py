@@ -15095,6 +15095,218 @@ def harmonic_centrality_links(spark, sf_dir):
     )
 
 
+# --- round-4 batch 4: Apriori triples + capacity-constrained matching ------
+
+
+_FT_SUP = 3  # support floor, same as cooccurrence_pairs_docs
+
+
+@register(
+    "frequent_triples_docs",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), dt AS (
+  SELECT DISTINCT doc_id, w FROM toks WHERE regexp_full_match(w, '[a-z]{{3,}}')
+), capped AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY w) AS rn FROM dt
+  ) WHERE rn <= {_COOC_CAP}
+), fp AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w HAVING count(*) >= {_FT_SUP}
+), tri AS (
+  SELECT a.w AS w1, b.w AS w2, c.w AS w3
+  FROM capped a
+  JOIN capped b ON a.doc_id = b.doc_id AND a.w < b.w
+  JOIN capped c ON b.doc_id = c.doc_id AND b.w < c.w
+  JOIN fp f1 ON f1.w1 = a.w AND f1.w2 = b.w
+  JOIN fp f2 ON f2.w1 = a.w AND f2.w2 = c.w
+  JOIN fp f3 ON f3.w1 = b.w AND f3.w2 = c.w
+)
+SELECT w1, w2, w3, support FROM (
+  SELECT w1, w2, w3, cast(count(*) as bigint) AS support FROM tri GROUP BY w1, w2, w3
+) WHERE support >= {_FT_SUP}
+ORDER BY support DESC, w1, w2, w3 LIMIT 100
+""",
+)
+def frequent_triples_docs(spark, sf_dir):
+    """Frequent 3-itemsets with the A-Priori candidate prune — the
+    market-basket tier above cooccurrence_pairs_docs' pairs. The
+    distributed-Apriori shape is the point: frequent pairs are counted
+    first, and the cubic triple expansion is gated by THREE semi-joins
+    against that pair set (downward closure: a triple can only be
+    frequent if all three of its pairs are), so on a real corpus the
+    candidate stream shrinks by orders of magnitude before the big
+    agg. Per-doc candidates are already bounded by the same
+    {_COOC_CAP}-term cap as the pair op (≤C({_COOC_CAP},3)=220 triple
+    instances per doc — linear in the corpus); the frequent-pair set
+    rides as a broadcast. Top-100 with full tie-breaks plans as
+    TakeOrderedAndProject."""
+    d = load(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{3,}$"))
+        .distinct()
+    )
+    wcap = Window.partitionBy("doc_id").orderBy("w")
+    capped = (
+        dt.withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= _COOC_CAP)
+        .select("doc_id", "w")
+    )
+    a = capped.select("doc_id", F.col("w").alias("w1"))
+    b = capped.select("doc_id", F.col("w").alias("w2"))
+    c = capped.select("doc_id", F.col("w").alias("w3"))
+    fp = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _FT_SUP)
+        .select("w1", "w2")
+    )
+    tri = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .join(c, "doc_id")
+        .filter(F.col("w2") < F.col("w3"))
+        .join(F.broadcast(fp), ["w1", "w2"])
+        .join(F.broadcast(fp.select(F.col("w1"), F.col("w2").alias("w3"))), ["w1", "w3"])
+        .join(F.broadcast(fp.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"))), ["w2", "w3"])
+    )
+    return (
+        tri.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _FT_SUP)
+        .orderBy(F.desc("support"), "w1", "w2", "w3")
+        .limit(100)
+    )
+
+
+_MATCH_ROUNDS = 3
+_MATCH_CAP_SQL = "cast(1 + s_suppkey % 3 as bigint)"
+
+
+def _match_oracle_sql() -> str:
+    hav = HAVERSINE_SQL.format(lat1="q.q_lat", lon1="q.q_lon", lat2="r.p_lat", lon2="r.p_lon")
+    parts = [
+        f"""
+WITH q AS (SELECT c_custkey AS cid,
+                  {C.DERIVED_LAT_SQL.format(k='c_custkey')} AS q_lat,
+                  {C.DERIVED_LON_SQL.format(k='c_custkey')} AS q_lon FROM customer),
+p AS (SELECT s_suppkey AS sid, {_MATCH_CAP_SQL} AS cap,
+             {C.DERIVED_LAT_SQL.format(k='s_suppkey * 31 + 7')} AS p_lat,
+             {C.DERIVED_LON_SQL.format(k='s_suppkey * 31 + 7')} AS p_lon FROM supplier),
+m0 AS (SELECT cast(NULL as bigint) AS cid, cast(NULL as bigint) AS sid,
+              cast(NULL as double) AS dist_m, cast(NULL as bigint) AS rnd WHERE false)"""
+    ]
+    for i in range(1, _MATCH_ROUNDS + 1):
+        parts.append(
+            f""",
+rem{i} AS (
+  SELECT p.sid, p.cap - coalesce(a.cnt, 0) AS rem, p.p_lat, p.p_lon
+  FROM p LEFT JOIN (SELECT sid, count(*) AS cnt FROM m{i - 1} GROUP BY sid) a USING (sid)
+),
+prop{i} AS (
+  SELECT cid, sid, dist_m,
+         row_number() OVER (PARTITION BY cid ORDER BY dist_m, sid) AS rn
+  FROM (
+    SELECT q.cid, r.sid, {hav} AS dist_m
+    FROM q CROSS JOIN rem{i} r
+    WHERE r.rem > 0
+      AND q.cid NOT IN (SELECT cid FROM m{i - 1} WHERE cid IS NOT NULL)
+  )
+),
+acc{i} AS (
+  SELECT cid, sid, dist_m,
+         row_number() OVER (PARTITION BY sid ORDER BY dist_m, cid) AS srn
+  FROM prop{i} WHERE rn = 1
+),
+m{i} AS (
+  SELECT cid, sid, dist_m, rnd FROM m{i - 1}
+  UNION ALL
+  SELECT a.cid, a.sid, a.dist_m, cast({i} as bigint) AS rnd
+  FROM acc{i} a JOIN rem{i} r ON r.sid = a.sid WHERE a.srn <= r.rem
+)"""
+        )
+    parts.append(
+        f"\nSELECT cid AS c_custkey, sid AS s_suppkey, rnd,"
+        f" cast(round(dist_m, 0) as double) AS dist_m0 FROM m{_MATCH_ROUNDS}\n"
+    )
+    return "".join(parts)
+
+
+@register("capacity_matching_customers", _match_oracle_sql())
+def capacity_matching_customers(spark, sf_dir):
+    """Capacity-constrained nearest matching (deferred-acceptance
+    rounds): customers propose to their nearest supplier that still
+    has slots, each supplier accepts its closest proposals up to
+    remaining capacity, and rejected customers re-propose next round —
+    the facility-assignment problem Voronoi catchments ignore
+    (catchment_counts assigns by distance alone; real depots have
+    finite capacity). Fully deterministic: haversine shared textually
+    with the oracle, (dist, id) tie-breaks on both window ranks, fixed
+    {_MATCH_ROUNDS} rounds. Scale shape per round: proposals ride the
+    SAME exact k-ring kNN kernel as every other nearest query (never a
+    customer×supplier cross join — the oracle's CROSS JOIN is the
+    spec, not the plan); acceptance is a per-supplier window over its
+    own proposals; capacities update via one dim-scale agg. matched is
+    localCheckpointed so round plans don't nest."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("q_id"),
+        C.derived_lat(F.col("c_custkey")).alias("q_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("q_lon"),
+    )
+    sk = F.col("s_suppkey") * 31 + 7
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("p_id"),
+        (F.lit(1) + F.col("s_suppkey") % 3).cast("long").alias("cap"),
+        C.derived_lat(sk).alias("p_lat"),
+        C.derived_lon(sk).alias("p_lon"),
+    )
+    n_sup = table_rows(sf_dir, "supplier")
+    matched = None
+    unmatched = cust
+    for i in range(1, _MATCH_ROUNDS + 1):
+        if matched is None:
+            rem = sup.withColumn("rem", F.col("cap"))
+        else:
+            taken = matched.groupBy(F.col("p_id")).agg(F.count(F.lit(1)).alias("cnt"))
+            rem = sup.join(taken, "p_id", "left").withColumn(
+                "rem", F.col("cap") - F.coalesce("cnt", F.lit(0))
+            )
+        avail = rem.filter(F.col("rem") > 0)
+        if avail.limit(1).count() == 0:  # dim-scale probe, bounded
+            break
+        prop = knn_join(
+            unmatched,
+            avail.select("p_id", "p_lat", "p_lon"),
+            k=1,
+            n_points_hint=n_sup,
+        )
+        wacc = Window.partitionBy("p_id").orderBy("dist_m", "q_id")
+        acc = (
+            prop.withColumn("srn", F.row_number().over(wacc))
+            .join(F.broadcast(avail.select("p_id", "rem")), "p_id")
+            .filter(F.col("srn") <= F.col("rem"))
+            .select("q_id", "p_id", "dist_m", F.lit(i).cast("long").alias("rnd"))
+        )
+        matched = acc if matched is None else matched.unionByName(acc)
+        matched = matched.localCheckpoint()
+        unmatched = unmatched.join(matched.select("q_id"), "q_id", "left_anti")
+    return matched.select(
+        F.col("q_id").alias("c_custkey"),
+        F.col("p_id").cast("long").alias("s_suppkey"),
+        "rnd",
+        # 0-dp round: the engines' haversines can differ by 1 ULP
+        # (same rule as knn_join_nations' dist_m0)
+        F.round("dist_m", 0).cast("double").alias("dist_m0"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
