@@ -88,6 +88,14 @@ BENCH_QUERIES = [
     "dwell_cells_user",
     "map_match_smooth_events",
     "fuzzy_title_join",
+    # round-4 additions: iterative closure, scanline raster, all-source
+    # graph relax, deferred-acceptance matching, Apriori, gazetteer join
+    "flow_accumulation_cells",
+    "viewshed_scanline_cells",
+    "harmonic_centrality_links",
+    "capacity_matching_customers",
+    "frequent_triples_docs",
+    "toponym_resolution_docs",
 ]
 
 
