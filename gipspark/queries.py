@@ -15307,6 +15307,379 @@ def capacity_matching_customers(spark, sf_dir):
     )
 
 
+# --- round-4 batch (session 2): trend/sequence/randomness/components/raster -
+
+
+@register(
+    "ols_trend_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         epoch_us(ts) // 1000000 // 86400 AS d
+  FROM events
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_MK_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MK_GRID}) as int) AS gy,
+         d, cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy, d
+), a AS (
+  SELECT gx, gy, cast(count(*) as bigint) AS n,
+         cast(sum(d) as bigint) AS sx, cast(sum(x) as bigint) AS sy,
+         cast(sum(d * d) as bigint) AS sxx, cast(sum(d * x) as bigint) AS sxy
+  FROM c GROUP BY gx, gy
+)
+SELECT gx, gy, n AS n_days,
+       cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double) AS slope,
+       (cast(sy as double)
+        - cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)
+          * cast(sx as double)) / cast(n as double) AS intercept
+FROM a WHERE n >= 2 AND n * sxx - sx * sx > 0
+""",
+)
+def ols_trend_cells(spark, sf_dir):
+    """Exact ordinary-least-squares trend (slope + intercept) of daily
+    event counts per 30° cell — the moment-based magnitude estimator
+    next to the rank-based pair (mann_kendall_cells direction,
+    theil_sen_cells robust slope). All five moments (n, Σd, Σx, Σd²,
+    Σdx) are one BIGINT hash aggregate — no self-join, unlike Theil–Sen
+    — so this is the cheap screening pass a pipeline runs over every
+    cell before paying for the robust estimator on the interesting
+    ones. num/den are exact int64 (day index ≤ ~2·10⁴, headroom to
+    ~10¹⁴ events per cell; beyond that widen the two products to
+    decimal(38,0) — the spearman_tokens_chars pattern); slope and
+    intercept are formed from exact integers with divisions in the
+    same textual order as the oracle."""
+    ev = load(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+    )
+    c = ev.groupBy(
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_MK_GRID)).cast("int").alias("gx"),
+        F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_MK_GRID)).cast("int").alias("gy"),
+        "d",
+    ).agg(F.count("*").cast("long").alias("x"))
+    a = c.groupBy("gx", "gy").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("x").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+        F.sum(F.col("d") * F.col("x")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return (
+        a.filter((F.col("n") >= 2) & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0))
+        .select(
+            "gx", "gy",
+            F.col("n").alias("n_days"),
+            slope.alias("slope"),
+            (
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+            ).alias("intercept"),
+        )
+    )
+
+
+@register(
+    "bigram_next_token_docs",
+    r"""
+WITH t AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+), raw AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+  FROM t WHERE len(toks) >= 2
+), bf AS (
+  SELECT s.w1 AS w1, s.w2 AS w2 FROM raw
+  WHERE regexp_full_match(s.w1, '[a-z]{3,}') AND regexp_full_match(s.w2, '[a-z]{3,}')
+), cxy AS (
+  SELECT w1, w2, cast(count(*) as bigint) AS n_pair FROM bf GROUP BY w1, w2
+), r AS (
+  SELECT w1, w2, n_pair,
+         cast(sum(n_pair) OVER (PARTITION BY w1) as bigint) AS n_head,
+         row_number() OVER (PARTITION BY w1 ORDER BY n_pair DESC, w2) AS rn
+  FROM cxy
+)
+SELECT w1 AS head_tok, w2 AS next_tok, n_pair, n_head,
+       cast(n_pair as double) / cast(n_head as double) AS p_next
+FROM r WHERE rn = 1 AND n_head >= 5
+""",
+)
+def bigram_next_token_docs(spark, sf_dir):
+    """Bigram language-model table: for every head token seen ≥5
+    times, the argmax next token with its conditional probability —
+    the greedy-completion / boilerplate-detector companion to
+    pmi_collocations_docs (which ranks by association instead of
+    conditional frequency). Bigrams are built JVM-side with
+    transform(sequence(...)) over the token array; the head totals and
+    the argmax share ONE shuffle on w1 (window sum + row_number over
+    the same partition key — Catalyst plans a single exchange).
+    Deterministic ties: higher count, then lexicographic next token."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(T.tokens(F.col("text")).alias("toks"))
+    bf = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] as w1, toks[i + 1] as w2))"
+                )
+            ).alias("s")
+        )
+        .select("s.w1", "s.w2")
+        .filter(F.col("w1").rlike("^[a-z]{3,}$") & F.col("w2").rlike("^[a-z]{3,}$"))
+    )
+    cxy = bf.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
+    wp = Window.partitionBy("w1")
+    r = cxy.select(
+        "w1", "w2", "n_pair",
+        F.sum("n_pair").over(wp).cast("long").alias("n_head"),
+        F.row_number()
+        .over(wp.orderBy(F.col("n_pair").desc(), F.col("w2")))
+        .alias("rn"),
+    )
+    return r.filter((F.col("rn") == 1) & (F.col("n_head") >= 5)).select(
+        F.col("w1").alias("head_tok"),
+        F.col("w2").alias("next_tok"),
+        "n_pair",
+        "n_head",
+        (F.col("n_pair").cast("double") / F.col("n_head").cast("double")).alias("p_next"),
+    )
+
+
+@register(
+    "runs_test_users",
+    """
+WITH m AS (
+  SELECT user_id, cast(sum(cast(value as decimal(18,2))) as double) AS vsum,
+         cast(count(*) as bigint) AS n
+  FROM events GROUP BY user_id
+), q AS (
+  SELECT e.user_id, e.ts, e.event_id, m.n,
+         CASE WHEN cast(e.value as double) * cast(m.n as double) > m.vsum
+              THEN 1 ELSE 0 END AS side
+  FROM events e JOIN m ON e.user_id = m.user_id
+), r AS (
+  SELECT user_id, side, n,
+         lag(side) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM q
+), agg AS (
+  SELECT user_id, cast(max(n) as bigint) AS n,
+         cast(sum(side) as bigint) AS n1,
+         cast(max(n) - sum(side) as bigint) AS n2,
+         cast(1 + sum(CASE WHEN prev IS NOT NULL AND side <> prev THEN 1 ELSE 0 END)
+              as bigint) AS runs
+  FROM r GROUP BY user_id
+)
+SELECT user_id, n, n1, n2, runs,
+       (cast(runs as double)
+        - (2.0 * cast(n1 as double) * cast(n2 as double) / cast(n as double) + 1.0))
+       / sqrt((2.0 * cast(n1 as double) * cast(n2 as double)
+               * (2.0 * cast(n1 as double) * cast(n2 as double) - cast(n as double)))
+              / (cast(n as double) * cast(n as double) * (cast(n as double) - 1.0))) AS z
+FROM agg WHERE n1 > 0 AND n2 > 0 AND n > 1
+""",
+)
+def runs_test_users(spark, sf_dir):
+    """Wald–Wolfowitz runs test per user: is the above/below-mean
+    pattern of a user's event values serially random? Complements the
+    rate-based bot detectors (bot_regularity_users = timing
+    regularity, fano_burstiness_events = count dispersion) with a
+    VALUE-sequence test — scripted clients alternate or streak far
+    from the R ≈ 2·n1·n2/n + 1 expectation. Sides compare value·n >
+    Σvalue (no division, decimal-exact sum); runs count via one lag
+    window sharing the user_id shuffle with the aggregate; z is formed
+    from exact integers — the only non-rational op is IEEE sqrt, which
+    is correctly rounded and therefore engine-identical."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("vsum"),
+        F.count("*").cast("long").alias("n"),
+    )
+    q = ev.join(m, "user_id").select(
+        "user_id", "ts", "event_id", "n",
+        F.when(
+            F.col("value").cast("double") * F.col("n").cast("double") > F.col("vsum"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("side"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = q.select("user_id", "side", "n", F.lag("side").over(w).alias("prev"))
+    agg = r.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("side").cast("long").alias("n1"),
+        (F.max("n") - F.sum("side")).cast("long").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(F.col("prev").isNotNull() & (F.col("side") != F.col("prev")), 1).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    two = F.lit(2.0) * n1d * n2d
+    return agg.filter((F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") > 1)).select(
+        "user_id", "n", "n1", "n2", "runs",
+        (
+            (F.col("runs").cast("double") - (two / nd + F.lit(1.0)))
+            / F.sqrt((two * (two - nd)) / (nd * nd * (nd - F.lit(1.0))))
+        ).alias("z"),
+    )
+
+
+_WCC_EDGE = D.MD5_LONG_SQL.format(x="concat('w:', cast(doc_id as varchar))")
+_WCC_PREV = D.MD5_LONG_SQL.format(x="concat('w:', cast(doc_id - 1 as varchar))")
+
+
+@register(
+    "wcc_chain_docs",
+    f"""
+WITH f AS (
+  SELECT cast(doc_id as bigint) AS i,
+         ({_WCC_EDGE} % 100 < 70
+          AND doc_id < (SELECT count(*) FROM documents) - 1) AS hn,
+         (doc_id > 0 AND {_WCC_PREV} % 100 < 70) AS hp
+  FROM documents
+), g AS (
+  SELECT i, hn, hp,
+         max(CASE WHEN NOT hp THEN i END)
+           OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS comp
+  FROM f
+)
+SELECT i AS doc_id, cast(comp as bigint) AS comp FROM g WHERE hn OR hp
+""",
+)
+def wcc_chain_docs(spark, sf_dir):
+    """Weakly-connected components as a first-class registry query
+    (operators/components.py — min-label propagation with pointer
+    jumping, O(log diameter) rounds). The graph is a deterministic
+    chain: edge (i, i+1) exists iff md5('w:'||i) % 100 < 70, giving
+    components of highly variable path length (the adversarial case
+    for label propagation — diameter = component size). The ORACLE is
+    method-independent: on a chain, a node's component minimum is the
+    last break at-or-before it, a single running-max window — so the
+    iterative Spark labeling is checked against a closed form, not a
+    replay of itself. (near_dedup_clusters checks the same operator
+    against DuckDB's recursive closure on an arbitrary graph.)"""
+    from gipspark.operators.components import connected_components
+
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    edges = (
+        d.filter(F.col("doc_id") < n - 1)
+        .filter(D.md5_long(F.concat(F.lit("w:"), F.col("doc_id").cast("string"))) % 100 < 70)
+        .select(
+            F.col("doc_id").cast("long").alias("id_a"),
+            (F.col("doc_id") + 1).cast("long").alias("id_b"),
+        )
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"), F.col("comp").cast("long").alias("comp")
+    )
+
+
+_LD_GRID = 5000  # ticks (5°) — derived coords are integer millidegree ticks
+
+
+@register(
+    "line_density_cells",
+    f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (cast(event_id as bigint) * {C.LON_MUL}) % {C.LON_MOD} AS x,
+         (cast(event_id as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} AS y
+  FROM events
+), seg AS (
+  SELECT x AS x1, y AS y1,
+         lag(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x0,
+         lag(y) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y0
+  FROM pts
+), s AS (
+  SELECT x0, y0, x1, y1,
+         x0 // {_LD_GRID} AS cx0, y0 // {_LD_GRID} AS cy0,
+         CASE WHEN x1 > x0 THEN 1 WHEN x1 < x0 THEN -1 ELSE 0 END AS sx,
+         CASE WHEN y1 > y0 THEN 1 WHEN y1 < y0 THEN -1 ELSE 0 END AS sy,
+         abs(x1 - x0) AS adx, abs(y1 - y0) AS ady,
+         abs(x1 // {_LD_GRID} - x0 // {_LD_GRID}) AS nx,
+         abs(y1 // {_LD_GRID} - y0 // {_LD_GRID}) AS ny
+  FROM seg WHERE x0 IS NOT NULL
+), p AS (
+  SELECT *,
+         CASE WHEN sx > 0 THEN (cx0 + 1) * {_LD_GRID} - x0
+              WHEN sx < 0 THEN x0 - cx0 * {_LD_GRID} ELSE 0 END AS f0v,
+         CASE WHEN sy > 0 THEN (cy0 + 1) * {_LD_GRID} - y0
+              WHEN sy < 0 THEN y0 - cy0 * {_LD_GRID} ELSE 0 END AS f0h
+  FROM s
+), vr AS (
+  SELECT cx0, cy0, sx, sy, adx, ady, ny, f0v, f0h,
+         unnest(generate_series(1, nx)) AS i
+  FROM p WHERE nx >= 1
+), hr AS (
+  SELECT cx0, cy0, sx, sy, adx, ady, nx, f0v, f0h,
+         unnest(generate_series(1, ny)) AS j
+  FROM p WHERE ny >= 1
+), cells AS (
+  SELECT cx0 AS gx, cy0 AS gy FROM p
+  UNION ALL
+  SELECT cx0 + sx * i AS gx,
+         cy0 + sy * least(ny, greatest(cast(0 as bigint), cast(ceil(
+             cast((f0v + (i - 1) * {_LD_GRID}) * ady - f0h * adx as double)
+             / cast({_LD_GRID} * adx as double)) as bigint))) AS gy
+  FROM vr
+  UNION ALL
+  SELECT cx0 + sx * least(nx, greatest(cast(0 as bigint), cast(floor(
+             cast((f0h + (j - 1) * {_LD_GRID}) * adx - f0v * ady as double)
+             / cast({_LD_GRID} * ady as double)) as bigint) + 1)) AS gx,
+         cy0 + sy * j AS gy
+  FROM hr
+)
+SELECT cast(gx as int) AS gx, cast(gy as int) AS gy,
+       cast(count(*) as bigint) AS n_hits
+FROM cells GROUP BY gx, gy
+""",
+)
+def line_density_cells(spark, sf_dir):
+    """Line density raster: how many trajectory segments touch each 5°
+    cell — exact supercover rasterization of every consecutive-fix
+    segment per user, in CLOSED FORM (operators/rasterlines.py): no
+    sequential Bresenham walk, no per-segment sort — a narrow explode
+    (∝ path length in cells, the output's own size) and one hash
+    aggregate on the cell key. Corner hits break x-first so both
+    engines enumerate identical cells; all comparisons are exact
+    integer cross-multiplications on the common denominator adx·ady.
+    The oracle mirrors the formulas; tests/test_rasterlines.py checks
+    them against an independent Fraction-exact sequential walker."""
+    from gipspark.operators.rasterlines import segment_cells
+
+    pts = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        ((F.col("event_id").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD)).alias("x"),
+        ((F.col("event_id").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD)).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = pts.select(
+        F.lag("x").over(w).alias("x0"),
+        F.lag("y").over(w).alias("y0"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    ).filter(F.col("x0").isNotNull())
+    cells = segment_cells(seg, _LD_GRID)
+    return cells.groupBy(
+        F.col("gx").cast("int").alias("gx"), F.col("gy").cast("int").alias("gy")
+    ).agg(F.count("*").cast("long").alias("n_hits"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
