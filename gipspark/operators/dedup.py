@@ -150,10 +150,18 @@ def shingle_hashes(text: Column, shingle_n: int = 2) -> Column:
     return F.transform(shingles(text, shingle_n), lambda s: md5_long(s).bitwiseAND(F.lit(_MASK30)))
 
 
-def minhash_signature(text: Column, n_hashes: int = 16, shingle_n: int = 2) -> Column:
-    """Array of n_hashes minima over mixed shingle hashes."""
+def minhash_signature(
+    text: Column, n_hashes: int = 16, shingle_n: int = 2, hash_offset: int = 0
+) -> Column:
+    """Array of n_hashes minima over mixed shingle hashes.
+    ``hash_offset`` selects an independent slice of the universal-hash
+    family (lanes hash_offset..hash_offset+n_hashes-1) — two indexes
+    built with disjoint offsets are independent capture passes
+    (queries.capture_recapture_dups)."""
     hs = shingle_hashes(text, shingle_n)
-    return F.array(*[F.array_min(F.transform(hs, _mix_i(i))) for i in range(n_hashes)])
+    return F.array(
+        *[F.array_min(F.transform(hs, _mix_i(hash_offset + i))) for i in range(n_hashes)]
+    )
 
 
 def minhash_index(
@@ -164,6 +172,7 @@ def minhash_index(
     bands: int = 4,
     shingle_n: int = 2,
     carry: tuple[str, ...] = (),
+    hash_offset: int = 0,
 ) -> DataFrame:
     """Persistable LSH index rows: (id, sig, band, bucket) — one row per
     (doc, band). Written once per corpus snapshot, this is the stored
@@ -184,9 +193,12 @@ def minhash_index(
     )
     sig = sh.select(
         "id",
-        F.array(*[F.array_min(F.transform(F.col("__hs"), _mix_i(i))) for i in range(n_hashes)]).alias(
-            "sig"
-        ),
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("__hs"), _mix_i(hash_offset + i)))
+                for i in range(n_hashes)
+            ]
+        ).alias("sig"),
         *carry,
     )
     return sig.select(
@@ -216,6 +228,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 2,
+    hash_offset: int = 0,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
@@ -224,9 +237,9 @@ def minhash_lsh_pairs(
     with bucket occupancy, not |D|². Returns (id_a, id_b, n_bands)
     with id_a < id_b.
     """
-    banded = minhash_index(df, text_col, id_col, n_hashes, bands, shingle_n).select(
-        "id", "band", "bucket"
-    )
+    banded = minhash_index(
+        df, text_col, id_col, n_hashes, bands, shingle_n, hash_offset=hash_offset
+    ).select("id", "band", "bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

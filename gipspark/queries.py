@@ -1063,16 +1063,18 @@ def _minhash_sig_sql(
     where: str = "",
     text_expr: str = "text",
     with_kw: bool = True,
+    hash_offset: int = 0,
 ) -> str:
     """CTE chain ending in {prefix}sig(doc_id, h0..h{n-1}); prefix/where/
     text_expr parameterize it so one oracle can carry several corpora
-    (incremental dedup: old vs new snapshot)."""
+    (incremental dedup: old vs new snapshot); hash_offset selects an
+    independent slice of the hash family (capture_recapture_dups)."""
     sh = D.shingles_sql(text_expr, shingle_n)
     m = D._MASK30
     base_hash = "(" + D.MD5_LONG_SQL.format(x="s") + f") & {m}"
     mins = ",".join(
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) & {m})) AS h{i}"
-        for i, (a, b) in ((j, D._mix_consts(j)) for j in range(n_hashes))
+        for i, (a, b) in ((j, D._mix_consts(hash_offset + j)) for j in range(n_hashes))
     )
     p = prefix
     return (
@@ -15678,6 +15680,296 @@ def line_density_cells(spark, sf_dir):
     return cells.groupBy(
         F.col("gx").cast("int").alias("gx"), F.col("gy").cast("int").alias("gy")
     ).agg(F.count("*").cast("long").alias("n_hits"))
+
+
+def _cr_pairs_sql(prefix: str) -> str:
+    """{prefix}pairs(id_a, id_b): distinct LSH candidate pairs from the
+    {prefix}banded bucket table (capture_recapture_dups helper)."""
+    return (
+        f"{prefix}pairs AS (\n"
+        f"  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b\n"
+        f"  FROM {prefix}banded a JOIN {prefix}banded b\n"
+        f"    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"
+    )
+
+
+@register(
+    "capture_recapture_dups",
+    _minhash_sig_sql(8, 2, prefix="ca")
+    + ", "
+    + _minhash_sig_sql(8, 2, prefix="cb", with_kw=False, hash_offset=8)
+    + ",\n"
+    + _banded_sql("ca", 8, 4)
+    + ",\n"
+    + _banded_sql("cb", 8, 4)
+    + ",\n"
+    + _cr_pairs_sql("ca")
+    + ",\n"
+    + _cr_pairs_sql("cb")
+    + """,
+u AS (
+  SELECT id_a, id_b, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT id_a, id_b, 1 AS in_a, 0 AS in_b FROM capairs
+    UNION ALL
+    SELECT id_a, id_b, 0 AS in_a, 1 AS in_b FROM cbpairs
+  ) GROUP BY id_a, id_b
+), sz AS (SELECT doc_id, sh, len(sh) AS sz FROM cabase),
+ver AS (
+  SELECT u.* FROM u JOIN sz a ON a.doc_id = u.id_a JOIN sz b ON b.doc_id = u.id_b
+  WHERE 2 * len(list_intersect(a.sh, b.sh)) >= a.sz + b.sz - len(list_intersect(a.sh, b.sh))
+)
+SELECT cast(sum(in_a) as bigint) AS n_a,
+       cast(sum(in_b) as bigint) AS n_b,
+       cast(sum(in_a * in_b) as bigint) AS n_both,
+       cast(count(*) as bigint) AS n_union,
+       cast(cast(sum(in_a) as bigint) as double) * cast(cast(sum(in_b) as bigint) as double)
+         / cast(cast(sum(in_a * in_b) as bigint) as double) AS est_pairs
+FROM ver HAVING sum(in_a * in_b) > 0
+""",
+)
+def capture_recapture_dups(spark, sf_dir):
+    """Lincoln–Petersen estimate of the TRUE verified near-dup pair
+    count from two independent LSH capture passes — how a 100 TB
+    pipeline estimates its dedup RECALL when no labeled ground truth
+    can exist at that scale. Pass A uses hash lanes 0–7, pass B lanes
+    8–15 of the same universal family (independent by construction);
+    each candidate set is exact-Jaccard verified so false positives
+    never pollute the estimate, then n_a·n_b/n_both estimates the
+    population every band config is fishing from. Costs two band
+    joins over the same once-computed shingle hashes — the estimator
+    itself is one aggregate row."""
+    docs = load(spark, sf_dir, "documents")
+    pa = D.minhash_lsh_pairs(docs, n_hashes=8, bands=4, shingle_n=2).select("id_a", "id_b")
+    pb = D.minhash_lsh_pairs(
+        docs, n_hashes=8, bands=4, shingle_n=2, hash_offset=8
+    ).select("id_a", "id_b")
+    u = (
+        pa.select("id_a", "id_b", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(pb.select("id_a", "id_b", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("sid"), D.shingles(F.col("text"), 2).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    ver = (
+        u.join(
+            sh.select(F.col("sid").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("sid").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(2 * F.col("common") >= F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    )
+    agg = ver.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.count("*").cast("long").alias("n_union"),
+    )
+    return agg.filter(F.col("n_both") > 0).select(
+        "n_a", "n_b", "n_both", "n_union",
+        (
+            F.col("n_a").cast("double") * F.col("n_b").cast("double")
+            / F.col("n_both").cast("double")
+        ).alias("est_pairs"),
+    )
+
+
+@register(
+    "boilerplate_ratio_hosts",
+    """
+WITH tg AS (
+  SELECT DISTINCT doc_id, source, g FROM (
+    SELECT doc_id, source, unnest("""
+    + D.shingles_all_sql("text", 3)
+    + """) AS g
+    FROM documents)
+), nd AS (SELECT source, cast(count(DISTINCT doc_id) as bigint) AS n_docs FROM tg GROUP BY source),
+df AS (SELECT source, g, cast(count(*) as bigint) AS df FROM tg GROUP BY source, g),
+mark AS (
+  SELECT tg.doc_id, tg.source,
+         CASE WHEN 2 * df.df >= nd.n_docs THEN 1 ELSE 0 END AS common
+  FROM tg JOIN df ON tg.source = df.source AND tg.g = df.g
+          JOIN nd ON tg.source = nd.source
+)
+SELECT source, cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+       cast(count(*) as bigint) AS n_gram_inc,
+       cast(sum(common) as bigint) AS n_common_inc,
+       cast(sum(common) as double) / cast(count(*) as double) AS boilerplate_ratio
+FROM mark GROUP BY source
+""",
+)
+def boilerplate_ratio_hosts(spark, sf_dir):
+    """Boilerplate share per host (source as host key): the fraction
+    of each doc's DISTINCT trigrams that are host-common (present in
+    ≥50% of the host's docs) — navboxes, footers and templated chrome
+    score high, original prose scores low. The curation signal
+    repetition_filter_docs can't see: repetition scores WITHIN a doc,
+    this scores ACROSS a host's corpus. Micro-averaged per host
+    (integer incidence sums, one final division) so no float
+    accumulation order can drift. Shuffle ∝ distinct (doc, trigram)
+    incidences — linear in corpus size, grouped by (host, trigram),
+    never a doc×doc comparison."""
+    d = load(spark, sf_dir, "documents")
+    tg = (
+        d.select("doc_id", "source", F.explode(D.shingles_all(F.col("text"), 3)).alias("g"))
+        .distinct()
+    )
+    nd = tg.groupBy("source").agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    df_ = tg.groupBy("source", "g").agg(F.count("*").cast("long").alias("df"))
+    mark = (
+        tg.join(df_, ["source", "g"])
+        .join(F.broadcast(nd), "source")
+        .select(
+            "doc_id", "source",
+            F.when(2 * F.col("df") >= F.col("n_docs"), 1).otherwise(0).alias("common"),
+        )
+    )
+    return mark.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_gram_inc"),
+        F.sum("common").cast("long").alias("n_common_inc"),
+        (F.sum("common").cast("double") / F.count("*").cast("double")).alias("boilerplate_ratio"),
+    )
+
+
+_HT_P = 1 << 20  # inclusion-probability resolution
+_HT_N = 500  # target sample size
+
+
+@register(
+    "ht_total_contract",
+    f"""
+WITH w AS (
+  SELECT o_orderkey,
+         cast(round(cast(o_totalprice as {DEC}) * 100) as bigint) AS cents,
+         {D.MD5_LONG_SQL.format(x="concat('ht:', cast(o_orderkey as varchar))")} % {_HT_P} AS h
+  FROM orders
+), tot AS (SELECT cast(sum(cents) as bigint) AS big_w, cast(count(*) as bigint) AS n_pop FROM w),
+s AS (
+  SELECT w.o_orderkey, w.cents, w.h, tot.big_w, tot.n_pop,
+         least(cast({_HT_P} as bigint),
+               ({_HT_P} * {_HT_N} * w.cents) // tot.big_w) AS t
+  FROM w, tot
+), inc AS (SELECT * FROM s WHERE h < t AND t > 0)
+SELECT cast(max(n_pop) as bigint) AS n_pop,
+       cast(count(*) as bigint) AS n_sampled,
+       cast(cast(sum(({_HT_P} * cents) // t) as bigint) as double) / 100.0 AS ht_estimate,
+       cast(max(big_w) as double) / 100.0 AS exact_total
+FROM inc
+""",
+)
+def ht_total_contract(spark, sf_dir):
+    """Horvitz–Thompson estimation contract: deterministic Poisson-PPS
+    sampling (include order i iff md5-hash < floor(P·n·wᵢ/W), so the
+    inclusion probability πᵢ = tᵢ/P is EXACTLY known as an integer
+    ratio) and the HT estimator Σ yᵢ/πᵢ of total revenue next to the
+    exact total — the one-pass audit that tells a pipeline how much a
+    cheap sampled estimate can be trusted before running the full
+    aggregation at 100 TB. Every addend is the integer floor of
+    P·yᵢ/tᵢ (drops < 1 cent-tick per sampled row), so the estimator
+    sum is a BIGINT — exact under any partitioning / accumulation
+    order — and the whole contract replays bit-identically in the
+    oracle."""
+    w = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+        (
+            D.md5_long(F.concat(F.lit("ht:"), F.col("o_orderkey").cast("string"))) % _HT_P
+        ).alias("h"),
+    )
+    tot = w.agg(
+        F.sum("cents").cast("long").alias("big_w"), F.count("*").cast("long").alias("n_pop")
+    )
+    s = w.crossJoin(F.broadcast(tot)).withColumn(
+        "t",
+        F.least(
+            F.lit(_HT_P).cast("long"),
+            F.expr(f"({_HT_P} * {_HT_N} * cents) div big_w"),
+        ),
+    )
+    inc = s.filter((F.col("h") < F.col("t")) & (F.col("t") > 0))
+    return inc.agg(
+        F.max("n_pop").cast("long").alias("n_pop"),
+        F.count("*").cast("long").alias("n_sampled"),
+        (
+            F.sum(F.expr(f"({_HT_P} * cents) div t")).cast("long").cast("double") / F.lit(100.0)
+        ).alias("ht_estimate"),
+        (F.max("big_w").cast("double") / F.lit(100.0)).alias("exact_total"),
+    )
+
+
+@register(
+    "centroid_drift_daily",
+    f"""
+WITH pts AS (
+  SELECT epoch_us(ts) // 1000000 // 86400 AS d,
+         (cast(event_id as bigint) * {C.LON_MUL}) % {C.LON_MOD} AS x,
+         (cast(event_id as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} AS y
+  FROM events
+), c AS (
+  SELECT d, cast(count(*) as bigint) AS n,
+         cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy
+  FROM pts GROUP BY d
+), m AS (
+  SELECT d, n,
+         cast(sx as double) / cast(n as double) AS mx,
+         cast(sy as double) / cast(n as double) AS my
+  FROM c
+), l AS (
+  SELECT d, n, mx, my,
+         lag(mx) OVER (ORDER BY d) AS px, lag(my) OVER (ORDER BY d) AS py
+  FROM m
+)
+SELECT d, n, mx, my,
+       round(sqrt((mx - px) * (mx - px) + (my - py) * (my - py)), 3) AS drift_ticks
+FROM l WHERE px IS NOT NULL
+""",
+)
+def centroid_drift_daily(spark, sf_dir):
+    """Daily mean-center drift of the event cloud: per-day centroid in
+    exact integer tick sums (one hash aggregate), then the
+    displacement between consecutive days — the monitoring signal for
+    geographic coverage shifts (a crawler datacenter going dark moves
+    the centroid overnight). The consecutive-day window runs over the
+    DAY-aggregated table (≤ a few thousand rows regardless of event
+    count), so the single-partition window is bounded by the calendar,
+    not the data. Centroids are exact-integer sums divided once; the
+    sqrt is IEEE-correctly-rounded, with a 3dp round as the libm
+    parity margin (the knn_join dist_m0 rule)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        ((F.col("event_id").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD)).alias("x"),
+        ((F.col("event_id").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD)).alias("y"),
+    )
+    c = ev.groupBy("d").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    m = c.select(
+        "d", "n",
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias("my"),
+    )
+    w = Window.orderBy("d")
+    ld = m.select(
+        "d", "n", "mx", "my", F.lag("mx").over(w).alias("px"), F.lag("my").over(w).alias("py")
+    )
+    return ld.filter(F.col("px").isNotNull()).select(
+        "d", "n", "mx", "my",
+        F.round(
+            F.sqrt(
+                (F.col("mx") - F.col("px")) * (F.col("mx") - F.col("px"))
+                + (F.col("my") - F.col("py")) * (F.col("my") - F.col("py"))
+            ),
+            3,
+        ).alias("drift_ticks"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

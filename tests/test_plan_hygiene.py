@@ -64,6 +64,7 @@ CROSS_OK = {
     "emerging_hotspots",  # 1-row (n_cells, grand) aggregate broadcast into the cell table
     "burrows_delta_sources",  # 20-row vocab dim × source spine (tfidf sibling)
     "weighted_systematic_sample",  # 1-row step scalar broadcast into the cumsum table
+    "ht_total_contract",  # 1-row population-total scalar broadcast into the sampler
 }
 
 
