@@ -15972,6 +15972,83 @@ def centroid_drift_daily(spark, sf_dir):
     )
 
 
+_SCC_N = "(SELECT count(*) FROM documents)"
+_SCC_F = D.MD5_LONG_SQL.format(x="concat('f:', cast(id as varchar))")
+_SCC_H = D.MD5_LONG_SQL.format(x="concat('h:', cast(id as varchar))")
+_SCC_G = D.MD5_LONG_SQL.format(x="concat('g:', cast(id as varchar))")
+_SCC_K = D.MD5_LONG_SQL.format(x="concat('k:', cast(id as varchar))")
+_SCC_B = D.MD5_LONG_SQL.format(x="concat('b:', cast(id as varchar))")
+
+
+@register(
+    "scc_doc_links",
+    f"""
+WITH RECURSIVE nodes AS (SELECT cast(doc_id as bigint) AS id FROM documents),
+edges AS (
+  SELECT id AS src, least(id + 1 + {_SCC_F} % 25, {_SCC_N} - 1) AS dst
+  FROM nodes WHERE id < {_SCC_N} - 1
+  UNION
+  SELECT id AS src, least(id + 1 + {_SCC_H} % 7, {_SCC_N} - 1) AS dst
+  FROM nodes WHERE id < {_SCC_N} - 1 AND {_SCC_G} % 100 < 60
+  UNION
+  SELECT id AS src, greatest(id - 1 - {_SCC_B} % 40, 0) AS dst
+  FROM nodes WHERE id > 0 AND {_SCC_K} % 100 < 45
+),
+e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
+fwd(a, b) AS (
+  SELECT src, dst FROM e2
+  UNION
+  SELECT f.a, e.dst FROM fwd f JOIN e2 e ON f.b = e.src
+),
+mut AS (SELECT f1.a, f1.b FROM fwd f1 JOIN fwd f2 ON f1.a = f2.b AND f1.b = f2.a)
+SELECT n.id AS doc_id, least(n.id, coalesce(min(m.b), n.id)) AS scc_id
+FROM nodes n LEFT JOIN mut m ON n.id = m.a
+GROUP BY n.id
+""",
+)
+def scc_doc_links(spark, sf_dir):
+    """Strongly connected components over a deterministic crawl-like
+    digraph (short md5-derived forward hops + bounded back links —
+    overlapping local cycles along the id line, the redirect-ring /
+    link-farm shape). Runs the distributed trim + forward-max-coloring
+    + backward-sweep algorithm (operators/scc.py): trim dissolves DAG
+    tails as singletons, coloring pointer-jumps to its fixpoint in
+    O(log diameter) rounds, and all pivots sweep their color classes
+    concurrently. The oracle is method-independent: DuckDB's recursive
+    transitive closure both ways — scc_id(v) = min over mutually
+    reachable partners. Labels are min-member ids, matching WCC's
+    contract (wcc_chain_docs, near_dedup_clusters)."""
+    from gipspark.operators.scc import strongly_connected_components
+
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("id"))
+
+    def h(tag):
+        return D.md5_long(F.concat(F.lit(tag + ":"), F.col("id").cast("string")))
+
+    fe = d.filter(F.col("id") < n - 1).select(
+        F.col("id").alias("src"),
+        F.least(F.col("id") + 1 + h("f") % 25, F.lit(n - 1).cast("long")).alias("dst"),
+    )
+    ge = (
+        d.filter((F.col("id") < n - 1) & (h("g") % 100 < 60))
+        .select(
+            F.col("id").alias("src"),
+            F.least(F.col("id") + 1 + h("h") % 7, F.lit(n - 1).cast("long")).alias("dst"),
+        )
+    )
+    be = (
+        d.filter((F.col("id") > 0) & (h("k") % 100 < 45))
+        .select(
+            F.col("id").alias("src"),
+            F.greatest(F.col("id") - 1 - h("b") % 40, F.lit(0).cast("long")).alias("dst"),
+        )
+    )
+    edges = fe.unionByName(ge).unionByName(be)
+    comp = strongly_connected_components(d, edges)
+    return comp.select(F.col("node").alias("doc_id"), F.col("scc").alias("scc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
