@@ -16049,6 +16049,129 @@ def scc_doc_links(spark, sf_dir):
     return comp.select(F.col("node").alias("doc_id"), F.col("scc").alias("scc_id"))
 
 
+_PACK_BUDGET = 512
+_PACK_B = 8
+_PACK_H = D.MD5_LONG_SQL.format(x="concat('p:', cast(doc_id as varchar))")
+
+
+@register(
+    "pack_sequences_docs",
+    f"""
+WITH RECURSIVE d AS (
+  SELECT cast(doc_id as bigint) AS doc_id,
+         greatest(1, cast(n_chars as bigint) // 4) AS tok,
+         {_PACK_H} % {_PACK_B} AS bucket
+  FROM documents
+), o AS (
+  SELECT doc_id, tok, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM d
+), step(bucket, rn, doc_id, tok, seq_id, "offset", cum) AS (
+  SELECT bucket, rn, doc_id, tok, cast(0 as bigint), cast(0 as bigint), tok
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.tok,
+         CASE WHEN s.cum + o.tok > {_PACK_BUDGET} THEN s.seq_id + 1 ELSE s.seq_id END,
+         CASE WHEN s.cum + o.tok > {_PACK_BUDGET} THEN cast(0 as bigint) ELSE s.cum END,
+         CASE WHEN s.cum + o.tok > {_PACK_BUDGET} THEN o.tok ELSE s.cum + o.tok END
+  FROM step s JOIN o ON o.bucket = s.bucket AND o.rn = s.rn + 1
+)
+SELECT doc_id, bucket, tok, seq_id, "offset" FROM step
+""",
+)
+def pack_sequences_docs(spark, sf_dir):
+    """Greedy sequence packing (operators/packing.py): every doc
+    assigned a (bucket, seq_id, offset) slot in fixed 512-token
+    training sequences — the padding-minimizing concat step of a
+    pretraining pipeline, made distributed by salting into md5 buckets
+    that pack independently in doc_id order. Spark runs one
+    applyInPandas scan per bucket (the only shuffle); the oracle
+    replays the identical running-total-with-reset recurrence row by
+    row with WITH RECURSIVE, so every seq boundary is checked, not
+    just the totals. Token counts are the n_chars//4 estimator (the
+    deterministic stand-in for a real tokenizer; bpe_token_counts is
+    the exact-count twin)."""
+    from gipspark.operators.packing import pack_sequences
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.greatest(F.lit(1).cast("long"), F.expr("cast(n_chars as bigint) div 4")).alias("tok"),
+        (D.md5_long(F.concat(F.lit("p:"), F.col("doc_id").cast("string"))) % _PACK_B).alias(
+            "bucket"
+        ),
+    )
+    return pack_sequences(d, budget=_PACK_BUDGET)
+
+
+_AB_ARM = D.MD5_LONG_SQL.format(x="concat('ab:', cast(user_id as varchar))")
+
+
+@register(
+    "ab_welch_users",
+    f"""
+WITH v AS (
+  SELECT {_AB_ARM} % 2 AS arm,
+         cast(round(cast(value as {DEC}) * 100) as bigint) AS cents
+  FROM events
+), a AS (
+  SELECT cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) as bigint) AS n_a,
+         cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) as bigint) AS n_b,
+         cast(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) as bigint) AS s_a,
+         cast(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) as bigint) AS s_b,
+         cast(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) as bigint) AS q_a,
+         cast(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) as bigint) AS q_b
+  FROM v
+)
+SELECT n_a, n_b,
+       cast(s_a as double) / cast(n_a as double) / 100.0 AS mean_a,
+       cast(s_b as double) / cast(n_b as double) / 100.0 AS mean_b,
+       (cast(s_a as double) / cast(n_a as double)
+        - cast(s_b as double) / cast(n_b as double))
+       / sqrt(((cast(q_a as double) - cast(s_a as double) * cast(s_a as double) / cast(n_a as double))
+               / (cast(n_a as double) - 1.0)) / cast(n_a as double)
+            + ((cast(q_b as double) - cast(s_b as double) * cast(s_b as double) / cast(n_b as double))
+               / (cast(n_b as double) - 1.0)) / cast(n_b as double)) AS welch_z
+FROM a WHERE n_a > 1 AND n_b > 1
+""",
+)
+def ab_welch_users(spark, sf_dir):
+    """Deterministic A/B experiment read-out: users hash-split into
+    two arms (md5 parity — the assignment IS the randomization, and
+    it replays exactly), then Welch's unequal-variance z on event
+    values. All moments (n, Σ, Σ²) are integer cents — one conditional
+    hash aggregate, no per-arm shuffle — and the statistic is formed
+    from exact integers with divisions/sqrt in the same textual order
+    as the oracle. The parametric companion to mann_whitney_sources
+    (rank-based) for pipeline holdout comparisons."""
+    ev = load(spark, sf_dir, "events").select(
+        (D.md5_long(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2).alias("arm"),
+        F.round(F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+    )
+    a = ev.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0)).cast("long").alias("s_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("q_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("q_b"),
+    )
+    nd_a, nd_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sd_a, sd_b = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    qd_a, qd_b = F.col("q_a").cast("double"), F.col("q_b").cast("double")
+    var_a = (qd_a - sd_a * sd_a / nd_a) / (nd_a - F.lit(1.0))
+    var_b = (qd_b - sd_b * sd_b / nd_b) / (nd_b - F.lit(1.0))
+    return a.filter((F.col("n_a") > 1) & (F.col("n_b") > 1)).select(
+        "n_a", "n_b",
+        (sd_a / nd_a / F.lit(100.0)).alias("mean_a"),
+        (sd_b / nd_b / F.lit(100.0)).alias("mean_b"),
+        ((sd_a / nd_a - sd_b / nd_b) / F.sqrt(var_a / nd_a + var_b / nd_b)).alias("welch_z"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
