@@ -96,6 +96,12 @@ BENCH_QUERIES = [
     "capacity_matching_customers",
     "frequent_triples_docs",
     "toponym_resolution_docs",
+    # round-4 session-2 additions: closed-form raster, per-bucket DP
+    # packing, double-LSH capture-recapture, corpus-wide trigram df
+    "line_density_cells",
+    "pack_sequences_docs",
+    "capture_recapture_dups",
+    "boilerplate_ratio_hosts",
 ]
 
 
