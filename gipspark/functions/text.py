@@ -229,3 +229,30 @@ def doc_fingerprint(text: Column) -> Column:
 def doc_fingerprint_sql(t: str) -> str:
     toks = f"regexp_split_to_array(lower(trim({t})), '\\s+')"
     return f"md5(array_to_string(list_sort(list_distinct({toks})), chr(31)))"
+
+
+def compression_ratio_frame(docs_iter, id_col: str = "doc_id", text_col: str = "text"):
+    """mapInPandas kernel: zlib-level-6 compressed length per doc.
+
+    The Gopher/CCNet-family quality signal SQL cannot express: highly
+    templated or repetitive pages compress far below prose (ratio ≈
+    0.1–0.3 vs ≈ 0.4–0.6). Deterministic for a fixed zlib (CPython
+    bundles one) at a fixed level/strategy — asserted by the golden
+    pytest; there is no SQL oracle, so the registry row is rows-only.
+    Arrow-batched: one Python crossing, ~thousands of docs per batch.
+    """
+    import zlib
+
+    import pandas as pd
+
+    for pdf in docs_iter:
+        raw = pdf[text_col].fillna("").map(lambda t: t.encode("utf-8"))
+        raw_len = raw.map(len)
+        comp_len = raw.map(lambda b: len(zlib.compress(b, 6)))
+        yield pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "raw_len": raw_len.astype("int64"),
+                "comp_len": comp_len.astype("int64"),
+            }
+        )

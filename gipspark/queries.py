@@ -16172,6 +16172,149 @@ def ab_welch_users(spark, sf_dir):
     )
 
 
+@register(
+    "tokenizer_fertility_langs",
+    f"""
+WITH t AS (
+  SELECT lang,
+         len(regexp_extract_all(text, $${BPE_PATTERN}$$)) AS n_bpe,
+         {T.TOKEN_COUNT_SQL.format(t='text')} AS n_ws
+  FROM documents
+)
+SELECT lang,
+       cast(count(*) as bigint) AS n_docs,
+       cast(sum(n_bpe) as bigint) AS bpe_tokens,
+       cast(sum(n_ws) as bigint) AS ws_tokens,
+       cast(sum(n_bpe) as double) / cast(sum(n_ws) as double) AS fertility
+FROM t GROUP BY lang
+""",
+)
+def tokenizer_fertility_langs(spark, sf_dir):
+    """Tokenizer fertility per language: BPE-ish tokens emitted per
+    whitespace word — THE metric a pretraining team checks before
+    fixing a tokenizer (high-fertility languages pay more compute per
+    word and starve in a token-budgeted mixture). One narrow regexp
+    pass + one hash aggregate; integer token sums, one final
+    division. Uses the same frozen BPE_PATTERN as bpe_token_counts
+    (the per-doc twin)."""
+    d = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    t = d.select("lang", F.size(bpe).alias("n_bpe"), T.token_count(F.col("text")).alias("n_ws"))
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_ws").cast("long").alias("ws_tokens"),
+        (F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double")).alias("fertility"),
+    )
+
+
+@register(
+    "nearest_event_join",
+    """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS ck_us,
+         CASE WHEN event_type = 'click' THEN event_id END AS ck_id
+  FROM events
+), w AS (
+  SELECT user_id, event_id, event_type, us,
+         last_value(ck_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_us,
+         last_value(ck_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_id,
+         first_value(ck_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_us,
+         first_value(ck_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_id
+  FROM s
+)
+SELECT user_id, event_id,
+       CASE WHEN n_us IS NULL OR (p_us IS NOT NULL AND us - p_us <= n_us - us)
+            THEN p_id ELSE n_id END AS click_id,
+       CASE WHEN n_us IS NULL OR (p_us IS NOT NULL AND us - p_us <= n_us - us)
+            THEN p_us - us ELSE n_us - us END AS dt_us
+FROM w
+WHERE event_type = 'purchase' AND (p_us IS NOT NULL OR n_us IS NOT NULL)
+""",
+)
+def nearest_event_join(spark, sf_dir):
+    """Bidirectional nearest-event join: each purchase matched to the
+    user's temporally NEAREST click in either direction (asof_join is
+    backward-only — sensor-fusion and attribution flows need absolute
+    nearest). One window pass over the interleaved per-user stream:
+    last_value/first_value IGNORE NULLS give the previous/next click
+    without separating the streams or re-joining, so the whole
+    operator shares the single user_id shuffle. Ties (equidistant)
+    break backward, matching the oracle textually. Timestamps compare
+    as exact epoch microseconds."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        # cast makes unix_micros == DuckDB's epoch_us exactly (UTC session)
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("long").alias("us"),
+    )
+    s = ev.select(
+        "user_id", "event_id", "event_type", "us",
+        F.when(F.col("event_type") == "click", F.col("us")).alias("ck_us"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("ck_id"),
+    )
+    base = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = base.rowsBetween(Window.unboundedPreceding, -1)
+    nxt = base.rowsBetween(1, Window.unboundedFollowing)
+    w = s.select(
+        "user_id", "event_id", "event_type", "us",
+        F.last("ck_us", ignorenulls=True).over(prev).alias("p_us"),
+        F.last("ck_id", ignorenulls=True).over(prev).alias("p_id"),
+        F.first("ck_us", ignorenulls=True).over(nxt).alias("n_us"),
+        F.first("ck_id", ignorenulls=True).over(nxt).alias("n_id"),
+    )
+    take_prev = F.col("n_us").isNull() | (
+        F.col("p_us").isNotNull() & (F.col("us") - F.col("p_us") <= F.col("n_us") - F.col("us"))
+    )
+    return w.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("p_us").isNotNull() | F.col("n_us").isNotNull())
+    ).select(
+        "user_id", "event_id",
+        F.when(take_prev, F.col("p_id")).otherwise(F.col("n_id")).alias("click_id"),
+        F.when(take_prev, F.col("p_us") - F.col("us"))
+        .otherwise(F.col("n_us") - F.col("us"))
+        .alias("dt_us"),
+    )
+
+
+@register("compression_ratio_docs", None)
+def compression_ratio_docs(spark, sf_dir):
+    """zlib compression-ratio quality filter (rows-only: zlib is not
+    SQL-expressible): compressed/raw byte length per doc — the
+    Gopher/CCNet-style repetition signal that catches templated or
+    looping text the token-level filters miss. One Arrow-batched
+    mapInPandas pass (functions/text.compression_ratio_frame);
+    determinism pinned by the golden pytest against direct zlib.
+    The ratio is one division of exact ints."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("raw_len", LongType()),
+            StructField("comp_len", LongType()),
+        ]
+    )
+    out = d.mapInPandas(lambda it: T.compression_ratio_frame(it), schema=schema)
+    return out.select(
+        "doc_id", "raw_len", "comp_len",
+        (
+            F.col("comp_len").cast("double")
+            / F.greatest(F.lit(1).cast("long"), F.col("raw_len")).cast("double")
+        ).alias("ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
