@@ -51,3 +51,56 @@ def morton_key(gx: Column, gy: Column) -> Column:
 
 def morton_key_sql(gx: str, gy: str) -> str:
     return f"({spread_bits_sql(gx)} | ({spread_bits_sql(gy)} << 1))"
+
+
+def zranges(
+    x0: int, x1: int, y0: int, y1: int, bits: int = 16, max_ranges: int = 64
+) -> list[tuple[int, int]]:
+    """Decompose the inclusive grid box [x0,x1]×[y0,y1] into at most
+    ``max_ranges`` Morton-key ranges [lo, hi) whose union COVERS the box
+    (quadtree descent; a partial quad past the budget is emitted whole,
+    so coverage is a superset and an exact gx/gy refine stays mandatory
+    — the planner bounds scan METADATA, the refine keeps exactness).
+
+    This is the scan-pruning planner for a Z-ordered table layout
+    (zorder_cluster_customers): a file/row-group range metadata check
+    against these intervals prunes everything outside them. Pure
+    deterministic integer Python on the DRIVER — the plan is O(ranges),
+    never a per-row operation; ranges are emitted sorted and coalesced
+    (adjacent intervals merged) for the cheapest possible predicate.
+    """
+    from collections import deque
+
+    out: list[tuple[int, int]] = []
+
+    def full_range(prefix: int, depth: int) -> tuple[int, int]:
+        span = 1 << (2 * (bits - depth))
+        return prefix * span, (prefix + 1) * span
+
+    # BREADTH-first refinement: the frontier is split level by level so
+    # the range budget spreads evenly over the box boundary instead of
+    # one corner eating it depth-first (which leaves the rest of the
+    # boundary as a handful of giant over-covering quads).
+    work = deque([(0, 0, 0, 0)])  # (qx, qy, depth, z-prefix)
+    while work:
+        qx, qy, depth, prefix = work.popleft()
+        side = 1 << (bits - depth)
+        qx0, qy0 = qx * side, qy * side
+        qx1, qy1 = qx0 + side - 1, qy0 + side - 1
+        if qx1 < x0 or qx0 > x1 or qy1 < y0 or qy0 > y1:
+            continue
+        contained = x0 <= qx0 and qx1 <= x1 and y0 <= qy0 and qy1 <= y1
+        if contained or depth == bits or len(out) + len(work) + 4 > max_ranges:
+            out.append(full_range(prefix, depth))
+            continue
+        for dy in (0, 1):
+            for dx in (0, 1):
+                work.append((2 * qx + dx, 2 * qy + dy, depth + 1, (prefix << 2) | (dy << 1) | dx))
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and merged[-1][1] == lo:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return [(lo, hi) for lo, hi in merged]

@@ -16315,6 +16315,103 @@ def compression_ratio_docs(spark, sf_dir):
     )
 
 
+# z-range scan planning: query box in GRID coordinates (0.25° lattice,
+# the zorder_cluster_customers layout); ranges computed ONCE at import
+# by the driver-side planner and inlined as literals into BOTH engines.
+_ZQ_BOX = (640, 1019, 200, 499)  # gx0, gx1, gy0, gy1
+
+
+def _zq_ranges() -> list[tuple[int, int]]:
+    from gipspark.operators.zorder import zranges
+
+    return zranges(*_ZQ_BOX, bits=16, max_ranges=48)
+
+
+def _zrange_scan_sql() -> str:
+    from gipspark.operators.zorder import morton_key_sql
+
+    rs = _zq_ranges()
+    case = "CASE " + " ".join(
+        f"WHEN zkey >= {lo} AND zkey < {hi} THEN {i}" for i, (lo, hi) in enumerate(rs)
+    ) + " END"
+    vals = ",".join(f"({i},{lo},{hi})" for i, (lo, hi) in enumerate(rs))
+    gx0, gx1, gy0, gy1 = _ZQ_BOX
+    return f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), g AS (
+  SELECT c_custkey,
+         cast(floor((lon + 180.0) / {_Z_GRID}) as bigint) AS gx,
+         cast(floor((90.0 - lat) / {_Z_GRID}) as bigint) AS gy
+  FROM pts
+), z AS (
+  SELECT c_custkey, gx, gy, {morton_key_sql('gx', 'gy')} AS zkey FROM g
+), c AS (
+  SELECT {case} AS range_id,
+         CASE WHEN gx BETWEEN {gx0} AND {gx1} AND gy BETWEEN {gy0} AND {gy1}
+              THEN 1 ELSE 0 END AS m
+  FROM z
+)
+SELECT r.range_id, r.zlo, r.zhi,
+       cast(count(*) as bigint) AS n_candidates,
+       cast(sum(m) as bigint) AS n_matches
+FROM c JOIN (VALUES {vals}) AS r(range_id, zlo, zhi) ON c.range_id = r.range_id
+GROUP BY r.range_id, r.zlo, r.zhi
+"""
+
+
+@register("zrange_scan_customers", _zrange_scan_sql())
+def zrange_scan_customers(spark, sf_dir):
+    """Z-order range-scan planning end to end: the driver-side quadtree
+    planner (operators/zorder.zranges) decomposes a query box into ≤48
+    Morton-key intervals, the scan keeps only keys inside them (a
+    literal predicate — at 100 TB this is the file/row-group pruning
+    check against Z-layout metadata, zero rows read outside), and an
+    exact integer gx/gy refine separates true matches from range
+    over-coverage. Per-range candidate and match counts expose the
+    planner's pruning efficiency as data. The oracle replays the same
+    literal ranges; the planner's COVERAGE (no box cell outside the
+    ranges) is proven separately by tests/test_zranges.py against
+    brute Morton enumeration."""
+    from gipspark.operators.zorder import morton_key
+
+    rs = _zq_ranges()
+    gx0, gx1, gy0, gy1 = _ZQ_BOX
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    g = pts.select(
+        "c_custkey",
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_Z_GRID)).cast("long").alias("gx"),
+        F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_Z_GRID)).cast("long").alias("gy"),
+    )
+    z = g.select("c_custkey", "gx", "gy", morton_key(F.col("gx"), F.col("gy")).alias("zkey"))
+    rid = F.lit(None).cast("int")
+    for i, (lo, hi) in reversed(list(enumerate(rs))):
+        rid = F.when((F.col("zkey") >= lo) & (F.col("zkey") < hi), F.lit(i)).otherwise(rid)
+    c = z.select(
+        rid.alias("range_id"),
+        F.when(
+            F.col("gx").between(gx0, gx1) & F.col("gy").between(gy0, gy1), 1
+        )
+        .otherwise(0)
+        .alias("m"),
+    ).filter(F.col("range_id").isNotNull())
+    agg = c.groupBy("range_id").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum("m").cast("long").alias("n_matches"),
+    )
+    rdf = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(rs)], "range_id int, zlo long, zhi long"
+    )
+    return agg.join(F.broadcast(rdf), "range_id").select(
+        "range_id", "zlo", "zhi", "n_candidates", "n_matches"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
