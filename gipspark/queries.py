@@ -16412,6 +16412,123 @@ def zrange_scan_customers(spark, sf_dir):
     )
 
 
+@register(
+    "stress_centrality_links",
+    f"""
+WITH nodes AS (SELECT cast(doc_id as bigint) AS id FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+    FROM documents, (VALUES (0),(1),(2)) AS t(j))
+  WHERE src <> dst
+),
+l1 AS (SELECT src AS s, dst AS v, cast(1 as bigint) AS sig FROM edges),
+l2 AS (
+  SELECT a.s, e.dst AS v, cast(sum(a.sig) as bigint) AS sig
+  FROM l1 a JOIN edges e ON a.v = e.src
+  WHERE e.dst <> a.s
+    AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.s = a.s AND x.v = e.dst)
+  GROUP BY a.s, e.dst
+),
+l3 AS (
+  SELECT a.s, e.dst AS v, cast(sum(a.sig) as bigint) AS sig
+  FROM l2 a JOIN edges e ON a.v = e.src
+  WHERE e.dst <> a.s
+    AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.s = a.s AND x.v = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM l2 x WHERE x.s = a.s AND x.v = e.dst)
+  GROUP BY a.s, e.dst
+),
+p AS (
+  SELECT s, v, 1 AS d, sig FROM l1
+  UNION ALL SELECT s, v, 2 AS d, sig FROM l2
+  UNION ALL SELECT s, v, 3 AS d, sig FROM l3
+),
+st AS (
+  SELECT i.v AS node, cast(sum(i.sig * o.sig) as bigint) AS stress
+  FROM p i JOIN p o ON i.v = o.s
+  JOIN p dd ON dd.s = i.s AND dd.v = o.v AND dd.d = i.d + o.d
+  WHERE o.v <> i.s
+  GROUP BY i.v
+)
+SELECT n.id AS doc_id, cast(coalesce(st.stress, 0) as bigint) AS stress
+FROM nodes n LEFT JOIN st ON n.id = st.node
+""",
+)
+def stress_centrality_links(spark, sf_dir):
+    """K-bounded stress centrality: for every node, the number of
+    shortest paths (dist ≤ 3) passing THROUGH it — exact BIGINT path
+    counting, the integer-only member of the betweenness family
+    (betweenness itself needs σ_sv/σ_st rationals; stress is the
+    pure-count variant, Shimbel 1953). Three unrolled BFS rounds with
+    the σ recurrence (σ_d(t) = Σ σ_{d-1}(b) over frontier in-edges,
+    anti-joined against closer levels), then one triple join: split
+    pairs (s→v, v→t) are shortest s-t paths iff d(s,v)+d(v,t)=d(s,t)
+    — the membership join against the pair table enforces it. All
+    shuffle sizes are bounded by outdeg^K per source (the
+    harmonic_centrality_links contract); the oracle replays the same
+    unrolled rounds."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").cast("long").alias("id"))
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                        for j in range(3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    l1 = edges.select(F.col("src").alias("s"), F.col("dst").alias("v"), F.lit(1).cast("long").alias("sig"))
+
+    def _next(prev: DataFrame, *closer: DataFrame) -> DataFrame:
+        step = (
+            prev.join(edges, prev["v"] == edges["src"])
+            .filter(F.col("dst") != F.col("s"))
+            .select("s", F.col("dst").alias("nv"), "sig")
+        )
+        for c in closer:
+            step = step.join(
+                c.select(F.col("s").alias("cs"), F.col("v").alias("cv")),
+                (F.col("s") == F.col("cs")) & (F.col("nv") == F.col("cv")),
+                "anti",
+            )
+        return step.groupBy("s", F.col("nv").alias("v")).agg(F.sum("sig").cast("long").alias("sig"))
+
+    l2 = _next(l1, l1)
+    l3 = _next(l2, l1, l2)
+    p = (
+        l1.withColumn("d", F.lit(1))
+        .unionByName(l2.withColumn("d", F.lit(2)))
+        .unionByName(l3.withColumn("d", F.lit(3)))
+    )
+    i = p.select(F.col("s").alias("i_s"), F.col("v").alias("i_v"), F.col("d").alias("i_d"), F.col("sig").alias("i_sig"))
+    o = p.select(F.col("s").alias("o_s"), F.col("v").alias("o_v"), F.col("d").alias("o_d"), F.col("sig").alias("o_sig"))
+    dd = p.select(F.col("s").alias("d_s"), F.col("v").alias("d_v"), F.col("d").alias("d_d"))
+    st = (
+        i.join(o, i["i_v"] == o["o_s"])
+        .filter(F.col("o_v") != F.col("i_s"))
+        .join(
+            dd,
+            (F.col("d_s") == F.col("i_s"))
+            & (F.col("d_v") == F.col("o_v"))
+            & (F.col("d_d") == F.col("i_d") + F.col("o_d")),
+        )
+        .groupBy(F.col("i_v").alias("node"))
+        .agg(F.sum(F.col("i_sig") * F.col("o_sig")).cast("long").alias("stress"))
+    )
+    return nodes.join(st, nodes["id"] == st["node"], "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("stress"), F.lit(0)).cast("long").alias("stress"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
