@@ -16529,6 +16529,768 @@ def stress_centrality_links(spark, sf_dir):
     )
 
 
+# --- round-4 session-2 batch: market-basket / facility / link-prediction ---
+
+
+@register(
+    "copurchase_lift_parts",
+    """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT cast(count(DISTINCT l_orderkey) as bigint) AS n_orders FROM op
+), pc AS (
+  SELECT l_partkey, cast(count(*) as bigint) AS n_part FROM op GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         cast(count(*) as bigint) AS n_ab
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, n_ab, pa.n_part AS n_a, pb.n_part AS n_b,
+       cast(n_ab as double) / cast(pa.n_part as double) AS conf_ab,
+       (cast(n_ab as double) * cast(n.n_orders as double))
+         / (cast(pa.n_part as double) * cast(pb.n_part as double)) AS lift
+FROM pairs
+JOIN pc pa ON pairs.part_a = pa.l_partkey
+JOIN pc pb ON pairs.part_b = pb.l_partkey
+CROSS JOIN n
+WHERE n_ab >= 3
+ORDER BY lift DESC, part_a, part_b
+LIMIT 100
+""",
+)
+def copurchase_lift_parts(spark, sf_dir):
+    """Market-basket association rules over order baskets: for every
+    part pair co-bought in ≥3 orders, support, directed confidence and
+    lift — the curation analogue is "which doc sources co-occur in a
+    crawl frontier".  Shapes for scale: the basket self-join shuffles
+    on l_orderkey only and baskets are small (TPC-H orders hold ≤7
+    parts), so candidate pairs are Σ|basket|² — never |parts|²; the
+    per-part totals join back on part id; the global order count is a
+    1-row broadcast, not a driver collect.  All counts integer; lift
+    and confidence are single exact IEEE divisions; deterministic
+    top-100 (lift DESC, then pair id)."""
+    op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_part"))
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    out = (
+        pairs.join(pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")), "part_a")
+        .join(pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias("conf_ab"),
+            (
+                (F.col("n_ab").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(100)
+
+
+@register(
+    "minimax_facility_nations",
+    f"""
+WITH pts AS (
+  SELECT c_nationkey AS nk, c_custkey AS ck,
+         (cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD} AS la,
+         (cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD} AS lo
+  FROM customer
+), ecc AS (
+  SELECT a.nk, a.ck,
+         cast(max((a.la - b.la) * (a.la - b.la)
+                + (a.lo - b.lo) * (a.lo - b.lo)) as bigint) AS max_d2
+  FROM pts a JOIN pts b ON a.nk = b.nk AND a.ck <> b.ck
+  GROUP BY a.nk, a.ck
+), best AS (
+  SELECT nk, ck, max_d2,
+         row_number() OVER (PARTITION BY nk ORDER BY max_d2, ck) AS rn
+  FROM ecc
+)
+SELECT nk AS nationkey, ck AS facility_custkey, max_d2
+FROM best WHERE rn = 1
+""",
+)
+def minimax_facility_nations(spark, sf_dir):
+    """1-center (minimax) facility selection per nation: the customer
+    site minimizing the maximum squared distance to every other
+    customer of that nation — the "place one warehouse per region"
+    primitive.  Distances stay on the integer micro-degree lattice
+    (the derived-coordinate pre-division form), so eccentricities are
+    exact BIGINTs and the argmin is hash-stable.  The pairwise join is
+    keyed on nation — O(n_g²) per group with bounded group sizes (the
+    documented contract, same as diameter_pairs_nations); at 100 TB
+    you'd first coarsen each group through a cell-grid k-center sketch
+    and run this exact kernel on the sketch."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ck"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD)).alias("la"),
+        ((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD)).alias("lo"),
+    )
+    b = pts.select(
+        F.col("nk").alias("bnk"), F.col("ck").alias("bck"),
+        F.col("la").alias("bla"), F.col("lo").alias("blo"),
+    )
+    d2 = (F.col("la") - F.col("bla")) * (F.col("la") - F.col("bla")) + (
+        F.col("lo") - F.col("blo")
+    ) * (F.col("lo") - F.col("blo"))
+    ecc = (
+        pts.join(b, (F.col("nk") == F.col("bnk")) & (F.col("ck") != F.col("bck")))
+        .groupBy("nk", "ck")
+        .agg(F.max(d2).cast("long").alias("max_d2"))
+    )
+    w = Window.partitionBy("nk").orderBy("max_d2", "ck")
+    return (
+        ecc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.col("ck").alias("facility_custkey"),
+            "max_d2",
+        )
+    )
+
+
+@register(
+    "link_prediction_jaccard",
+    f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+        FROM documents, (VALUES (0),(1),(2)) AS t(j))
+  WHERE src <> dst
+), adj AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+), deg AS (
+  SELECT u, cast(count(*) as bigint) AS d FROM adj GROUP BY u
+), cn AS (
+  SELECT x.u AS a, y.u AS b, cast(count(*) as bigint) AS n_common
+  FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+  GROUP BY x.u, y.u
+), cand AS (
+  SELECT cn.a, cn.b, cn.n_common, da.d AS deg_a, db.d AS deg_b,
+         cast(cn.n_common as double)
+           / cast(da.d + db.d - cn.n_common as double) AS jaccard
+  FROM cn
+  JOIN deg da ON cn.a = da.u
+  JOIN deg db ON cn.b = db.u
+  LEFT JOIN und ON cn.a = und.a AND cn.b = und.b
+  WHERE und.a IS NULL
+)
+SELECT a, b, n_common, deg_a, deg_b, jaccard
+FROM cand
+ORDER BY jaccard DESC, a, b
+LIMIT 100
+""",
+)
+def link_prediction_jaccard(spark, sf_dir):
+    """Jaccard-coefficient link prediction on the md5-derived doc link
+    graph (the pagerank fixture): for every NON-adjacent pair sharing
+    ≥1 neighbor, |Γa∩Γb| / |Γa∪Γb| — the crawl-frontier "likely next
+    link" ranking.  The wedge join keyed on the shared neighbor costs
+    Σ deg(v)² shuffle rows (deg is a small constant here: 3 out-edges
+    per doc), never |V|²; existing edges are removed with a broadcast-
+    able anti join; degrees join back on node id.  Counts are exact
+    BIGINTs, jaccard one IEEE division, top-100 deterministic."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    raw = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    und = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    x = adj.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    y = adj.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    cn = (
+        x.join(y, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    cand = (
+        cn.join(und, ["a", "b"], "anti")
+        .join(deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b")), "b")
+        .select(
+            "a", "b", "n_common", "deg_a", "deg_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return cand.orderBy(F.col("jaccard").desc(), "a", "b").limit(100)
+
+
+@register(
+    "mixture_temperature_weights",
+    """
+WITH g AS (
+  SELECT lang, source,
+         cast(count(*) as bigint) AS n_docs,
+         cast(sum(n_chars) as bigint) AS chars
+  FROM documents GROUP BY lang, source
+), w AS (
+  SELECT lang, source, n_docs, chars,
+         sqrt(cast(chars as double)) AS weight
+  FROM g
+), tot AS (
+  SELECT list_reduce(list_sort(list(weight)), (a, b) -> a + b) AS total FROM w
+)
+SELECT lang, source, n_docs, chars, weight,
+       weight / total AS share
+FROM w CROSS JOIN tot
+""",
+)
+def mixture_temperature_weights(spark, sf_dir):
+    """Temperature-scaled data-mixture weights (T=2 ⇒ weight ∝ √chars),
+    the sampling table a pretraining run derives before drawing a
+    token-budgeted mixture — up-weights small languages/sources the
+    way multilingual LMs do.  Exactness trick: √ is correctly-rounded
+    IEEE in both engines, and the normalizer is a LEFT FOLD over the
+    VALUE-SORTED weight list (array_sort + aggregate here, list_sort +
+    list_reduce in the oracle) — a plain SUM() of doubles hashes
+    differently because each engine's partial-aggregation order is its
+    own (a cumulative-window variant failed by 1–2 ulp: DuckDB does
+    not accumulate running frames strictly left-to-right either).
+    The folded list is the GROUP table (|langs|×|sources| entries,
+    data-independent), so the 1-row collect is a constant-size
+    broadcast no matter the input scale."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    w = g.select(
+        "lang", "source", "n_docs", "chars",
+        F.sqrt(F.col("chars").cast("double")).alias("weight"),
+    )
+    tot = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("weight")), F.lit(0.0), lambda acc, x: acc + x
+        ).alias("total")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang", "source", "n_docs", "chars", "weight",
+        (F.col("weight") / F.col("total")).alias("share"),
+    )
+
+
+_ECE_HITS = " + ".join(T._lang_score_sql("text", lang) for lang in T._LANG_ORDER)
+_ECE_EN = T._lang_score_sql("text", "en")
+
+
+@register(
+    "calibration_ece_docs",
+    f"""
+WITH s AS (
+  SELECT cast({_ECE_EN} as double)
+           / cast({_ECE_HITS} + 1 as double) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+), b AS (
+  SELECT least(9, cast(floor(score * 10.0) as int)) AS bin, score, label FROM s
+)
+SELECT bin,
+       cast(count(*) as bigint) AS n,
+       cast(sum(label) as bigint) AS n_pos,
+       (cast(bin as double) + 0.5) / 10.0 AS conf_mid,
+       cast(sum(label) as double) / cast(count(*) as double) AS acc,
+       abs(cast(sum(label) as double) / cast(count(*) as double)
+           - (cast(bin as double) + 0.5) / 10.0) * cast(count(*) as double) AS ece_term
+FROM b GROUP BY bin
+""",
+)
+def calibration_ece_docs(spark, sf_dir):
+    """Reliability diagram for the marker-stopword English classifier:
+    docs are binned by predicted P(en) = en-marker hits / (all marker
+    hits + 1) into deciles; each bin reports accuracy vs the bin
+    midpoint plus its |acc − conf|·n ECE contribution (sum ÷ N off-line
+    = expected calibration error) — the calibration audit run before
+    trusting a quality/lang classifier to gate a corpus.  Integer hit
+    counts → one exact division per doc; per-bin stats are integer
+    sums and single IEEE ops, so the hash is partition-stable.  One
+    narrow projection + one 10-key hash agg."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+
+    def hits(lang):
+        return F.size(F.filter(toks, lambda t: t.isin(T.LANG_MARKERS[lang])))
+
+    all_hits = None
+    for lang in T._LANG_ORDER:
+        h = hits(lang)
+        all_hits = h if all_hits is None else all_hits + h
+    s = d.select(
+        (hits("en").cast("double") / (all_hits + F.lit(1)).cast("double")).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    b = s.select(
+        F.least(F.lit(9), F.floor(F.col("score") * 10.0).cast("int")).alias("bin"),
+        "label",
+    )
+    acc = F.sum("label").cast("double") / F.count("*").cast("double")
+    mid = (F.col("bin").cast("double") + F.lit(0.5)) / F.lit(10.0)
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            acc.alias("acc_raw"),
+        )
+        .select(
+            "bin", "n", "n_pos",
+            mid.alias("conf_mid"),
+            F.col("acc_raw").alias("acc"),
+            (F.abs(F.col("acc_raw") - mid) * F.col("n").cast("double")).alias("ece_term"),
+        )
+    )
+
+
+@register(
+    "focal_mode_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+), sh AS (
+  SELECT g.cx + o.dx AS cx, g.cy + o.dy AS cy, g.v
+  FROM grid g, (VALUES {', '.join(f'({dx}, {dy})' for dx, dy in _FOCAL_OFFS)}) AS o(dx, dy)
+), cnt AS (
+  SELECT t.cx, t.cy, t.v AS v0, s.v AS nv, cast(count(*) as bigint) AS m
+  FROM grid t JOIN sh s ON s.cx = t.cx AND s.cy = t.cy
+  GROUP BY t.cx, t.cy, t.v, s.v
+), best AS (
+  SELECT cx, cy, v0, nv, m,
+         cast(sum(m) OVER (PARTITION BY cx, cy) as bigint) AS n_present,
+         row_number() OVER (PARTITION BY cx, cy ORDER BY m DESC, nv) AS rn
+  FROM cnt
+)
+SELECT cx, cy, v0 AS v,
+       CASE WHEN 9 - n_present >= m THEN cast(0 as bigint) ELSE nv END AS mode9
+FROM best WHERE rn = 1
+""",
+)
+def focal_mode_cells(spark, sf_dir):
+    """Focal 3×3 majority (mode) filter over the event-density raster —
+    the categorical-raster smoother (GDAL `majority` focal statistic),
+    sparse form: absent neighbors are zero pixels, so the padding zeros
+    compete in the vote (z = 9 − occupied neighbors zeros; ties break
+    to the smallest value, hence any tie with zero IS zero).  Same
+    one-aggregate densify + 9-offset explode/equi-join shape as
+    focal_median_cells; the vote is a second (cell, value) hash agg
+    plus one per-cell window — integer-exact throughout."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            C.derived_lat(F.col("event_id")).alias("lat"),
+            C.derived_lon(F.col("event_id")).alias("lon"),
+        )
+        .select(
+            F.floor((F.col("lon") + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - F.col("lat")) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in _FOCAL_OFFS])
+    sh = grid.select(
+        F.explode(offs).alias("o"), F.col("cx").alias("gx"), F.col("cy").alias("gy"), "v"
+    ).select(
+        (F.col("gx") + F.col("o.dx")).alias("cx"),
+        (F.col("gy") + F.col("o.dy")).alias("cy"),
+        F.col("v").alias("nv"),
+    )
+    cnt = (
+        grid.withColumnRenamed("v", "v0")
+        .join(sh, ["cx", "cy"])
+        .groupBy("cx", "cy", "v0", "nv")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    wc = Window.partitionBy("cx", "cy")
+    best = cnt.select(
+        "cx", "cy", "v0", "nv", "m",
+        F.sum("m").over(wc).cast("long").alias("n_present"),
+        F.row_number().over(wc.orderBy(F.col("m").desc(), "nv")).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "cx", "cy", F.col("v0").alias("v"),
+        F.when(F.lit(9) - F.col("n_present") >= F.col("m"), F.lit(0).cast("long"))
+        .otherwise(F.col("nv"))
+        .alias("mode9"),
+    )
+
+
+@register(
+    "kendall_tau_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         cast(ts as date) AS day, event_type
+  FROM events
+), cd AS (
+  SELECT cast(floor((lon + 180.0) / 15.0) as int) AS cx,
+         cast(floor((90.0 - lat) / 15.0) as int) AS cy,
+         day,
+         cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS x,
+         cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS y
+  FROM pts GROUP BY cx, cy, day
+), pr AS (
+  SELECT a.cx, a.cy,
+         cast(count(*) as bigint) AS n0,
+         cast(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) as bigint) AS nc,
+         cast(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) as bigint) AS nd,
+         cast(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) as bigint) AS tx,
+         cast(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) as bigint) AS ty
+  FROM cd a JOIN cd b ON a.cx = b.cx AND a.cy = b.cy AND a.day < b.day
+  GROUP BY a.cx, a.cy
+)
+SELECT cx, cy, n0, nc, nd, tx, ty,
+       cast(nc - nd as double)
+         / sqrt(cast((n0 - tx) * (n0 - ty) as double)) AS tau_b
+FROM pr
+WHERE n0 >= 45 AND tx < n0 AND ty < n0
+""",
+)
+def kendall_tau_cells(spark, sf_dir):
+    """Kendall τ-b between daily click and view counts per raster cell
+    — the rank-correlation robustness check next to the Pearson-style
+    OLS trend and Spearman queries (is engagement co-moving, without
+    assuming linearity or caring about outliers?).  Pair counting is a
+    per-cell day×day self-join: groups are bounded by the calendar (≤
+    ~30 days ⇒ ≤435 pairs per cell), so the quadratic kernel is a
+    constant factor, keyed and shuffled on cell only.  Concordant /
+    discordant / tie counts are exact integers; τ-b is one sqrt of an
+    integer product and one division — bit-stable in both engines."""
+    ev = load(spark, sf_dir, "events")
+    cd = (
+        ev.select(
+            C.derived_lat(F.col("event_id")).alias("lat"),
+            C.derived_lon(F.col("event_id")).alias("lon"),
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .select(
+            F.floor((F.col("lon") + 180.0) / 15.0).cast("int").alias("cx"),
+            F.floor((90.0 - F.col("lat")) / 15.0).cast("int").alias("cy"),
+            "day",
+            "event_type",
+        )
+        .groupBy("cx", "cy", "day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    b = cd.select(
+        F.col("cx").alias("bcx"), F.col("cy").alias("bcy"),
+        F.col("day").alias("bday"), F.col("x").alias("bx"), F.col("y").alias("by"),
+    )
+    prod = (F.col("x") - F.col("bx")) * (F.col("y") - F.col("by"))
+    pr = (
+        cd.join(
+            b,
+            (F.col("cx") == F.col("bcx"))
+            & (F.col("cy") == F.col("bcy"))
+            & (F.col("day") < F.col("bday")),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.count("*").cast("long").alias("n0"),
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("long").alias("nc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("long").alias("nd"),
+            F.sum(F.when(F.col("x") == F.col("bx"), 1).otherwise(0)).cast("long").alias("tx"),
+            F.sum(F.when(F.col("y") == F.col("by"), 1).otherwise(0)).cast("long").alias("ty"),
+        )
+    )
+    return pr.filter(
+        (F.col("n0") >= 45) & (F.col("tx") < F.col("n0")) & (F.col("ty") < F.col("n0"))
+    ).select(
+        "cx", "cy", "n0", "nc", "nd", "tx", "ty",
+        (
+            (F.col("nc") - F.col("nd")).cast("double")
+            / F.sqrt(((F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty"))).cast("double"))
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "kneser_ney_bigrams",
+    r"""
+WITH t AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+), raw AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+  FROM t WHERE len(toks) >= 2
+), bf AS (
+  SELECT s.w1 AS w1, s.w2 AS w2 FROM raw
+  WHERE regexp_full_match(s.w1, '[a-z]{3,}') AND regexp_full_match(s.w2, '[a-z]{3,}')
+), cxy AS (
+  SELECT w1, w2, cast(count(*) as bigint) AS n_pair FROM bf GROUP BY w1, w2
+), heads AS (
+  SELECT w1, cast(sum(n_pair) as bigint) AS n_head,
+         cast(count(*) as bigint) AS n1p_head
+  FROM cxy GROUP BY w1
+), tails AS (
+  SELECT w2, cast(count(*) as bigint) AS n1p_tail FROM cxy GROUP BY w2
+), tot AS (
+  SELECT cast(count(*) as bigint) AS n_bigrams FROM cxy
+)
+SELECT w1 AS head_tok, w2 AS next_tok, n_pair, n_head, n1p_head, n1p_tail,
+       greatest(cast(n_pair as double) - 0.75, 0.0) / cast(n_head as double)
+         + ((0.75 * cast(n1p_head as double)) / cast(n_head as double))
+           * (cast(n1p_tail as double) / cast(n_bigrams as double)) AS p_kn
+FROM cxy
+JOIN heads USING (w1) JOIN tails USING (w2) CROSS JOIN tot
+WHERE n_head >= 20
+ORDER BY p_kn DESC, w1, w2
+LIMIT 200
+""",
+)
+def kneser_ney_bigrams(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram probabilities (discount 0.75) —
+    the smoothed companion to bigram_next_token_docs and the classic
+    cheap perplexity-proxy scorer for corpus filtering.  KN is exactly
+    hashable because every term is rational with a dyadic discount:
+    max(c−0.75,0)/c(w1) + 0.75·N1+(w1·)/c(w1) · N1+(·w2)/|bigrams|,
+    written in the identical textual order both sides (one final add —
+    single IEEE ops are deterministic; only reassociation isn't).
+    Three hash aggs over the one bigram explode (pair counts, head
+    margins, tail fan-in) + a 1-row broadcast for the bigram total."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(T.tokens(F.col("text")).alias("toks"))
+    bf = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] as w1, toks[i + 1] as w2))"
+                )
+            ).alias("s")
+        )
+        .select("s.w1", "s.w2")
+        .filter(F.col("w1").rlike("^[a-z]{3,}$") & F.col("w2").rlike("^[a-z]{3,}$"))
+    )
+    cxy = bf.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
+    heads = cxy.groupBy("w1").agg(
+        F.sum("n_pair").cast("long").alias("n_head"),
+        F.count("*").cast("long").alias("n1p_head"),
+    )
+    tails = cxy.groupBy("w2").agg(F.count("*").cast("long").alias("n1p_tail"))
+    tot = cxy.agg(F.count("*").cast("long").alias("n_bigrams"))
+    p_kn = F.greatest(F.col("n_pair").cast("double") - F.lit(0.75), F.lit(0.0)) / F.col(
+        "n_head"
+    ).cast("double") + (
+        (F.lit(0.75) * F.col("n1p_head").cast("double")) / F.col("n_head").cast("double")
+    ) * (F.col("n1p_tail").cast("double") / F.col("n_bigrams").cast("double"))
+    out = (
+        cxy.join(heads, "w1")
+        .join(tails, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_head") >= 20)
+        .select(
+            F.col("w1").alias("head_tok"), F.col("w2").alias("next_tok"),
+            "n_pair", "n_head", "n1p_head", "n1p_tail", p_kn.alias("p_kn"),
+        )
+    )
+    return out.orderBy(F.col("p_kn").desc(), "head_tok", "next_tok").limit(200)
+
+
+_RAKE_STOPS = (
+    "the and of to a in is it that for on as with was at by an be this are or "
+    "from we you his her they not has had have but all its were which their"
+).split()
+
+
+@register(
+    "rake_word_scores_docs",
+    f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z]') AS toks FROM documents
+), ex AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+                                       i -> struct_pack(i := i, w := toks[i]))) AS s
+  FROM t
+), pos AS (
+  SELECT doc_id, s.i AS i, s.w AS w,
+         CASE WHEN s.w = '' OR len(s.w) < 2
+                   OR s.w IN ({', '.join("'" + w + "'" for w in _RAKE_STOPS)})
+              THEN 1 ELSE 0 END AS brk
+  FROM ex
+), ph AS (
+  SELECT doc_id, i, w, brk,
+         cast(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS phrase_id
+  FROM pos
+), words AS (
+  SELECT p.doc_id, p.phrase_id, p.w,
+         cast(count(*) OVER (PARTITION BY p.doc_id, p.phrase_id) as bigint) AS phrase_len
+  FROM ph p WHERE p.brk = 0
+), st AS (
+  SELECT w AS word,
+         cast(count(*) as bigint) AS freq,
+         cast(sum(phrase_len) as bigint) AS degree
+  FROM words GROUP BY w
+)
+SELECT word, freq, degree,
+       cast(degree as double) / cast(freq as double) AS rake_score
+FROM st
+WHERE freq >= 5
+ORDER BY rake_score DESC, word
+LIMIT 100
+""",
+)
+def rake_word_scores_docs(spark, sf_dir):
+    """RAKE keyword scores (degree/frequency) over candidate phrases —
+    the zero-model keyword extractor: text splits into phrases at
+    stopwords and non-letter runs; a word's degree accumulates the
+    length of every phrase it appears in, and deg/freq favours words
+    living in long multi-word phrases.  One posexplode + one per-doc
+    ordered window (running break count = phrase id) + two hash aggs;
+    everything integer until the single final division; top-100
+    deterministic (score DESC, word).  Phrase-level RAKE sums
+    per-word ratios (reassociation-unstable), so the word-score table
+    IS the exactness-safe contract."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), "[^a-z]")
+    pos = d.select("doc_id", F.posexplode(toks).alias("i", "w")).select(
+        "doc_id",
+        (F.col("i") + 1).alias("i"),
+        "w",
+        F.when(
+            (F.col("w") == "") | (F.length("w") < 2) | F.col("w").isin(_RAKE_STOPS), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wp = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ph = pos.select(
+        "doc_id", "i", "w", "brk", F.sum("brk").over(wp).cast("long").alias("phrase_id")
+    )
+    wl = Window.partitionBy("doc_id", "phrase_id")
+    words = ph.filter(F.col("brk") == 0).select(
+        "doc_id", "phrase_id", "w", F.count("*").over(wl).cast("long").alias("phrase_len")
+    )
+    st = words.groupBy(F.col("w").alias("word")).agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("phrase_len").cast("long").alias("degree"),
+    )
+    out = st.filter(F.col("freq") >= 5).select(
+        "word", "freq", "degree",
+        (F.col("degree").cast("double") / F.col("freq").cast("double")).alias("rake_score"),
+    )
+    return out.orderBy(F.col("rake_score").desc(), "word").limit(100)
+
+
+_MIS_P = D.MD5_LONG_SQL.format(x="concat('mis:', cast(doc_id as varchar))")
+
+
+@register(
+    "mis_luby_links",
+    f"""
+WITH RECURSIVE und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+        FROM documents, (VALUES (0),(1),(2)) AS t(j))
+  WHERE src <> dst
+), sym AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+), r(it, node, p, is_mis) AS (
+  SELECT 0, doc_id, {_MIS_P}, false FROM documents
+  UNION ALL
+  (
+    WITH act AS (SELECT it, node, p FROM r WHERE NOT is_mis),
+    nb AS (
+      SELECT x.node AS nd, max(struct_pack(p := y.p, n := y.node)) AS mx
+      FROM act x JOIN sym e ON x.node = e.u JOIN act y ON y.node = e.v
+      GROUP BY x.node
+    ),
+    win AS (
+      SELECT a.it, a.node, a.p,
+             (nb.mx IS NULL OR struct_pack(p := a.p, n := a.node) > nb.mx) AS w
+      FROM act a LEFT JOIN nb ON a.node = nb.nd
+    )
+    SELECT it + 1, node, p, true FROM win WHERE w
+    UNION ALL
+    SELECT w1.it + 1, w1.node, w1.p, false
+    FROM win w1
+    WHERE NOT w1.w
+      AND NOT EXISTS (
+        SELECT 1 FROM win w2 JOIN sym e ON w2.node = e.u AND e.v = w1.node
+        WHERE w2.w)
+  )
+)
+SELECT node, cast(it as int) AS round FROM r WHERE is_mis
+""",
+)
+def mis_luby_links(spark, sf_dir):
+    """Deterministic Luby maximal independent set on the md5 doc link
+    graph — the degree-bounded scheduling/coloring primitive (pick a
+    conflict-free set of crawl hosts, then peel and repeat).  Each
+    round is one neighbor-max shuffle + one anti join, frames
+    localCheckpoint-ed (operators/mis.py); priorities are md5-derived
+    once, so the selection AND the round each node is selected in are
+    replayable — the oracle is a WITH RECURSIVE CTE running the very
+    same round rule.  Emits (node, round): independence, maximality,
+    and the round trace all hash-checked."""
+    from gipspark.operators.mis import luby_mis
+
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    out = luby_mis(nodes, edges)
+    return out.select("node", F.col("round").cast("int").alias("round"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

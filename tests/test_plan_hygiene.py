@@ -65,6 +65,9 @@ CROSS_OK = {
     "burrows_delta_sources",  # 20-row vocab dim × source spine (tfidf sibling)
     "weighted_systematic_sample",  # 1-row step scalar broadcast into the cumsum table
     "ht_total_contract",  # 1-row population-total scalar broadcast into the sampler
+    "copurchase_lift_parts",  # 1-row order-count scalar broadcast into the pair table
+    "kneser_ney_bigrams",  # 1-row bigram-total scalar broadcast into the prob table
+    "mixture_temperature_weights",  # 1-row sorted-fold normalizer broadcast into groups
 }
 
 
