@@ -17291,6 +17291,433 @@ def mis_luby_links(spark, sf_dir):
     return out.select("node", F.col("round").cast("int").alias("round"))
 
 
+@register(
+    "box_counting_events",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), lv AS (
+  SELECT cast(s as double) AS cell_deg FROM (VALUES (32),(16),(8),(4),(2),(1)) t(s)
+), occ AS (
+  SELECT cell_deg,
+         cast(floor((lon + 180.0) / cell_deg) as int) AS cx,
+         cast(floor((90.0 - lat) / cell_deg) as int) AS cy,
+         cast(count(*) as bigint) AS n_pts
+  FROM pts CROSS JOIN lv
+  GROUP BY cell_deg, cx, cy
+)
+SELECT cell_deg,
+       cast(count(*) as bigint) AS n_occupied,
+       cast(sum(n_pts) as bigint) AS n_points,
+       cast(max(n_pts) as bigint) AS max_in_cell
+FROM occ GROUP BY cell_deg
+""",
+)
+def box_counting_events(spark, sf_dir):
+    """Box-counting occupancy profile of the event point set: occupied
+    cell counts at six dyadic grid resolutions (32°…1°) — the raw
+    curve behind a fractal-dimension / clustering-regime read, kept
+    transcendental-free by emitting (resolution, N(ε)) pairs instead
+    of the log-log slope.  One point scan fanned ×6 by a literal
+    resolution dim (explode, not a rescan), one hash agg per level
+    fused into a single (level, cell) aggregate — at 100 TB this is
+    the same one-shuffle shape as any tile count, ×6 constant."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    lv = F.explode(F.array(*[F.lit(float(s)) for s in (32, 16, 8, 4, 2, 1)])).alias(
+        "cell_deg"
+    )
+    occ = (
+        pts.select("lat", "lon", lv)
+        .select(
+            "cell_deg",
+            F.floor((F.col("lon") + 180.0) / F.col("cell_deg")).cast("int").alias("cx"),
+            F.floor((90.0 - F.col("lat")) / F.col("cell_deg")).cast("int").alias("cy"),
+        )
+        .groupBy("cell_deg", "cx", "cy")
+        .agg(F.count("*").cast("long").alias("n_pts"))
+    )
+    return occ.groupBy("cell_deg").agg(
+        F.count("*").cast("long").alias("n_occupied"),
+        F.sum("n_pts").cast("long").alias("n_points"),
+        F.max("n_pts").cast("long").alias("max_in_cell"),
+    )
+
+
+@register(
+    "longest_streak_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         cast(ts as date) AS day
+  FROM events
+), cd AS (
+  SELECT cast(floor((lon + 180.0) / 15.0) as int) AS cx,
+         cast(floor((90.0 - lat) / 15.0) as int) AS cy,
+         day, cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy, day
+), lagd AS (
+  SELECT cx, cy, day, v,
+         lag(day) OVER (PARTITION BY cx, cy ORDER BY day) AS pday,
+         lag(v) OVER (PARTITION BY cx, cy ORDER BY day) AS pv
+  FROM cd
+), brk AS (
+  SELECT cx, cy, day, v,
+         CASE WHEN pday = day - INTERVAL 1 DAY AND v > pv THEN 0 ELSE 1 END AS b
+  FROM lagd
+), isl AS (
+  SELECT cx, cy, day, v,
+         cast(sum(b) OVER (PARTITION BY cx, cy ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS island
+  FROM brk
+), runs AS (
+  SELECT cx, cy, island, cast(count(*) as bigint) AS run_len
+  FROM isl GROUP BY cx, cy, island
+)
+SELECT cx, cy,
+       cast(max(run_len) as bigint) AS longest_streak,
+       cast(count(*) as bigint) AS n_runs
+FROM runs GROUP BY cx, cy
+""",
+)
+def longest_streak_cells(spark, sf_dir):
+    """Longest day-over-day growth streak per cell — gaps-and-islands:
+    a streak extends only across CONSECUTIVE calendar days with
+    strictly increasing event counts; the island id is the running
+    break count, runs collapse in one agg.  (The trend-detection
+    sibling of mann_kendall_cells that cares about uninterrupted
+    momentum, e.g. flagging tiles with sustained crawl growth.)  One
+    densify agg + one per-cell ordered window + two hash aggs, integer
+    throughout; windows and aggs all share the cell key, so Catalyst
+    plans a single exchange."""
+    ev = load(spark, sf_dir, "events")
+    cd = (
+        ev.select(
+            C.derived_lat(F.col("event_id")).alias("lat"),
+            C.derived_lon(F.col("event_id")).alias("lon"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .select(
+            F.floor((F.col("lon") + 180.0) / 15.0).cast("int").alias("cx"),
+            F.floor((90.0 - F.col("lat")) / 15.0).cast("int").alias("cy"),
+            "day",
+        )
+        .groupBy("cx", "cy", "day")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    wo = Window.partitionBy("cx", "cy").orderBy("day")
+    brk = cd.select(
+        "cx", "cy", "day", "v",
+        F.when(
+            (F.lag("day").over(wo) == F.date_sub(F.col("day"), 1))
+            & (F.col("v") > F.lag("v").over(wo)),
+            0,
+        )
+        .otherwise(1)
+        .alias("b"),
+    )
+    isl = brk.select(
+        "cx", "cy", "day", "v",
+        F.sum("b")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("island"),
+    )
+    runs = isl.groupBy("cx", "cy", "island").agg(F.count("*").cast("long").alias("run_len"))
+    return runs.groupBy("cx", "cy").agg(
+        F.max("run_len").cast("long").alias("longest_streak"),
+        F.count("*").cast("long").alias("n_runs"),
+    )
+
+
+@register(
+    "neighbor_degree_spectrum",
+    f"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+        FROM documents, (VALUES (0),(1),(2)) AS t(j))
+  WHERE src <> dst
+), adj AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+), deg AS (
+  SELECT u, cast(count(*) as bigint) AS d FROM adj GROUP BY u
+)
+SELECT du.d AS degree,
+       cast(count(DISTINCT adj.u) as bigint) AS n_nodes,
+       cast(count(*) as bigint) AS n_ends,
+       cast(sum(dv.d) as bigint) AS sum_nbr_deg,
+       cast(sum(dv.d) as double) / cast(count(*) as double) AS avg_nbr_deg
+FROM adj JOIN deg du ON adj.u = du.u JOIN deg dv ON adj.v = dv.u
+GROUP BY du.d
+""",
+)
+def neighbor_degree_spectrum(spark, sf_dir):
+    """Average-neighbor-degree spectrum k_nn(k) of the doc link graph —
+    the degree-correlation observable behind assortativity's single
+    coefficient (rising k_nn(k) = assortative hubs-link-hubs crawl
+    frontier, falling = disassortative hub-and-spoke).  Degrees join
+    onto both edge endpoints (shuffles keyed on node id, Σdeg rows),
+    then one hash agg per degree class; integer sums, one division."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    raw = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    und = raw.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    j = adj.join(deg.select(F.col("u").alias("u"), F.col("d").alias("du")), "u").join(
+        deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+    )
+    return j.groupBy(F.col("du").alias("degree")).agg(
+        F.countDistinct("u").cast("long").alias("n_nodes"),
+        F.count("*").cast("long").alias("n_ends"),
+        F.sum("dv").cast("long").alias("sum_nbr_deg"),
+        (F.sum("dv").cast("double") / F.count("*").cast("double")).alias("avg_nbr_deg"),
+    )
+
+
+_CRAWL_BUDGET = 10000
+
+
+@register(
+    "crawl_budget_apportion",
+    f"""
+WITH g AS (
+  SELECT source, cast(count(*) as bigint) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT cast(sum(n_docs) as bigint) AS n_total, cast(count(*) as bigint) AS n_src FROM g
+), q AS (
+  SELECT source, n_docs,
+         ({_CRAWL_BUDGET} * n_docs) // n_total AS base,
+         ({_CRAWL_BUDGET} * n_docs) % n_total AS rem,
+         n_total
+  FROM g CROSS JOIN tot
+), r AS (
+  SELECT source, n_docs, base, rem,
+         cast(row_number() OVER (ORDER BY rem DESC, source) as bigint) AS rk,
+         cast({_CRAWL_BUDGET} - sum(base) OVER () as bigint) AS leftover
+  FROM q
+)
+SELECT source, n_docs, cast(base as bigint) AS base,
+       CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS extra,
+       cast(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END as bigint) AS alloc
+FROM r
+""",
+)
+def crawl_budget_apportion(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of a fixed crawl
+    budget of {_CRAWL_BUDGET} fetch slots across sources, proportional
+    to corpus share — how a crawler divides politeness-bounded slots
+    so that Σalloc == budget EXACTLY (floor quotas under-allocate; the
+    leftover goes to the largest integer remainders, ties broken by
+    source id).  Pure integer arithmetic end to end — remainders are
+    compared as exact modulo values, never float fractions.  The
+    window runs over the SOURCE table (bounded dimension), not docs;
+    one hash agg + 1-row total broadcast + one bounded window."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = g.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_src"),
+    )
+    B = F.lit(_CRAWL_BUDGET).cast("long")
+    q = g.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        F.floor(B * F.col("n_docs") / F.col("n_total")).cast("long").alias("base"),
+        ((B * F.col("n_docs")) % F.col("n_total")).alias("rem"),
+    )
+    wall = Window.partitionBy()
+    r = q.select(
+        "source", "n_docs", "base",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "source")).cast("long").alias("rk"),
+        (B - F.sum("base").over(wall)).cast("long").alias("leftover"),
+    )
+    extra = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return r.select(
+        "source", "n_docs",
+        F.col("base").cast("long").alias("base"),
+        extra.alias("extra"),
+        (F.col("base") + extra).cast("long").alias("alloc"),
+    )
+
+
+@register(
+    "soundex_blocking_docs",
+    r"""
+WITH words AS (
+  SELECT DISTINCT w
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents)
+  WHERE regexp_full_match(w, '[a-z]{3,}')
+), m AS (
+  SELECT w, upper(w) AS u,
+         list_filter(list_transform(string_split(upper(w), ''), c ->
+           CASE WHEN c IN ('B','F','P','V') THEN '1'
+                WHEN c IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                WHEN c IN ('D','T') THEN '3'
+                WHEN c = 'L' THEN '4'
+                WHEN c IN ('M','N') THEN '5'
+                WHEN c = 'R' THEN '6'
+                WHEN c IN ('A','E','I','O','U','Y') THEN '0'
+                ELSE NULL END), x -> x IS NOT NULL) AS codes
+  FROM words
+), s AS (
+  SELECT w, u,
+         list_reduce(codes, (a, b) ->
+           CASE WHEN substr(a, -1, 1) = b THEN a ELSE a || b END) AS collapsed
+  FROM m
+), sx AS (
+  SELECT w,
+         substr(u, 1, 1) || rpad(substr(replace(
+           CASE WHEN substr(u, 1, 1) IN ('H', 'W') THEN collapsed
+                ELSE substr(collapsed, 2) END, '0', ''), 1, 3), 3, '0') AS code
+  FROM s
+)
+SELECT code,
+       cast(count(*) as bigint) AS n_words,
+       cast(count(*) * (count(*) - 1) / 2 as bigint) AS n_pairs,
+       min(w) AS first_word,
+       max(w) AS last_word
+FROM sx GROUP BY code
+""",
+)
+def soundex_blocking_docs(spark, sf_dir):
+    """Soundex phonetic blocking over the corpus vocabulary — the
+    classic record-linkage blocking key (candidate pairs only inside a
+    shared 4-char phonetic code, Σ block² instead of |vocab|²).  The
+    oracle does NOT mirror Spark's JVM soundex: it re-derives American
+    Soundex (H/W-collapse rule included: Ashcraft→A261, Pfister→P236,
+    Honeyman→H555 — probed against Spark) from the published spec as
+    list_transform code-mapping + a left-fold adjacent-collapse — two
+    genuinely independent implementations agreeing bit-for-bit, the
+    strongest correctness evidence in the linkage family.  One distinct
+    on tokens + one codegen soundex + one hash agg per block."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{3,}$"))
+        .distinct()
+    )
+    sx = words.select("w", F.soundex(F.upper(F.col("w"))).alias("code"))
+    return (
+        sx.groupBy("code")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias("n_pairs"),
+            F.min("w").alias("first_word"),
+            F.max("w").alias("last_word"),
+        )
+    )
+
+
+def _haar_level_sql(k: int) -> str:
+    src = "cd" if k == 1 else f"s{k - 1}"
+    return f"""s{k} AS (
+  SELECT cx, cy, idx // 2 AS idx,
+         cast(sum(v) as bigint) AS v,
+         cast(sum(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) as bigint) AS d
+  FROM {src} GROUP BY cx, cy, idx // 2
+), e{k} AS (
+  SELECT cx, cy, cast(sum(d * d) as bigint) AS e FROM s{k} GROUP BY cx, cy
+)"""
+
+
+@register(
+    "haar_energy_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         cast(ts as date) AS day
+  FROM events
+), d0 AS (
+  SELECT cast(min(day) as date) AS day0 FROM pts
+), cd AS (
+  SELECT cast(floor((lon + 180.0) / 15.0) as int) AS cx,
+         cast(floor((90.0 - lat) / 15.0) as int) AS cy,
+         datediff('day', day0, day) AS idx,
+         cast(count(*) as bigint) AS v
+  FROM pts CROSS JOIN d0 GROUP BY cx, cy, idx
+), {", ".join(_haar_level_sql(k) for k in range(1, 6))}
+SELECT e1.cx, e1.cy,
+       e1.e AS energy1, e2.e AS energy2, e3.e AS energy3,
+       e4.e AS energy4, e5.e AS energy5
+FROM e1
+JOIN e2 ON e1.cx = e2.cx AND e1.cy = e2.cy
+JOIN e3 ON e1.cx = e3.cx AND e1.cy = e3.cy
+JOIN e4 ON e1.cx = e4.cx AND e1.cy = e4.cy
+JOIN e5 ON e1.cx = e5.cx AND e1.cy = e5.cy
+""",
+)
+def haar_energy_cells(spark, sf_dir):
+    """Unnormalized Haar wavelet detail energies (5 dyadic scales) of
+    each cell's daily event series — the multi-scale burstiness
+    decomposition: energy1 = day-to-day jitter, energy5 = first-half
+    vs second-half regime shift; the √2 normalizers are dropped so
+    every coefficient is an exact INTEGER difference of counts and the
+    energies exact integer sums of squares (zero FP anywhere).  Each
+    level is one (cell, idx»1) pair-aggregate feeding the next —
+    log₂(window) chained shuffles all keyed on cell, absent days act
+    as zero slots for free because sums ignore them.  The global
+    day-zero anchor is a 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    d0 = pts.agg(F.min("day").alias("day0"))
+    cd = (
+        pts.crossJoin(F.broadcast(d0))
+        .select(
+            F.floor((F.col("lon") + 180.0) / 15.0).cast("int").alias("cx"),
+            F.floor((90.0 - F.col("lat")) / 15.0).cast("int").alias("cy"),
+            F.datediff("day", "day0").alias("idx"),
+        )
+        .groupBy("cx", "cy", "idx")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    cur = cd
+    energies = []
+    for k in range(1, 6):
+        sk = (
+            cur.select(
+                "cx", "cy", "v",
+                F.floor(F.col("idx") / 2).cast("int").alias("pidx"),
+                F.when(F.col("idx") % 2 == 0, F.col("v")).otherwise(-F.col("v")).alias("sv"),
+            )
+            .groupBy("cx", "cy", "pidx")
+            .agg(
+                F.sum("v").cast("long").alias("v"),
+                F.sum("sv").cast("long").alias("d"),
+            )
+        )
+        ek = sk.groupBy("cx", "cy").agg(
+            F.sum(F.col("d") * F.col("d")).cast("long").alias(f"energy{k}")
+        )
+        energies.append(ek)
+        cur = sk.select("cx", "cy", F.col("pidx").alias("idx"), "v")
+    out = energies[0]
+    for ek in energies[1:]:
+        out = out.join(ek, ["cx", "cy"])
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -68,6 +68,8 @@ CROSS_OK = {
     "copurchase_lift_parts",  # 1-row order-count scalar broadcast into the pair table
     "kneser_ney_bigrams",  # 1-row bigram-total scalar broadcast into the prob table
     "mixture_temperature_weights",  # 1-row sorted-fold normalizer broadcast into groups
+    "crawl_budget_apportion",  # 1-row corpus-total broadcast into the source dim
+    "haar_energy_cells",  # 1-row global day-zero anchor broadcast into the point table
 }
 
 
