@@ -17718,6 +17718,82 @@ def haar_energy_cells(spark, sf_dir):
     return out
 
 
+@register(
+    "mst_customers",
+    f"""
+WITH RECURSIVE nd AS (
+  SELECT c_custkey AS ck,
+         ((cast(c_custkey as bigint) * {C.LAT_MUL}) % {C.LAT_MOD}) // 100 AS la,
+         ((cast(c_custkey as bigint) * {C.LON_MUL}) % {C.LON_MOD}) // 100 AS lo
+  FROM customer WHERE c_custkey % 7 = 1
+), ed AS (
+  SELECT x.ck AS a, y.ck AS b,
+         ((x.la - y.la) * (x.la - y.la) + (x.lo - y.lo) * (x.lo - y.lo)) * 1073741824
+           + least(x.ck, y.ck) * 32768 + greatest(x.ck, y.ck) AS w
+  FROM nd x JOIN nd y ON x.ck <> y.ck
+), root AS (
+  SELECT min(ck) AS r FROM nd
+), r(it, visited, eout) AS (
+  SELECT 0, [(SELECT r FROM root)], CAST([] AS STRUCT(a BIGINT, b BIGINT, w BIGINT)[])
+  UNION ALL
+  SELECT r.it + 1, list_append(r.visited, p.s.b), list_append(r.eout, p.s)
+  FROM r CROSS JOIN LATERAL (
+    SELECT arg_min(struct_pack(a := cast(e.a as bigint), b := cast(e.b as bigint),
+                               w := cast(e.w as bigint)), e.w) AS s
+    FROM ed e
+    WHERE list_contains(r.visited, e.a) AND NOT list_contains(r.visited, e.b)
+  ) p
+  WHERE p.s IS NOT NULL
+)
+SELECT least(u.s.a, u.s.b) AS a, greatest(u.s.a, u.s.b) AS b, u.s.w AS w
+FROM (SELECT eout FROM r ORDER BY it DESC LIMIT 1) f, unnest(f.eout) AS u(s)
+""",
+)
+def mst_customers(spark, sf_dir):
+    """Minimum spanning tree of the capped customer point set (every
+    7th key, complete graph on the integer hectometre-degree lattice)
+    via distributed Borůvka (operators/mst.py) — the clustering /
+    network-design primitive (single-linkage dendrogram = MST + cut).
+    Weights pack (d², min_key, max_key) into one BIGINT so they are
+    pairwise DISTINCT ⇒ the MST is unique and the DuckDB oracle — a
+    recursive-CTE PRIM replay, a genuinely different algorithm — must
+    produce the identical edge set: a method-independent check, not a
+    mirror.  The fixture's complete graph is bounded by the key cap
+    (diameter_pairs contract); at scale you feed Borůvka the kNN-graph
+    edges from knn_join instead — the operator itself only ever
+    shuffles the edge list by component label and contracts via WCC on
+    the SELECTED edges (≤ #components per round, O(log n) rounds)."""
+    from gipspark.operators.mst import boruvka_mst
+
+    nd = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 1)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.floor(((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD)) / 100)
+            .cast("long")
+            .alias("la"),
+            F.floor(((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD)) / 100)
+            .cast("long")
+            .alias("lo"),
+        )
+    )
+    y = nd.select(F.col("ck").alias("bck"), F.col("la").alias("bla"), F.col("lo").alias("blo"))
+    d2 = (F.col("la") - F.col("bla")) * (F.col("la") - F.col("bla")) + (
+        F.col("lo") - F.col("blo")
+    ) * (F.col("lo") - F.col("blo"))
+    ed = nd.join(y, F.col("ck") < F.col("bck")).select(
+        F.col("ck").alias("a"),
+        F.col("bck").alias("b"),
+        (
+            d2 * F.lit(1073741824).cast("long")
+            + F.least("ck", "bck") * F.lit(32768)
+            + F.greatest("ck", "bck")
+        ).alias("w"),
+    )
+    return boruvka_mst(ed)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -70,6 +70,7 @@ CROSS_OK = {
     "mixture_temperature_weights",  # 1-row sorted-fold normalizer broadcast into groups
     "crawl_budget_apportion",  # 1-row corpus-total broadcast into the source dim
     "haar_energy_cells",  # 1-row global day-zero anchor broadcast into the point table
+    "mst_customers",  # bounded complete-graph fixture on the capped key subset (kNN graph at scale)
 }
 
 
