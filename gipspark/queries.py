@@ -17794,6 +17794,754 @@ def mst_customers(spark, sf_dir):
     return boruvka_mst(ed)
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 1: walk spectra, bounded DAG paths, union-area
+# sweep, integer hillshade
+# ---------------------------------------------------------------------------
+
+
+def _walk_oracle_sql() -> str:
+    rounds = []
+    prev = "x0"
+    for k in range(1, 5):
+        rounds.append(
+            f"""x{k} AS (
+  SELECT n.id, coalesce(s.w, 0) AS w FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, cast(sum(p.w) as bigint) AS w
+    FROM edges e JOIN {prev} p ON e.src = p.id GROUP BY e.dst
+  ) s ON s.id = n.id
+)"""
+        )
+        prev = f"x{k}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (
+  SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+x0 AS (SELECT id, cast(1 as bigint) AS w FROM nodes),
+{body}
+SELECT id, w AS walks4 FROM x4
+"""
+
+
+@register("walk_counts_links", _walk_oracle_sql())
+def walk_counts_links(spark, sf_dir):
+    """Length-4 walk counts into each node (the unnormalized power-
+    iteration / eigenvector-centrality estimate x = A^4·1, and exactly
+    the katz numerator at beta=1) over the shared 3-out md5 link graph
+    (same edge fixture as pagerank_doc_links). Kept in BIGINT so the
+    oracle's unrolled 4-round replay hashes identically regardless of
+    partition sum order — the repo-wide no-ln()/no-float-reduction
+    rule. One contrib shuffle per round on dst (the distributed
+    SpMV shape); mass grows ×outdeg per round so 4 rounds stay far
+    inside int64 at any corpus size with bounded out-degree."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    x = nodes.select("id", F.lit(1).cast("long").alias("w"))
+    for _ in range(4):
+        contrib = (
+            edges.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+        x = nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left").select(
+            "id", F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("w")
+        )
+    return x.select("id", F.col("w").alias("walks4"))
+
+
+_DAG_EDGE_H = D.MD5_LONG_SQL.format(
+    x="concat('dag:', cast(j as varchar), ':', cast(doc_id as varchar))"
+)
+
+
+def _dag_oracle_sql() -> str:
+    rounds = []
+    prev = "b0"
+    for k in range(1, 5):
+        rounds.append(
+            f"""b{k} AS (
+  SELECT n.id, greatest(p0.best, coalesce(s.best, -1)) AS best
+  FROM nodes n JOIN {prev} p0 ON p0.id = n.id LEFT JOIN (
+    SELECT e.dst AS id, max(p.best + e.w) AS best
+    FROM edges e JOIN {prev} p ON e.src = p.id WHERE p.best >= 0 GROUP BY e.dst
+  ) s ON s.id = n.id
+)"""
+        )
+        prev = f"b{k}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+eraw AS (
+  SELECT doc_id AS src,
+         doc_id + 1 + {_DAG_EDGE_H} % 25 AS dst,
+         1 + {_DAG_EDGE_H} % 97 AS w
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+edges AS (
+  SELECT src, dst, cast(max(w) as bigint) AS w FROM eraw
+  WHERE dst < {_PR_N} GROUP BY src, dst
+),
+b0 AS (SELECT id, cast(0 as bigint) AS best FROM nodes),
+{body}
+SELECT id, best AS maxpath4 FROM b4
+"""
+
+
+@register("dag_maxpath4_links", _dag_oracle_sql())
+def dag_maxpath4_links(spark, sf_dir):
+    """Critical-path / longest-path over a DAG, depth-bounded to 4
+    hops: max-plus relaxation (the tropical-semiring twin of the
+    walk-count SpMV) over forward-only md5 edges (dst = src+1..src+25,
+    so the graph is acyclic by construction) with integer weights
+    1..97. best_k(v) = max(best_{k-1}(v), max_{(u,v,w)} best_{k-1}(u)
+    + w) — the scheduling/lineage-depth primitive. Exact BIGINT; the
+    oracle replays the same 4 unrolled rounds. Each round is one
+    shuffle on dst; unbounded-depth callers use the converge loop in
+    operators/shortestpath.py (localCheckpoint every few rounds)."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    eraw = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            F.col("doc_id")
+                            + 1
+                            + D.md5_long(
+                                F.concat(F.lit(f"dag:{j}:"), F.col("doc_id").cast("string"))
+                            )
+                            % 25
+                        ).alias("dst"),
+                        (
+                            1
+                            + D.md5_long(
+                                F.concat(F.lit(f"dag:{j}:"), F.col("doc_id").cast("string"))
+                            )
+                            % 97
+                        ).alias("w"),
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("e"),
+    ).select("src", F.col("e.dst").alias("dst"), F.col("e.w").alias("w"))
+    edges = (
+        eraw.filter(F.col("dst") < n)
+        .groupBy("src", "dst")
+        .agg(F.max("w").cast("long").alias("w"))
+    )
+    best = nodes.select("id", F.lit(0).cast("long").alias("best"))
+    for _ in range(4):
+        relax = (
+            edges.join(best.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.max(F.col("best") + F.col("w")).alias("nb"))
+        )
+        best = best.join(relax.withColumnRenamed("dst", "id"), "id", "left").select(
+            "id",
+            F.greatest(F.col("best"), F.coalesce(F.col("nb"), F.lit(-1))).cast("long").alias("best"),
+        )
+    return best.select("id", F.col("best").alias("maxpath4"))
+
+
+def _union_boxes_sql() -> str:
+    return f"""
+SELECT c_custkey AS ck,
+       cast(floor(((c_custkey * {C.LAT_MUL}) % {C.LAT_MOD}) / 100) as bigint) AS yc,
+       cast(floor(((c_custkey * {C.LON_MUL}) % {C.LON_MOD}) / 100) as bigint) AS xc,
+       cast(5 + c_custkey % 40 as bigint) AS hw,
+       cast(5 + (c_custkey * 7) % 40 as bigint) AS hh
+FROM customer WHERE c_custkey % 11 = 1
+"""
+
+
+@register(
+    "bbox_union_area",
+    f"""
+WITH bx AS (
+  SELECT ck, xc - hw AS x0, xc + hw AS x1, yc - hh AS y0, yc + hh AS y1
+  FROM ({_union_boxes_sql()})
+),
+xs AS (
+  SELECT x, cast(row_number() OVER (ORDER BY x) as bigint) AS rn
+  FROM (SELECT DISTINCT x FROM (SELECT x0 AS x FROM bx UNION SELECT x1 FROM bx))
+),
+slabs AS (
+  SELECT a.rn AS si, a.x AS sx0, b.x AS sx1
+  FROM xs a JOIN xs b ON b.rn = a.rn + 1
+),
+cov AS (
+  SELECT s.si, s.sx1 - s.sx0 AS width, b.y0, b.y1
+  FROM bx b
+  JOIN xs r0 ON r0.x = b.x0
+  JOIN xs r1 ON r1.x = b.x1
+  JOIN slabs s ON s.si >= r0.rn AND s.si < r1.rn
+),
+seg AS (
+  SELECT si, width, y0, y1,
+         CASE WHEN y0 > coalesce(max(y1) OVER (
+                PARTITION BY si ORDER BY y0, y1
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), y0 - 1)
+              THEN 1 ELSE 0 END AS newseg
+  FROM cov
+),
+segid AS (
+  SELECT si, width, y0, y1,
+         sum(newseg) OVER (PARTITION BY si ORDER BY y0, y1
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM seg
+),
+merged AS (
+  SELECT si, any_value(width) AS width, max(y1) - min(y0) AS ylen
+  FROM segid GROUP BY si, sid
+)
+SELECT cast((SELECT count(*) FROM bx) as bigint) AS n_boxes,
+       cast((SELECT count(*) FROM slabs) as bigint) AS n_slabs,
+       cast(sum(width * ylen) as bigint) AS union_area,
+       cast((SELECT sum((x1 - x0) * (y1 - y0)) FROM bx) as bigint) AS sum_area
+FROM merged
+""",
+)
+def bbox_union_area(spark, sf_dir):
+    """Area of the union of axis-aligned boxes (coverage footprint of a
+    tile/crawl-extent set — the classic sweep-line measure problem) as
+    pure DataFrame ops: coordinate-compress the x endpoints into slabs
+    (global_row_number — the two-phase rank, no single-partition
+    window), equi-join each box to its start/end slab rank and explode
+    the covered slab range (sequence — fully equi, no range predicate
+    ⇒ no BNLJ), then merge y-intervals per slab with the gap-flag +
+    running-segment-id window and sum width×merged-length. Integer
+    hectometre-degree lattice end to end; the DuckDB oracle runs the
+    textually identical sweep. Shuffles: one distinct, one rank, one
+    slab partition — each keyed finer than the box count, so the plan
+    scales with slab density, not box pairs."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 11 == 1)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.floor(((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD)) / 100)
+            .cast("long")
+            .alias("yc"),
+            F.floor(((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD)) / 100)
+            .cast("long")
+            .alias("xc"),
+            (5 + F.col("c_custkey") % 40).cast("long").alias("hw"),
+            (5 + (F.col("c_custkey") * 7) % 40).cast("long").alias("hh"),
+        )
+    )
+    bx = cust.select(
+        "ck",
+        (F.col("xc") - F.col("hw")).alias("x0"),
+        (F.col("xc") + F.col("hw")).alias("x1"),
+        (F.col("yc") - F.col("hh")).alias("y0"),
+        (F.col("yc") + F.col("hh")).alias("y1"),
+    )
+    from gipspark.operators.ranking import global_row_number
+
+    xs = global_row_number(
+        bx.select(F.col("x0").alias("x")).union(bx.select("x1")).distinct(),
+        ["x"],
+        out="rn",
+    )
+    slabs = xs.alias("a").join(
+        xs.alias("b"), F.col("b.rn") == F.col("a.rn") + 1
+    ).select(
+        F.col("a.rn").alias("si"),
+        F.col("a.x").alias("sx0"),
+        F.col("b.x").alias("sx1"),
+    )
+    ranked = (
+        bx.join(xs.select(F.col("x").alias("x0"), F.col("rn").alias("r0")), "x0")
+        .join(xs.select(F.col("x").alias("x1"), F.col("rn").alias("r1")), "x1")
+        .select("ck", "y0", "y1", F.explode(F.sequence("r0", (F.col("r1") - 1))).alias("si"))
+    )
+    cov = ranked.join(slabs, "si").select(
+        "si", (F.col("sx1") - F.col("sx0")).alias("width"), "y0", "y1"
+    )
+    w_prev = (
+        Window.partitionBy("si")
+        .orderBy("y0", "y1")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("si")
+        .orderBy("y0", "y1")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = cov.withColumn(
+        "newseg",
+        F.when(
+            F.col("y0") > F.coalesce(F.max("y1").over(w_prev), F.col("y0") - 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("sid", F.sum("newseg").over(w_run))
+    merged = seg.groupBy("si", "sid").agg(
+        F.first("width").alias("width"), (F.max("y1") - F.min("y0")).alias("ylen")
+    )
+    n_boxes = bx.agg(F.count("*").cast("long").alias("n_boxes"))
+    n_slabs = slabs.agg(F.count("*").cast("long").alias("n_slabs"))
+    sum_area = bx.agg(
+        F.sum((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0")))
+        .cast("long")
+        .alias("sum_area")
+    )
+    total = merged.agg(F.sum(F.col("width") * F.col("ylen")).cast("long").alias("union_area"))
+    return (
+        total.crossJoin(F.broadcast(n_boxes))
+        .crossJoin(F.broadcast(n_slabs))
+        .crossJoin(F.broadcast(sum_area))
+        .select("n_boxes", "n_slabs", "union_area", "sum_area")
+    )
+
+
+@register(
+    "hillshade_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+), g2 AS (
+  SELECT g.cx, g.cy,
+         coalesce(e.v, 0) - coalesce(w.v, 0) AS gx,
+         coalesce(s.v, 0) - coalesce(n.v, 0) AS gy
+  FROM grid g
+  LEFT JOIN grid e ON e.cx = g.cx + 1 AND e.cy = g.cy
+  LEFT JOIN grid w ON w.cx = g.cx - 1 AND w.cy = g.cy
+  LEFT JOIN grid s ON s.cx = g.cx AND s.cy = g.cy + 1
+  LEFT JOIN grid n ON n.cx = g.cx AND n.cy = g.cy - 1
+)
+SELECT cx, cy,
+       cast(-2 * gx + 3 * gy + 12 as bigint) AS dot,
+       cast(gx * gx + gy * gy + 4 as bigint) AS n2,
+       CASE WHEN -2 * gx + 3 * gy + 12 <= 0 THEN 'shadow'
+            WHEN 4 * (-2 * gx + 3 * gy + 12) * (-2 * gx + 3 * gy + 12)
+                 >= 3 * 49 * (gx * gx + gy * gy + 4) THEN 'bright'
+            WHEN 4 * (-2 * gx + 3 * gy + 12) * (-2 * gx + 3 * gy + 12)
+                 >= 49 * (gx * gx + gy * gy + 4) THEN 'lit'
+            ELSE 'dim' END AS shade
+FROM g2
+""",
+)
+def hillshade_cells(spark, sf_dir):
+    """Hillshade (illumination of the event-density surface by a fixed
+    light vector — the cartographic relief kernel) with the repo's
+    trig-free integer discipline: surface normal N = (-gx, -gy, 2)
+    from the same central differences as raster_gradient_cells, light
+    L = (2, -3, 6) chosen with integer norm |L| = 7, and the shade
+    class decided by comparing 4·dot² against {{1, 3}}·49·|N|² — i.e.
+    cos thresholds 1/2 and √3/2 evaluated without sqrt or cosine, so
+    both engines hash identically. Same dim-scale plan as gradient:
+    one map-combinable cell agg then four hash self-joins."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    grid = (
+        pts.select(
+            F.floor((F.col("lon") + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - F.col("lat")) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    g = grid.alias("g")
+
+    def nb(name, dx, dy):
+        t = grid.alias(name)
+        return t, [
+            F.col(f"{name}.cx") == F.col("g.cx") + dx,
+            F.col(f"{name}.cy") == F.col("g.cy") + dy,
+        ]
+
+    e, e_on = nb("e", 1, 0)
+    w, w_on = nb("w", -1, 0)
+    s, s_on = nb("s", 0, 1)
+    n, n_on = nb("n", 0, -1)
+    j = (
+        g.join(e, e_on, "left")
+        .join(w, w_on, "left")
+        .join(s, s_on, "left")
+        .join(n, n_on, "left")
+    )
+    ev_, wv, sv, nv = (
+        F.coalesce(F.col(f"{x}.v"), F.lit(0)) for x in ("e", "w", "s", "n")
+    )
+    gx, gy = ev_ - wv, sv - nv
+    dot = -2 * gx + 3 * gy + 12
+    n2 = gx * gx + gy * gy + 4
+    shade = (
+        F.when(dot <= 0, F.lit("shadow"))
+        .when(4 * dot * dot >= 3 * 49 * n2, F.lit("bright"))
+        .when(4 * dot * dot >= 49 * n2, F.lit("lit"))
+        .otherwise(F.lit("dim"))
+    )
+    return j.select(
+        F.col("g.cx").alias("cx"),
+        F.col("g.cy").alias("cy"),
+        dot.cast("long").alias("dot"),
+        n2.cast("long").alias("n2"),
+        shade.alias("shade"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 2: CDC chunking, TextTiling, h-index, surprisal
+# ---------------------------------------------------------------------------
+
+_CDC_W = 8  # rolling window width (chars)
+
+
+@register(
+    "cdc_chunks_docs",
+    f"""
+WITH pos AS (
+  SELECT doc_id, source, text,
+         unnest(generate_series({_CDC_W}, len(text))) AS i
+  FROM documents
+),
+bnd AS (
+  SELECT DISTINCT doc_id, b FROM (
+    SELECT doc_id, i AS b FROM pos
+    WHERE substr(md5(substr(text, i - {_CDC_W} + 1, {_CDC_W})), 1, 1) = '0'
+    UNION ALL
+    SELECT doc_id, len(text) AS b FROM documents
+  )
+),
+chunks AS (
+  SELECT d.doc_id, d.source,
+         substr(d.text,
+                cast(coalesce(lag(b.b) OVER (PARTITION BY b.doc_id ORDER BY b.b), 0) + 1 as int),
+                cast(b.b - coalesce(lag(b.b) OVER (PARTITION BY b.doc_id ORDER BY b.b), 0) as int)
+         ) AS chunk,
+         b.b - coalesce(lag(b.b) OVER (PARTITION BY b.doc_id ORDER BY b.b), 0) AS clen
+  FROM bnd b JOIN documents d ON d.doc_id = b.doc_id
+),
+hashed AS (SELECT doc_id, source, md5(chunk) AS h, clen FROM chunks),
+freq AS (SELECT h, cast(count(*) as bigint) AS nf FROM hashed GROUP BY h)
+SELECT hashed.source,
+       cast(count(*) as bigint) AS n_chunks,
+       cast(count(DISTINCT hashed.h) as bigint) AS n_distinct,
+       cast(sum(clen) as bigint) AS total_chars,
+       cast(sum(CASE WHEN nf >= 2 THEN 1 ELSE 0 END) as bigint) AS dup_chunks,
+       cast(sum(CASE WHEN nf >= 2 THEN clen ELSE 0 END) as bigint) AS dup_chars
+FROM hashed JOIN freq ON freq.h = hashed.h
+GROUP BY hashed.source
+""",
+)
+def cdc_chunks_docs(spark, sf_dir):
+    """Content-defined chunking (the FastCDC/rsync boundary trick that
+    makes chunk dedup robust to insertions, unlike the fixed-width
+    chunk_dedup_docs): a boundary lands after any position whose
+    trailing 8-char window's md5 starts with hex '0' (expected chunk
+    ≈ 16 chars), plus a forced boundary at end-of-doc, so chunk edges
+    move WITH the content. Per-source dedup profile over the global
+    chunk-hash frequency table. The position explode is linear in
+    corpus chars (one narrow explode, no self-join); chunk hashing and
+    the frequency join shuffle on the chunk hash — the exact shape a
+    petabyte CDC store uses. DuckDB replays the identical windows."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(_CDC_W), F.length("text"))).alias("i"),
+    )
+    flags = pos.filter(
+        F.substring(F.md5(F.expr(f"substring(text, i - {_CDC_W} + 1, {_CDC_W})")), 1, 1)
+        == "0"
+    ).select("doc_id", F.col("i").alias("b"))
+    bnd = flags.union(d.select("doc_id", F.length("text").alias("b"))).distinct()
+    w = Window.partitionBy("doc_id").orderBy("b")
+    ch = (
+        bnd.withColumn("prev", F.coalesce(F.lag("b").over(w), F.lit(0)))
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.expr("substring(text, cast(prev + 1 as int), cast(b - prev as int))").alias(
+                "chunk"
+            ),
+            (F.col("b") - F.col("prev")).alias("clen"),
+        )
+    )
+    hashed = ch.select("doc_id", "source", F.md5("chunk").alias("h"), "clen")
+    freq = hashed.groupBy("h").agg(F.count("*").cast("long").alias("nf"))
+    return (
+        hashed.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.countDistinct("h").cast("long").alias("n_distinct"),
+            F.sum("clen").cast("long").alias("total_chars"),
+            F.sum(F.when(F.col("nf") >= 2, 1).otherwise(0)).cast("long").alias("dup_chunks"),
+            F.sum(F.when(F.col("nf") >= 2, F.col("clen")).otherwise(0))
+            .cast("long")
+            .alias("dup_chars"),
+        )
+    )
+
+
+_TT_BLOCK = 10  # tokens per TextTiling block
+_TT_SCALE = 1000000000000  # 1e12 fixed-point for the cos² quotient
+
+
+@register(
+    "texttiling_boundaries_docs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, u.w AS w, u.i AS i
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(a)), i -> {{'i': i, 'w': a[i]}})) AS u
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents)
+  )
+),
+blk AS (
+  SELECT doc_id, cast((i - 1) // {_TT_BLOCK} as bigint) AS b, w,
+         cast(count(*) as bigint) AS c
+  FROM toks GROUP BY doc_id, b, w
+),
+norms AS (
+  SELECT doc_id, b, cast(sum(c * c) as bigint) AS n2 FROM blk GROUP BY doc_id, b
+),
+dots AS (
+  SELECT a.doc_id, a.b AS g, cast(sum(a.c * b.c) as bigint) AS dot
+  FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND b.b = a.b + 1 AND a.w = b.w
+  GROUP BY a.doc_id, a.b
+),
+gaps AS (
+  SELECT n1.doc_id, n1.b AS g,
+         coalesce(d.dot, 0) AS dot, n1.n2 AS na, n2.n2 AS nb,
+         (coalesce(d.dot, 0) * coalesce(d.dot, 0) * {_TT_SCALE}) // (n1.n2 * n2.n2) AS cos2q
+  FROM norms n1
+  JOIN norms n2 ON n2.doc_id = n1.doc_id AND n2.b = n1.b + 1
+  LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.g = n1.b
+),
+summ AS (
+  SELECT doc_id,
+         cast(count(*) as bigint) AS n_gaps,
+         cast(sum(CASE WHEN 4 * dot * dot < na * nb THEN 1 ELSE 0 END) as bigint)
+           AS n_boundaries,
+         min(cos2q) AS min_cos2q
+  FROM gaps GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_gaps, s.n_boundaries, s.min_cos2q,
+       min(g.g) AS deepest_gap
+FROM summ s JOIN gaps g ON g.doc_id = s.doc_id AND g.cos2q = s.min_cos2q
+GROUP BY s.doc_id, s.n_gaps, s.n_boundaries, s.min_cos2q
+""",
+)
+def texttiling_boundaries_docs(spark, sf_dir):
+    """TextTiling topic segmentation (Hearst's block-comparison): carve
+    each doc into 10-token blocks, score adjacent-block cohesion by
+    term-vector cosine, and call a gap a topic boundary when cos < 1/2
+    — evaluated as 4·dot² < |a|²·|b|² so no sqrt/division enters the
+    hash; the deepest valley is picked by an integer fixed-point cos²
+    quotient (1e12 scale) with min-gap tie-break. Block term vectors
+    are one groupBy; adjacent dot-products are an equi-join on
+    (doc, block+1, term) — shuffle ∝ corpus tokens, never block pairs.
+    DuckDB replays the identical integer pipeline."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(T.tokens(F.col("text"))).alias("p", "w"),
+    )
+    blk = (
+        toks.select("doc_id", F.expr(f"p div {_TT_BLOCK}").cast("long").alias("b"), "w")
+        .groupBy("doc_id", "b", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    norms = blk.groupBy("doc_id", "b").agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("n2"))
+    a = blk.alias("a")
+    bb = blk.alias("bb")
+    dots = (
+        a.join(
+            bb,
+            (F.col("a.doc_id") == F.col("bb.doc_id"))
+            & (F.col("bb.b") == F.col("a.b") + 1)
+            & (F.col("a.w") == F.col("bb.w")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.b").alias("g"))
+        .agg(F.sum(F.col("a.c") * F.col("bb.c")).cast("long").alias("dot"))
+    )
+    n1 = norms.alias("n1")
+    n2 = norms.alias("n2")
+    gaps = (
+        n1.join(
+            n2,
+            (F.col("n2.doc_id") == F.col("n1.doc_id")) & (F.col("n2.b") == F.col("n1.b") + 1),
+        )
+        .join(
+            dots.alias("dd"),
+            (F.col("dd.doc_id") == F.col("n1.doc_id")) & (F.col("dd.g") == F.col("n1.b")),
+            "left",
+        )
+        .select(
+            F.col("n1.doc_id").alias("doc_id"),
+            F.col("n1.b").alias("g"),
+            F.coalesce(F.col("dd.dot"), F.lit(0)).alias("dot"),
+            F.col("n1.n2").alias("na"),
+            F.col("n2.n2").alias("nb"),
+        )
+        .withColumn(
+            "cos2q",
+            F.expr(f"(dot * dot * cast({_TT_SCALE} as bigint)) div (na * nb)").cast("long"),
+        )
+    )
+    summ = gaps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(
+            F.when(4 * F.col("dot") * F.col("dot") < F.col("na") * F.col("nb"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_boundaries"),
+        F.min("cos2q").alias("min_cos2q"),
+    )
+    g2 = gaps.select(F.col("doc_id").alias("gd"), "g", F.col("cos2q").alias("gq"))
+    return (
+        summ.join(g2, (F.col("gd") == F.col("doc_id")) & (F.col("gq") == F.col("min_cos2q")))
+        .groupBy("doc_id", "n_gaps", "n_boundaries", "min_cos2q")
+        .agg(F.min("g").alias("deepest_gap"))
+    )
+
+
+@register(
+    "hindex_hosts",
+    """
+WITH scored AS (
+  SELECT source, n_chars // 100 AS score,
+         cast(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) as bigint)
+           AS rk
+  FROM documents
+)
+SELECT source,
+       cast(count(*) as bigint) AS n_docs,
+       cast(max(least(rk, score)) as bigint) AS h_index,
+       cast(max(score) as bigint) AS top_score
+FROM scored GROUP BY source
+""",
+)
+def hindex_hosts(spark, sf_dir):
+    """h-index per source/host over doc scores (n_chars in hundreds —
+    the bibliometric h: the largest k such that k docs score ≥ k; the
+    standard 'does this host have sustained substance or one big page'
+    curation signal). One ranking window per source partition, then
+    max(min(rank, score)) — a textbook two-shuffle plan that holds at
+    any host cardinality because the window partitions by host."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    scored = d.select(
+        "source",
+        (F.col("n_chars") / 100).cast("long").alias("score"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max(F.least(F.col("rk"), F.col("score"))).cast("long").alias("h_index"),
+        F.max("score").cast("long").alias("top_score"),
+    )
+
+
+_SURP_SCALE = 1000000000  # 1e9 fixed-point bigram probability
+
+
+@register(
+    "bigram_surprisal_docs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, u.w AS w, u.i AS i
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(a)), i -> {{'i': i, 'w': a[i]}})) AS u
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents)
+  )
+),
+big AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+lm AS (
+  SELECT w1, w2, cast(count(*) as bigint) AS c12 FROM big GROUP BY w1, w2
+),
+uni AS (
+  SELECT w1, cast(sum(c12) as bigint) AS c1 FROM lm GROUP BY w1
+),
+scored AS (
+  SELECT big.doc_id, (lm.c12 * {_SURP_SCALE}) // uni.c1 AS p
+  FROM big JOIN lm ON lm.w1 = big.w1 AND lm.w2 = big.w2
+  JOIN uni ON uni.w1 = big.w1
+)
+SELECT doc_id,
+       cast(count(*) as bigint) AS n_bigrams,
+       cast(sum(p) as bigint) AS sum_p,
+       cast(sum(p) // count(*) as bigint) AS mean_p
+FROM scored GROUP BY doc_id
+""",
+)
+def bigram_surprisal_docs(spark, sf_dir):
+    """Per-doc fluency under the corpus's own bigram LM — the fluency /
+    gibberish-detector curation signal — in the repo's log-free
+    fixed-point discipline: p̂(w2|w1) = c(w1,w2)·1e9 // c(w1,·) (exact
+    integer division, both engines identical), and each doc reports
+    its bigram count, summed scaled probability, and integer mean. A
+    doc of common transitions scores high; boilerplate keyboard-mash
+    scores near zero. Plan: one token explode, one bigram groupBy (the
+    LM), one conditional-total groupBy, then a bigram-keyed hash join
+    back to doc bigrams — shuffle ∝ corpus tokens."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.posexplode(T.tokens(F.col("text"))).alias("i", "w"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    big = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.i") == F.col("a.i") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.w").alias("w1"),
+        F.col("b.w").alias("w2"),
+    )
+    lm = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    uni = lm.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    scored = (
+        big.join(lm, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            "doc_id",
+            F.expr(f"(c12 * cast({_SURP_SCALE} as bigint)) div c1").cast("long").alias("p"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("p").cast("long").alias("sum_p"),
+        )
+        .withColumn("mean_p", F.expr("sum_p div n_bigrams").cast("long"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -71,6 +71,7 @@ CROSS_OK = {
     "crawl_budget_apportion",  # 1-row corpus-total broadcast into the source dim
     "haar_energy_cells",  # 1-row global day-zero anchor broadcast into the point table
     "mst_customers",  # bounded complete-graph fixture on the capped key subset (kNN graph at scale)
+    "bbox_union_area",  # three 1-row scalar aggregates cross-combined into the single stat row
 }
 
 
