@@ -18542,6 +18542,361 @@ def bigram_surprisal_docs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 3: Pettitt changepoint, Nelson–Aalen hazard,
+# Zipf doubling-slope, per-language term chi²
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pettitt_changepoint_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         epoch_us(ts) // 1000000 // 86400 AS d
+  FROM events
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_MK_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MK_GRID}) as int) AS gy,
+         d, cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy, d
+), rk AS (
+  SELECT gx, gy, d, x,
+         2 * rank() OVER (PARTITION BY gx, gy ORDER BY x)
+           + count(*) OVER (PARTITION BY gx, gy, x) - 1 AS r2,
+         cast(row_number() OVER (PARTITION BY gx, gy ORDER BY d) as bigint) AS t,
+         cast(count(*) OVER (PARTITION BY gx, gy) as bigint) AS n
+  FROM c
+), u AS (
+  SELECT gx, gy, d, t, n,
+         sum(r2) OVER (PARTITION BY gx, gy ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - t * (n + 1) AS ut
+  FROM rk
+), k AS (
+  SELECT gx, gy, any_value(n) AS n_periods, max(abs(ut)) AS k_stat
+  FROM u WHERE t < n GROUP BY gx, gy
+)
+SELECT k.gx, k.gy, k.n_periods, cast(k.k_stat as bigint) AS k_stat,
+       cast(min(u.d) as bigint) AS change_day
+FROM k JOIN u ON u.gx = k.gx AND u.gy = k.gy AND abs(u.ut) = k.k_stat AND u.t < u.n
+GROUP BY k.gx, k.gy, k.n_periods, k.k_stat
+""",
+)
+def pettitt_changepoint_cells(spark, sf_dir):
+    """Pettitt's rank-based changepoint test per 30° cell over the
+    cell's daily event counts (the nonparametric sibling of
+    cusum_changepoint_cells — robust to outliers because it sees only
+    ranks): U_t = Σ_{{i≤t}}Σ_{{j>t}} sgn(x_j − x_i), evaluated in O(n)
+    per cell via the midrank identity U_t = Σ_{{i≤t}} 2r_i − t(n+1)
+    with 2r = 2·rank + ties − 1 kept integral, so no pair join and no
+    floats. K = max|U_t| (t<n), split day = earliest argmax. Windows
+    partition by cell — the plan scales with cells × days, never
+    pairs. DuckDB replays the identical rank/cumsum pipeline."""
+    ev = load(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+    )
+    c = ev.groupBy(
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_MK_GRID)).cast("int").alias("gx"),
+        F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_MK_GRID)).cast("int").alias("gy"),
+        "d",
+    ).agg(F.count("*").cast("long").alias("x"))
+    w_val = Window.partitionBy("gx", "gy").orderBy("x")
+    w_eq = Window.partitionBy("gx", "gy", "x")
+    w_day = Window.partitionBy("gx", "gy").orderBy("d")
+    w_cell = Window.partitionBy("gx", "gy")
+    rk = c.select(
+        "gx",
+        "gy",
+        "d",
+        (2 * F.rank().over(w_val) + F.count("*").over(w_eq) - 1).alias("r2"),
+        F.row_number().over(w_day).cast("long").alias("t"),
+        F.count("*").over(w_cell).cast("long").alias("n"),
+    )
+    u = rk.select(
+        "gx",
+        "gy",
+        "d",
+        "t",
+        "n",
+        (
+            F.sum("r2").over(w_day.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - F.col("t") * (F.col("n") + 1)
+        ).alias("ut"),
+    )
+    k = (
+        u.filter(F.col("t") < F.col("n"))
+        .groupBy("gx", "gy")
+        .agg(F.first("n").alias("n_periods"), F.max(F.abs("ut")).alias("k_stat"))
+    )
+    u2 = u.filter(F.col("t") < F.col("n")).select(
+        F.col("gx").alias("ugx"), F.col("gy").alias("ugy"), "d", F.abs("ut").alias("aut")
+    )
+    return (
+        k.join(
+            u2,
+            (F.col("ugx") == F.col("gx"))
+            & (F.col("ugy") == F.col("gy"))
+            & (F.col("aut") == F.col("k_stat")),
+        )
+        .groupBy("gx", "gy", "n_periods", "k_stat")
+        .agg(F.min("d").cast("long").alias("change_day"))
+        .select("gx", "gy", "n_periods", F.col("k_stat").cast("long").alias("k_stat"), "change_day")
+    )
+
+
+_NA_SCALE = 1000000000000  # 1e12 fixed-point hazard ticks
+_NA_CENSOR_DAYS = 30
+
+
+@register(
+    "nelson_aalen_users",
+    f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s FROM events
+), mx AS (SELECT max(s) AS gmax FROM ev),
+gaps AS (
+  SELECT user_id, s,
+         lead(s) OVER (PARTITION BY user_id ORDER BY s) AS nxt
+  FROM ev
+),
+dur AS (
+  SELECT user_id,
+         CASE WHEN nxt IS NULL THEN ((SELECT gmax FROM mx) - s) // 3600
+              ELSE (nxt - s) // 3600 END AS t_hours,
+         CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS censored
+  FROM gaps
+),
+byh AS (
+  SELECT t_hours, cast(count(*) as bigint) AS n_all,
+         cast(sum(1 - censored) as bigint) AS d
+  FROM dur GROUP BY t_hours
+),
+risk AS (
+  SELECT t_hours, d,
+         sum(n_all) OVER (ORDER BY t_hours DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM byh
+),
+hz AS (
+  SELECT t_hours, d, n_risk,
+         (d * {_NA_SCALE}) // n_risk AS hazard_q
+  FROM risk WHERE d > 0
+)
+SELECT t_hours, d, cast(n_risk as bigint) AS n_risk, cast(hazard_q as bigint) AS hazard_q,
+       cast(sum(hazard_q) OVER (ORDER BY t_hours
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_hazard_q
+FROM hz
+""",
+)
+def nelson_aalen_users(spark, sf_dir):
+    """Nelson–Aalen cumulative-hazard estimator over inter-event gap
+    durations (survival analysis — the return-time/churn primitive):
+    each consecutive-event gap is a complete observation in hours; the
+    open gap from a user's last event to the corpus end is
+    right-censored (the user hasn't returned YET). Hazard increments
+    d_t/n_risk(t) stay in 1e12 fixed point (exact integer division
+    both engines) and the cumulative hazard is an integer cumsum —
+    the log-free stand-in for the Kaplan–Meier product, which would
+    need exp/ln. Risk sets come from ONE descending cumsum over the
+    per-hour duration histogram (span-bounded dim table); the only
+    event-scale work is the per-user lead() window."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts)").alias("s")
+    )
+    gmax = ev.agg(F.max("s").alias("gmax"))
+    w_u = Window.partitionBy("user_id").orderBy("s")
+    gaps = ev.withColumn("nxt", F.lead("s").over(w_u))
+    dur = gaps.crossJoin(F.broadcast(gmax)).select(
+        F.when(F.col("nxt").isNull(), F.expr("(gmax - s) div 3600"))
+        .otherwise(F.expr("(nxt - s) div 3600"))
+        .alias("t_hours"),
+        F.when(F.col("nxt").isNull(), 1).otherwise(0).alias("censored"),
+    )
+    byh = dur.groupBy("t_hours").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+    )
+    w_desc = Window.orderBy(F.col("t_hours").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byh.select(
+        "t_hours", "d", F.sum("n_all").over(w_desc).alias("n_risk")
+    ).filter(F.col("d") > 0)
+    hz = risk.select(
+        "t_hours",
+        "d",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.expr(f"(d * cast({_NA_SCALE} as bigint)) div n_risk").cast("long").alias("hazard_q"),
+    )
+    w_asc = Window.orderBy("t_hours").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return hz.withColumn("cum_hazard_q", F.sum("hazard_q").over(w_asc).cast("long"))
+
+
+@register(
+    "zipf_doubling_slope_sources",
+    """
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), tf AS (
+  SELECT source, w, cast(count(*) as bigint) AS f FROM toks GROUP BY source, w
+), ranked AS (
+  SELECT source, f,
+         cast(row_number() OVER (PARTITION BY source ORDER BY f DESC, w) as bigint) AS r
+  FROM tf
+), pts AS (
+  SELECT source,
+         cast(len(bin(r)) - 1 as bigint) AS x,
+         cast(len(bin(f)) - 1 as bigint) AS y
+  FROM ranked
+), s AS (
+  SELECT source, cast(count(*) as bigint) AS n,
+         cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+         cast(sum(x * x) as bigint) AS sxx, cast(sum(x * y) as bigint) AS sxy
+  FROM pts GROUP BY source
+)
+SELECT source, n, sx, sy, sxx, sxy,
+       cast(n * sxy - sx * sy as bigint) AS slope_num,
+       cast(n * sxx - sx * sx as bigint) AS slope_den,
+       cast(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+            END as bigint) AS slope_q
+FROM s
+""",
+)
+def zipf_doubling_slope_sources(spark, sf_dir):
+    """Zipf exponent per source, fit without a single transcendental:
+    every term contributes the point (⌊log2 rank⌋, ⌊log2 freq⌋), both
+    computed EXACTLY as len(bin(k))−1 (binary-string length — integer
+    in both engines, no libm), and the OLS slope is emitted as the
+    exact integer pair (n·Σxy − ΣxΣy, n·Σxx − Σx²) plus a 1e6
+    fixed-point quotient. A healthy natural-language source slopes
+    near −1; keyword-stuffed or templated hosts flatten — a corpus-QA
+    signal next to lexical_stats/vocab_growth. One token explode, one
+    (source, term) agg, one per-source ranking window."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+    tf = toks.groupBy("source", "w").agg(F.count("*").cast("long").alias("f"))
+    w_rank = Window.partitionBy("source").orderBy(F.col("f").desc(), "w")
+    pts = tf.select(
+        "source",
+        (F.length(F.bin(F.row_number().over(w_rank).cast("long"))) - 1)
+        .cast("long")
+        .alias("x"),
+        (F.length(F.bin(F.col("f"))) - 1).cast("long").alias("y"),
+    )
+    s = pts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "source",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long").alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long").alias("slope_den"),
+        F.when(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0, F.lit(0))
+        .otherwise(
+            F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)")
+        )
+        .cast("long")
+        .alias("slope_q"),
+    )
+
+
+_CHI2_MIN_FREQ = 5
+_CHI2_TOPK = 10
+
+
+@register(
+    "chi2_terms_by_lang",
+    f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), raw AS (
+  SELECT lang, w, cast(count(*) as bigint) AS o FROM toks GROUP BY lang, w
+), keep AS (
+  SELECT w FROM raw GROUP BY w HAVING sum(o) >= {_CHI2_MIN_FREQ}
+), obs AS (SELECT raw.* FROM raw JOIN keep USING (w)),
+r AS (SELECT lang, cast(sum(o) as bigint) AS rt FROM obs GROUP BY lang),
+c AS (SELECT w, cast(sum(o) as bigint) AS ct FROM obs GROUP BY w),
+n AS (SELECT cast(sum(o) as bigint) AS nt FROM obs),
+d AS (
+  SELECT obs.lang, obs.w, obs.o, r.rt, c.ct,
+         cast(obs.o as hugeint) * cast(n.nt as hugeint)
+           - cast(r.rt as hugeint) * cast(c.ct as hugeint) AS dev,
+         cast(n.nt as hugeint) * cast(r.rt as hugeint) * cast(c.ct as hugeint) AS den_h
+  FROM obs JOIN r USING (lang) JOIN c USING (w) CROSS JOIN n
+), scored AS (
+  SELECT lang, w, o, rt, ct,
+         cast(dev * dev as double) / cast(den_h as double) AS contrib
+  FROM d
+), topk AS (
+  SELECT lang, w, o, rt, ct, contrib,
+         cast(row_number() OVER (PARTITION BY lang ORDER BY contrib DESC, w) as int) AS rk
+  FROM scored
+)
+SELECT lang, w, o, rt, ct, contrib, rk FROM topk WHERE rk <= {_CHI2_TOPK}
+""",
+)
+def chi2_terms_by_lang(spark, sf_dir):
+    """Chi-square term selection per language — the classic supervised
+    feature-selection pass a lang-id / topic pipeline runs over the
+    (lang × term) contingency matrix: per kept term (global freq ≥ 5,
+    the df floor that bounds the matrix at web scale), contribution
+    (O·N − R·C)²/(N·R·C) with dev/num/den exact in DECIMAL(38,0) ↔
+    HUGEINT (the chisq_contrib discipline — one correctly-rounded
+    double per cell at the very end), then the top 10 terms per
+    language by a group-limit window. Marginals are computed on the
+    FILTERED matrix so the table is self-consistent. Shuffles: token
+    explode → (lang, term) agg → term-keyed df-filter join; the grand
+    total is the allowlisted 1-row broadcast."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(T.tokens(F.col("text"))).alias("w"))
+    raw = toks.groupBy("lang", "w").agg(F.count("*").cast("long").alias("o"))
+    keep = raw.groupBy("w").agg(F.sum("o").alias("tot")).filter(
+        F.col("tot") >= _CHI2_MIN_FREQ
+    ).select("w")
+    obs = raw.join(keep, "w")
+    r = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
+    c = obs.groupBy("w").agg(F.sum("o").cast("long").alias("ct"))
+    n = obs.agg(F.sum("o").cast("long").alias("nt"))
+    j = (
+        obs.join(F.broadcast(r), "lang")
+        .join(c, "w")
+        .crossJoin(F.broadcast(n))
+    )
+    d38 = "decimal(38,0)"
+    o_, nt_, rt_, ct_ = (F.col(x).cast(d38) for x in ("o", "nt", "rt", "ct"))
+    dev = (o_ * nt_ - rt_ * ct_).cast(d38)
+    scored = j.select(
+        "lang",
+        "w",
+        "o",
+        "rt",
+        "ct",
+        ((dev * dev).cast(d38).cast("double") / (nt_ * rt_ * ct_).cast(d38).cast("double")).alias(
+            "contrib"
+        ),
+    )
+    w_top = Window.partitionBy("lang").orderBy(F.col("contrib").desc(), "w")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_top).cast("int"))
+        .filter(F.col("rk") <= _CHI2_TOPK)
+        .select("lang", "w", "o", "rt", "ct", "contrib", "rk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

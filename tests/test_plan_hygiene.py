@@ -72,6 +72,8 @@ CROSS_OK = {
     "haar_energy_cells",  # 1-row global day-zero anchor broadcast into the point table
     "mst_customers",  # bounded complete-graph fixture on the capped key subset (kNN graph at scale)
     "bbox_union_area",  # three 1-row scalar aggregates cross-combined into the single stat row
+    "nelson_aalen_users",  # 1-row corpus-end anchor broadcast into the lifetime table
+    "chi2_terms_by_lang",  # 1-row grand-total broadcast (chisq_contrib sibling)
 }
 
 
