@@ -18897,6 +18897,344 @@ def chi2_terms_by_lang(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 4: F-function, embedding covariance, odds ratio,
+# raster morphology
+# ---------------------------------------------------------------------------
+
+_FF_GRID_STEP = 30  # degrees between reference grid points
+_FF_RADII = [200, 400, 800, 1600, 3200]  # hectometre-lattice radii
+
+
+def _ff_grid_rows() -> list[tuple[int, int, int]]:
+    # reference grid on the same integer hectometre lattice as the
+    # customer points: lat ticks 0..~180*100, lon ticks 0..~360*100
+    rows = []
+    gid = 0
+    for gy in range(15, 180, _FF_GRID_STEP):
+        for gx in range(15, 360, _FF_GRID_STEP):
+            rows.append((gid, gy * 100, gx * 100))
+            gid += 1
+    return rows
+
+
+@register(
+    "ffunction_cells",
+    f"""
+WITH grid(gid, gla, glo) AS (VALUES {', '.join(f'({g}, {a}, {b})' for g, a, b in _ff_grid_rows())}),
+pts AS (
+  SELECT cast(floor(((c_custkey * {C.LAT_MUL}) % {C.LAT_MOD}) / 100) as bigint) AS la,
+         cast(floor(((c_custkey * {C.LON_MUL}) % {C.LON_MOD}) / 100) as bigint) AS lo
+  FROM customer WHERE c_custkey % 7 = 1
+),
+nn AS (
+  SELECT g.gid, min((g.gla - p.la) * (g.gla - p.la) + (g.glo - p.lo) * (g.glo - p.lo)) AS d2
+  FROM grid g CROSS JOIN pts p GROUP BY g.gid
+),
+radii(r) AS (VALUES {', '.join(f'({r})' for r in _FF_RADII)})
+SELECT r,
+       cast(sum(CASE WHEN d2 <= r * r THEN 1 ELSE 0 END) as bigint) AS n_le,
+       cast(count(*) as bigint) AS n_grid
+FROM radii CROSS JOIN nn
+GROUP BY r
+""",
+)
+def ffunction_cells(spark, sf_dir):
+    """Empty-space F-function (Diggle's point-pattern diagnostic — the
+    complement of gfunction_customers: distances from a FIXED reference
+    grid to the nearest observed point; F ≫ G means clustering, F ≈ G
+    CSR): a literal 6×12 reference grid on the same integer
+    hectometre lattice as the capped customer points, exact integer
+    d² minima, and the CDF at five fixed radii as pure counts. The
+    grid is a bounded literal broadcast (ripleys/gfunction sibling);
+    at scale the NN step swaps to the cell-prefiltered knn_join — the
+    operator contract (counts at fixed radii) is unchanged."""
+    sess = spark
+    grid = sess.createDataFrame(_ff_grid_rows(), "gid int, gla bigint, glo bigint")
+    pts = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 1)
+        .select(
+            F.floor(((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD)) / 100)
+            .cast("long")
+            .alias("la"),
+            F.floor(((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD)) / 100)
+            .cast("long")
+            .alias("lo"),
+        )
+    )
+    d2 = (F.col("gla") - F.col("la")) * (F.col("gla") - F.col("la")) + (
+        F.col("glo") - F.col("lo")
+    ) * (F.col("glo") - F.col("lo"))
+    nn = (
+        pts.crossJoin(F.broadcast(grid))
+        .groupBy("gid")
+        .agg(F.min(d2).alias("d2"))
+    )
+    radii = sess.createDataFrame([(r,) for r in _FF_RADII], "r int")
+    return (
+        nn.crossJoin(F.broadcast(radii))
+        .groupBy("r")
+        .agg(
+            F.sum(F.when(F.col("d2") <= F.col("r") * F.col("r"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_le"),
+            F.count("*").cast("long").alias("n_grid"),
+        )
+    )
+
+
+_COV_DIMS = 6
+_COV_SCALE = 1000000
+
+
+def _cov_pairs():
+    return [(i, j) for i in range(1, _COV_DIMS + 1) for j in range(i, _COV_DIMS + 1)]
+
+
+@register(
+    "embedding_cov_pairs",
+    f"""
+WITH t AS (
+  SELECT {', '.join(f'cast(round(embedding[{i}]::double * {_COV_SCALE}) as bigint) AS x{i}' for i in range(1, _COV_DIMS + 1))},
+         {', '.join(f'cast(round(embedding[{i}]::double * embedding[{j}]::double * {_COV_SCALE}) as bigint) AS p{i}_{j}' for i, j in _cov_pairs())}
+  FROM embeddings
+), s AS (
+  SELECT cast(count(*) as bigint) AS n,
+         {', '.join(f'cast(sum(x{i}) as bigint) AS sx{i}' for i in range(1, _COV_DIMS + 1))},
+         {', '.join(f'cast(sum(p{i}_{j}) as bigint) AS sp{i}_{j}' for i, j in _cov_pairs())}
+  FROM t
+)
+{' UNION ALL '.join(
+    f"SELECT {i} AS di, {j} AS dj, n, sx{i} AS s_i, sx{j} AS s_j, sp{i}_{j} AS s_ij, "
+    f"cast(cast(n as hugeint) * cast(sp{i}_{j} as hugeint) * {_COV_SCALE} "
+    f"- cast(sx{i} as hugeint) * cast(sx{j} as hugeint) as double) AS cov_num FROM s"
+    for i, j in _cov_pairs()
+)}
+""",
+)
+def embedding_cov_pairs(spark, sf_dir):
+    """Covariance matrix of the first 6 embedding dimensions — the
+    drift/collapse monitor an embedding pipeline runs per snapshot
+    (off-diagonal growth = dimensions co-varying = effective-rank
+    collapse). Each per-vector product x_i·x_j is ONE correctly-
+    rounded float multiply quantized to 1e6 ticks BEFORE summation
+    (the embedding_norm_stats discipline), so all sums are exact
+    integers and cov_num = n·Σp·S − Σx_i·Σx_j is an exact bigint in
+    mixed tick units — identical in both engines regardless of sum
+    order. One scan, one 1-row aggregate, 21 unpivoted pair rows."""
+    e = load(spark, sf_dir, "embeddings")
+    cols = []
+    for i in range(1, _COV_DIMS + 1):
+        cols.append(
+            F.round(F.col("embedding").getItem(i - 1).cast("double") * _COV_SCALE)
+            .cast("long")
+            .alias(f"x{i}")
+        )
+    for i, j in _cov_pairs():
+        cols.append(
+            F.round(
+                F.col("embedding").getItem(i - 1).cast("double")
+                * F.col("embedding").getItem(j - 1).cast("double")
+                * _COV_SCALE
+            )
+            .cast("long")
+            .alias(f"p{i}_{j}")
+        )
+    t = e.select(*cols)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i in range(1, _COV_DIMS + 1):
+        aggs.append(F.sum(f"x{i}").cast("long").alias(f"sx{i}"))
+    for i, j in _cov_pairs():
+        aggs.append(F.sum(f"p{i}_{j}").cast("long").alias(f"sp{i}_{j}"))
+    s = t.agg(*aggs)
+    d38 = "decimal(38,0)"
+    structs = []
+    for i, j in _cov_pairs():
+        structs.append(
+            F.struct(
+                F.lit(i).alias("di"),
+                F.lit(j).alias("dj"),
+                F.col("n").alias("n"),
+                F.col(f"sx{i}").alias("s_i"),
+                F.col(f"sx{j}").alias("s_j"),
+                F.col(f"sp{i}_{j}").alias("s_ij"),
+                (
+                    F.col("n").cast(d38) * F.col(f"sp{i}_{j}").cast(d38) * F.lit(_COV_SCALE).cast(d38)
+                    - F.col(f"sx{i}").cast(d38) * F.col(f"sx{j}").cast(d38)
+                )
+                .cast(d38)
+                .cast("double")
+                .alias("cov_num"),
+            )
+        )
+    return s.select(F.explode(F.array(*structs)).alias("u")).select("u.*")
+
+
+@register(
+    "odds_ratio_segments",
+    f"""
+WITH li AS (
+  SELECT o.o_custkey, l.l_returnflag,
+         cast(round(l.l_extendedprice * 100) as bigint) AS cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), seg AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN li.l_returnflag = 'R' THEN 1 ELSE 0 END AS returned,
+         CASE WHEN li.cents >= 3000000 THEN 1 ELSE 0 END AS high_value
+  FROM li JOIN customer c ON c.c_custkey = li.o_custkey
+), cells AS (
+  SELECT segment,
+         cast(sum(returned * high_value) as bigint) AS a,
+         cast(sum(returned * (1 - high_value)) as bigint) AS b,
+         cast(sum((1 - returned) * high_value) as bigint) AS c,
+         cast(sum((1 - returned) * (1 - high_value)) as bigint) AS d
+  FROM seg GROUP BY segment
+)
+SELECT segment, a, b, c, d,
+       cast(a * d as bigint) AS or_num,
+       cast(b * c as bigint) AS or_den,
+       cast(CASE WHEN b * c = 0 THEN -1 ELSE (a * d * 1000000) // (b * c) END as bigint)
+         AS odds_ratio_q
+FROM cells
+""",
+)
+def odds_ratio_segments(spark, sf_dir):
+    """Odds ratio per market segment for the 2×2 (returned ×
+    high-value) contingency — the epidemiology/AB-analysis effect-size
+    next to chisq: OR = ad/bc kept as the exact integer pair (ad, bc)
+    plus a 1e6 fixed-point quotient (−1 sentinel when bc = 0, exact in
+    both engines). Line items fold to per-segment cell counts in one
+    agg after two FK hash joins — the marginals ARE the aggregate, no
+    second pass."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("returned"),
+            F.when(F.col("cents") >= 3000000, 1).otherwise(0).alias("high_value"),
+        )
+    )
+    cells = seg.groupBy("segment").agg(
+        F.sum(F.col("returned") * F.col("high_value")).cast("long").alias("a"),
+        F.sum(F.col("returned") * (1 - F.col("high_value"))).cast("long").alias("b"),
+        F.sum((1 - F.col("returned")) * F.col("high_value")).cast("long").alias("c"),
+        F.sum((1 - F.col("returned")) * (1 - F.col("high_value"))).cast("long").alias("d"),
+    )
+    return cells.select(
+        "segment",
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") * F.col("d")).cast("long").alias("or_num"),
+        (F.col("b") * F.col("c")).cast("long").alias("or_den"),
+        F.when(F.col("b") * F.col("c") == 0, F.lit(-1))
+        .otherwise(F.expr("(a * d * 1000000) div (b * c)"))
+        .cast("long")
+        .alias("odds_ratio_q"),
+    )
+
+
+@register(
+    "morph_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), occ AS (
+  SELECT DISTINCT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy
+  FROM pts
+), nbrs AS (
+  SELECT o.cx, o.cy, cast(count(*) as bigint) AS n8
+  FROM occ o JOIN occ p
+    ON p.cx BETWEEN o.cx - 1 AND o.cx + 1 AND p.cy BETWEEN o.cy - 1 AND o.cy + 1
+   AND NOT (p.cx = o.cx AND p.cy = o.cy)
+  GROUP BY o.cx, o.cy
+), eroded AS (
+  SELECT occ.cx, occ.cy, coalesce(n.n8, 0) AS n8,
+         CASE WHEN coalesce(n.n8, 0) = 8 THEN 1 ELSE 0 END AS interior
+  FROM occ LEFT JOIN nbrs n ON n.cx = occ.cx AND n.cy = occ.cy
+), dil AS (
+  SELECT DISTINCT o.cx + dx.d AS cx, o.cy + dy.d AS cy
+  FROM occ o, (VALUES (-1),(0),(1)) AS dx(d), (VALUES (-1),(0),(1)) AS dy(d)
+)
+SELECT cast((SELECT count(*) FROM occ) as bigint) AS n_occ,
+       cast((SELECT sum(interior) FROM eroded) as bigint) AS n_eroded,
+       cast((SELECT count(*) FROM dil) as bigint) AS n_dilated,
+       cast((SELECT count(*) FROM eroded WHERE interior = 0) as bigint) AS n_boundary
+""",
+)
+def morph_cells(spark, sf_dir):
+    """Morphological erosion/dilation of the event-occupancy raster
+    (the open/close primitives of map generalization and noise
+    removal): a cell survives erosion iff all 8 neighbors are
+    occupied; dilation unions each cell's 3×3 stamp. The neighbor
+    count is ONE band-join on the ±1 cell window (occupancy is
+    dim-scale after the DISTINCT, so the 9× stamp explode stays tiny
+    relative to the point table); boundary = occupied − interior.
+    Exact integer counts; DuckDB replays the identical stamps."""
+    ev = load(spark, sf_dir, "events")
+    occ = (
+        ev.select(
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 2.5).cast("int").alias("cy"),
+        )
+        .distinct()
+    )
+    stamp = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    nbr_stamp = [(dx, dy) for dx, dy in stamp if not (dx == 0 and dy == 0)]
+    shifted = occ.select(
+        F.explode(
+            F.array(*[F.struct((F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")) for dx, dy in nbr_stamp])
+        ).alias("s")
+    ).select(F.col("s.cx").alias("cx"), F.col("s.cy").alias("cy"))
+    n8 = shifted.join(occ, ["cx", "cy"]).groupBy("cx", "cy").agg(
+        F.count("*").cast("long").alias("n8")
+    )
+    # n8 counts, for each occupied cell, how many of ITS stamp sources are
+    # occupied — symmetric stamp ⇒ equals its own occupied-neighbor count
+    eroded = occ.join(n8, ["cx", "cy"], "left").select(
+        "cx",
+        "cy",
+        F.when(F.coalesce(F.col("n8"), F.lit(0)) == 8, 1).otherwise(0).alias("interior"),
+    )
+    dil = (
+        occ.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct((F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy"))
+                        for dx, dy in stamp
+                    ]
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.cx").alias("cx"), F.col("s.cy").alias("cy"))
+        .distinct()
+    )
+    n_occ = occ.agg(F.count("*").cast("long").alias("n_occ"))
+    n_er = eroded.agg(F.sum("interior").cast("long").alias("n_eroded"))
+    n_dil = dil.agg(F.count("*").cast("long").alias("n_dilated"))
+    n_bd = eroded.filter(F.col("interior") == 0).agg(
+        F.count("*").cast("long").alias("n_boundary")
+    )
+    return (
+        n_occ.crossJoin(F.broadcast(n_er))
+        .crossJoin(F.broadcast(n_dil))
+        .crossJoin(F.broadcast(n_bd))
+        .select("n_occ", "n_eroded", "n_dilated", "n_boundary")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -74,6 +74,8 @@ CROSS_OK = {
     "bbox_union_area",  # three 1-row scalar aggregates cross-combined into the single stat row
     "nelson_aalen_users",  # 1-row corpus-end anchor broadcast into the lifetime table
     "chi2_terms_by_lang",  # 1-row grand-total broadcast (chisq_contrib sibling)
+    "ffunction_cells",  # bounded literal reference grid broadcast (ripleys/gfunction sibling)
+    "morph_cells",  # four 1-row scalar aggregates cross-combined into the single stat row
 }
 
 
