@@ -19235,6 +19235,353 @@ def morph_cells(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 5: seeded PPR, jackknife, vocab share, K4 count
+# ---------------------------------------------------------------------------
+
+
+def _ppr_oracle_sql() -> str:
+    seed_mass = "(1000000000000 // (SELECT count(*) FROM seeds))"
+    rounds = []
+    prev = "r0"
+    for k in range(1, 4):
+        rounds.append(
+            f"""c{k} AS (
+  SELECT dst, cast(sum(rank // outdeg) as bigint) AS in_sum
+  FROM edges JOIN {prev} p ON edges.src = p.id JOIN deg ON edges.src = deg.src
+  GROUP BY dst
+),
+r{k} AS (
+  SELECT n.id,
+         cast(CASE WHEN s.id IS NOT NULL THEN (15 * {seed_mass}) // 100 ELSE 0 END
+              + (85 * coalesce(in_sum, 0)) // 100 as bigint) AS rank
+  FROM nodes n LEFT JOIN c{k} ON n.id = c{k}.dst LEFT JOIN seeds s ON s.id = n.id
+)"""
+        )
+        prev = f"r{k}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+edges AS (
+  SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+deg AS (SELECT src, cast(count(*) as bigint) AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT n.id, cast(CASE WHEN s.id IS NOT NULL THEN {seed_mass} ELSE 0 END as bigint) AS rank
+  FROM nodes n LEFT JOIN seeds s ON s.id = n.id
+),
+{body}
+SELECT id, rank FROM r3 WHERE rank > 0
+"""
+
+
+@register("ppr_seeded_links", _ppr_oracle_sql())
+def ppr_seeded_links(spark, sf_dir):
+    """Personalized PageRank from a seed set (every 50th doc — the
+    trusted-host / topic-seed diffusion that ranks pages by proximity
+    to a whitelist, TrustRank's core): identical integer-mass ticks to
+    pagerank_doc_links but the teleport term returns mass ONLY to the
+    seeds, so rank decays geometrically with link distance from the
+    seed set. 3 unrolled rounds, floor-division damping, BIGINT end to
+    end; rows with rank 0 (unreachable within 3 hops) are dropped.
+    Same SpMV shuffle shape as pagerank — one contrib exchange per
+    round — with the seed join a broadcast (seed sets are tiny)."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    seeds = nodes.filter(F.col("id") % 50 == 0).select(F.col("id").alias("sid"))
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("outdeg"))
+    n_seeds = seeds.count()  # bounded driver scalar: seed-set size
+    seed_mass = 1000000000000 // n_seeds
+    r = nodes.join(F.broadcast(seeds), nodes.id == seeds.sid, "left").select(
+        "id",
+        F.when(F.col("sid").isNotNull(), F.lit(seed_mass)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(r.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div outdeg")).cast("long").alias("in_sum"))
+        )
+        r = (
+            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .join(F.broadcast(seeds), F.col("id") == F.col("sid"), "left")
+            .select(
+                "id",
+                (
+                    F.when(
+                        F.col("sid").isNotNull(), F.lit((15 * seed_mass) // 100)
+                    ).otherwise(F.lit(0))
+                    + F.expr("(85 * coalesce(in_sum, cast(0 as bigint))) div 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return r.filter(F.col("rank") > 0)
+
+
+_JK_BUCKETS = 10
+
+
+@register(
+    "jackknife_mean_orders",
+    f"""
+WITH o AS (
+  SELECT o_orderkey % {_JK_BUCKETS} AS bucket,
+         cast(round(o_totalprice * 100) as bigint) AS cents
+  FROM orders
+), per AS (
+  SELECT bucket, cast(count(*) as bigint) AS n_b, cast(sum(cents) as bigint) AS s_b
+  FROM o GROUP BY bucket
+), tot AS (
+  SELECT cast(sum(n_b) as bigint) AS n, cast(sum(s_b) as bigint) AS s FROM per
+)
+SELECT per.bucket, per.n_b, per.s_b,
+       cast(tot.n - per.n_b as bigint) AS n_loo,
+       cast(tot.s - per.s_b as bigint) AS s_loo,
+       cast((tot.s - per.s_b) // (tot.n - per.n_b) as bigint) AS loo_mean_cents
+FROM per CROSS JOIN tot
+""",
+)
+def jackknife_mean_orders(spark, sf_dir):
+    """Delete-a-group jackknife over 10 deterministic key buckets —
+    the resampling-variance workhorse for pipelines where bootstrap
+    RNG is banned (this repo's determinism rule): each row is the
+    leave-one-bucket-out total and integer mean in exact cents, from
+    which jackknife SE and bias follow downstream. One hash agg to
+    bucket totals (map-side combinable), one 1-row grand total
+    broadcast — the groups travel as 10 rows, never re-scanning."""
+    o = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % _JK_BUCKETS).alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = o.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_b"), F.sum("cents").cast("long").alias("s_b")
+    )
+    tot = per.agg(
+        F.sum("n_b").cast("long").alias("n"), F.sum("s_b").cast("long").alias("s")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_b",
+        "s_b",
+        (F.col("n") - F.col("n_b")).cast("long").alias("n_loo"),
+        (F.col("s") - F.col("s_b")).cast("long").alias("s_loo"),
+        F.expr("(s - s_b) div (n - n_b)").cast("long").alias("loo_mean_cents"),
+    )
+
+
+_VSHARE_KS = [10, 100, 1000]
+
+
+@register(
+    "vocab_topk_share_sources",
+    f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), tf AS (
+  SELECT source, w, cast(count(*) as bigint) AS f FROM toks GROUP BY source, w
+), ranked AS (
+  SELECT source, f,
+         cast(row_number() OVER (PARTITION BY source ORDER BY f DESC, w) as bigint) AS r
+  FROM tf
+), tot AS (
+  SELECT source, cast(sum(f) as bigint) AS t, cast(count(*) as bigint) AS v
+  FROM ranked GROUP BY source
+), ks(k) AS (VALUES {', '.join(f'({k})' for k in _VSHARE_KS)})
+SELECT r.source, ks.k,
+       cast(sum(CASE WHEN r.r <= ks.k THEN r.f ELSE 0 END) as bigint) AS top_f,
+       any_value(tot.t) AS total_f,
+       any_value(tot.v) AS vocab,
+       cast((sum(CASE WHEN r.r <= ks.k THEN r.f ELSE 0 END) * 1000000) // any_value(tot.t)
+            as bigint) AS share_q
+FROM ranked r JOIN tot ON tot.source = r.source CROSS JOIN ks
+GROUP BY r.source, ks.k
+""",
+)
+def vocab_topk_share_sources(spark, sf_dir):
+    """Vocabulary concentration curve per source: the share of all
+    tokens captured by the top-{{10,100,1000}} terms (1e6 fixed-point)
+    — the template/boilerplate detector that complements the Zipf
+    slope (a templated host's top-10 share saturates; organic text
+    doesn't). One (source, term) agg, one per-source ranking window,
+    and a 3-row k-dim broadcast. Integer exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+    tf = toks.groupBy("source", "w").agg(F.count("*").cast("long").alias("f"))
+    w_rank = Window.partitionBy("source").orderBy(F.col("f").desc(), "w")
+    ranked = tf.select("source", "f", F.row_number().over(w_rank).cast("long").alias("r"))
+    tot = ranked.groupBy("source").agg(
+        F.sum("f").cast("long").alias("t"), F.count("*").cast("long").alias("v")
+    )
+    ks = spark.createDataFrame([(k,) for k in _VSHARE_KS], "k int")
+    return (
+        ranked.join(tot, "source")
+        .crossJoin(F.broadcast(ks))
+        .groupBy("source", "k")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("k"), F.col("f")).otherwise(0))
+            .cast("long")
+            .alias("top_f"),
+            F.first("t").alias("total_f"),
+            F.first("v").alias("vocab"),
+        )
+        .withColumn("share_q", F.expr("(top_f * 1000000) div total_f").cast("long"))
+    )
+
+
+@register(
+    "four_clique_count",
+    f"""
+WITH edges_raw AS (
+  SELECT doc_id AS src,
+         (doc_id + 1 + {_TRI_DST} % 25) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0),(1),(2),(4),(5)) AS t(j)
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src <> dst
+), deg AS (
+  SELECT id, cast(count(*) as bigint) AS deg
+  FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+  GROUP BY id
+), keyed AS (
+  SELECT und.a, und.b,
+         dd1.deg * 4294967296 + und.a AS ka,
+         dd2.deg * 4294967296 + und.b AS kb
+  FROM und JOIN deg dd1 ON dd1.id = und.a JOIN deg dd2 ON dd2.id = und.b
+), o AS (
+  SELECT CASE WHEN ka < kb THEN a ELSE b END AS u,
+         CASE WHEN ka < kb THEN b ELSE a END AS v,
+         CASE WHEN ka < kb THEN ka ELSE kb END AS ku,
+         greatest(ka, kb) AS kv
+  FROM keyed
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z, e1.ku AS kx, e1.kv AS ky, e2.kv AS kz
+  FROM o e1
+  JOIN o e2 ON e1.u = e2.u AND e1.kv < e2.kv
+  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+), k4 AS (
+  SELECT t.x, t.y, t.z, e4.v AS w
+  FROM tri t
+  JOIN o e4 ON e4.u = t.z AND t.kz < e4.kv
+  JOIN o e5 ON e5.u = t.x AND e5.v = e4.v
+  JOIN o e6 ON e6.u = t.y AND e6.v = e4.v
+)
+SELECT cast((SELECT count(*) FROM und) as bigint) AS n_edges,
+       cast((SELECT count(*) FROM tri) as bigint) AS n_triangles,
+       cast((SELECT count(*) FROM k4) as bigint) AS n_k4
+""",
+)
+def four_clique_count(spark, sf_dir):
+    """K4 (4-clique) census over the shared 5-out undirected md5 graph
+    — the next motif up from triangle_count_links (clique cores flag
+    link farms and co-citation cliques): orient every edge by
+    (degree, id) so each clique is enumerated exactly once in the
+    low→high order, extend each oriented triangle by a fourth vertex
+    adjacent to all three (three hash joins against the oriented edge
+    list — the degree orientation bounds every join fan-out by the
+    graph's degeneracy, the standard scalable motif-counting shape;
+    never an all-pairs product). Exact counts; DuckDB replays the
+    identical oriented joins."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    er = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.col("doc_id")
+                        + 1
+                        + D.md5_long(
+                            F.concat(F.lit(f"t:{j}:"), F.col("doc_id").cast("string"))
+                        )
+                        % 25
+                    )
+                    % n
+                    for j in (0, 1, 2, 4, 5)
+                ]
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    und = er.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select("b"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    keyed = (
+        und.join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("da") * F.lit(4294967296) + F.col("a")).alias("ka"),
+            (F.col("db") * F.lit(4294967296) + F.col("b")).alias("kb"),
+        )
+    )
+    o = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.least("ka", "kb").alias("ku"),
+        F.greatest("ka", "kb").alias("kv"),
+    )
+    e1 = o.alias("e1")
+    e2 = o.alias("e2")
+    e3 = o.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.kv") < F.col("e2.kv")))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+            F.col("e1.kv").alias("ky"),
+            F.col("e2.kv").alias("kz"),
+        )
+    )
+    e4 = o.alias("e4")
+    e5 = o.alias("e5")
+    e6 = o.alias("e6")
+    k4 = (
+        tri.join(e4, (F.col("e4.u") == F.col("z")) & (F.col("kz") < F.col("e4.kv")))
+        .join(e5, (F.col("e5.u") == F.col("x")) & (F.col("e5.v") == F.col("e4.v")))
+        .join(e6, (F.col("e6.u") == F.col("y")) & (F.col("e6.v") == F.col("e4.v")))
+    )
+    n_e = und.agg(F.count("*").cast("long").alias("n_edges"))
+    n_t = tri.agg(F.count("*").cast("long").alias("n_triangles"))
+    n_4 = k4.agg(F.count("*").cast("long").alias("n_k4"))
+    return (
+        n_e.crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_4))
+        .select("n_edges", "n_triangles", "n_k4")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -76,6 +76,9 @@ CROSS_OK = {
     "chi2_terms_by_lang",  # 1-row grand-total broadcast (chisq_contrib sibling)
     "ffunction_cells",  # bounded literal reference grid broadcast (ripleys/gfunction sibling)
     "morph_cells",  # four 1-row scalar aggregates cross-combined into the single stat row
+    "jackknife_mean_orders",  # 1-row grand-total broadcast into the 10-bucket table
+    "vocab_topk_share_sources",  # 3-row k-dim broadcast into the ranked term table
+    "four_clique_count",  # three 1-row motif-count aggregates cross-combined
 }
 
 
