@@ -19582,6 +19582,282 @@ def four_clique_count(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 6: Huff model, RLE profile, char classes, peak hour
+# ---------------------------------------------------------------------------
+
+_HUFF_WSCALE = 100000000  # 1e8 gravity-weight ticks
+
+
+@register(
+    "huff_market_share",
+    f"""
+WITH stores AS (
+  SELECT s_suppkey AS sk,
+         cast(10 + s_suppkey % 90 as bigint) AS attr,
+         cast(floor(((s_suppkey * {C.LAT_MUL}) % {C.LAT_MOD}) / 100) as bigint) AS sla,
+         cast(floor(((s_suppkey * {C.LON_MUL}) % {C.LON_MOD}) / 100) as bigint) AS slo
+  FROM supplier WHERE s_suppkey % 3 = 1
+),
+cust AS (
+  SELECT c_custkey AS ck,
+         cast(floor(((c_custkey * {C.LAT_MUL}) % {C.LAT_MOD}) / 100) as bigint) AS la,
+         cast(floor(((c_custkey * {C.LON_MUL}) % {C.LON_MOD}) / 100) as bigint) AS lo
+  FROM customer WHERE c_custkey % 5 = 1
+),
+w AS (
+  SELECT c.ck, s.sk,
+         (s.attr * {_HUFF_WSCALE})
+           // (1 + (c.la - s.sla) * (c.la - s.sla) + (c.lo - s.slo) * (c.lo - s.slo)) AS wt
+  FROM cust c CROSS JOIN stores s
+),
+tot AS (SELECT ck, cast(sum(wt) as bigint) AS sum_w FROM w GROUP BY ck),
+best AS (
+  SELECT ck, sk, wt,
+         row_number() OVER (PARTITION BY ck ORDER BY wt DESC, sk) AS rn
+  FROM w
+)
+SELECT b.ck, b.sk AS best_store, cast(b.wt as bigint) AS w_best, t.sum_w,
+       cast((b.wt * 1000000) // t.sum_w as bigint) AS p_best_q
+FROM best b JOIN tot t ON t.ck = b.ck
+WHERE b.rn = 1
+""",
+)
+def huff_market_share(spark, sf_dir):
+    """Huff gravity model of store choice (retail catchment analysis —
+    the probabilistic sibling of the hard Voronoi catchment in
+    catchment_counts_suppliers): utility of store j for customer i is
+    attractiveness/d², kept exact as w = S·1e8 // (1+d²) on the
+    integer lattice, and the capture probability is w·1e6 // Σw. The
+    store dim is a bounded broadcast (every real Huff study has
+    thousands of stores, not billions — the customer side is the big
+    table and it never self-joins); per-customer argmax is a
+    group-limit window."""
+    st = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 3 == 1)
+        .select(
+            F.col("s_suppkey").alias("sk"),
+            (10 + F.col("s_suppkey") % 90).cast("long").alias("attr"),
+            F.floor(((F.col("s_suppkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD)) / 100)
+            .cast("long")
+            .alias("sla"),
+            F.floor(((F.col("s_suppkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD)) / 100)
+            .cast("long")
+            .alias("slo"),
+        )
+    )
+    cu = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 1)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.floor(((F.col("c_custkey").cast("long") * F.lit(C.LAT_MUL)) % F.lit(C.LAT_MOD)) / 100)
+            .cast("long")
+            .alias("la"),
+            F.floor(((F.col("c_custkey").cast("long") * F.lit(C.LON_MUL)) % F.lit(C.LON_MOD)) / 100)
+            .cast("long")
+            .alias("lo"),
+        )
+    )
+    w = cu.crossJoin(F.broadcast(st)).select(
+        "ck",
+        "sk",
+        F.expr(
+            f"(attr * cast({_HUFF_WSCALE} as bigint)) div "
+            "(1 + (la - sla) * (la - sla) + (lo - slo) * (lo - slo))"
+        ).alias("wt"),
+    )
+    tot = w.groupBy("ck").agg(F.sum("wt").cast("long").alias("sum_w"))
+    w_rank = Window.partitionBy("ck").orderBy(F.col("wt").desc(), "sk")
+    best = w.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") == 1)
+    return best.join(tot, "ck").select(
+        "ck",
+        F.col("sk").alias("best_store"),
+        F.col("wt").cast("long").alias("w_best"),
+        "sum_w",
+        F.expr("(wt * 1000000) div sum_w").cast("long").alias("p_best_q"),
+    )
+
+
+@register(
+    "rle_profile_docs",
+    """
+WITH pos AS (
+  SELECT doc_id, len(text) AS n,
+         unnest(generate_series(2, len(text))) AS i, text
+  FROM documents
+),
+brk AS (
+  SELECT doc_id, any_value(n) AS n,
+         cast(sum(CASE WHEN substr(text, cast(i as int), 1)
+                        <> substr(text, cast(i as int) - 1, 1) THEN 1 ELSE 0 END) as bigint)
+           AS n_breaks
+  FROM pos GROUP BY doc_id
+)
+SELECT d.doc_id, cast(d.n_chars as bigint) AS n_chars,
+       cast(coalesce(b.n_breaks, 0) + 1 as bigint) AS n_runs,
+       cast((cast(coalesce(b.n_breaks, 0) + 1 as bigint) * 1000000) // d.n_chars as bigint)
+         AS rle_ratio_q
+FROM documents d LEFT JOIN brk b ON b.doc_id = d.doc_id
+WHERE d.n_chars > 0
+""",
+)
+def rle_profile_docs(spark, sf_dir):
+    """Run-length-encoding compressibility profile — the ORACLED
+    stand-in for compression_ratio_docs (whose zlib output is
+    library-specific, hence rows-only): runs = adjacent-differing-char
+    breaks + 1, ratio = runs/chars in 1e6 fixed point. Long-run
+    keyboard-mash and padded boilerplate score low; natural text sits
+    near 1. One linear position explode + one per-doc agg — no
+    windows, no self-join; shuffle ∝ corpus chars."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(2), F.length("text"))).alias("i"),
+    )
+    brk = pos.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.expr("substring(text, cast(i as int), 1) <> substring(text, cast(i as int) - 1, 1)"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_breaks")
+    )
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .join(brk, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.coalesce(F.col("n_breaks"), F.lit(0)) + 1).cast("long").alias("n_runs"),
+        )
+        .withColumn("rle_ratio_q", F.expr("(n_runs * 1000000) div n_chars").cast("long"))
+    )
+
+
+_CHARCLASSES = [
+    ("letters", "[a-zA-Z]"),
+    ("digits", "[0-9]"),
+    ("spaces", "[ ]"),
+    ("punct", "[.,;:!?()-]"),
+]
+
+
+@register(
+    "charclass_histogram_docs",
+    f"""
+WITH c AS (
+  SELECT source,
+         {', '.join(f"cast(sum(len(regexp_extract_all(text, '{pat}'))) as bigint) AS {name}" for name, pat in _CHARCLASSES)},
+         cast(sum(len(text)) as bigint) AS total
+  FROM documents GROUP BY source
+)
+SELECT source, letters, digits, spaces, punct, total,
+       cast(total - letters - digits - spaces - punct as bigint) AS other,
+       cast((letters * 1000000) // total as bigint) AS letters_q,
+       cast((digits * 1000000) // total as bigint) AS digits_q
+FROM c
+""",
+)
+def charclass_histogram_docs(spark, sf_dir):
+    """Character-class composition per source (the mixed-script /
+    numeric-spam / markup-residue detector a crawl-QA pass runs before
+    language ID): letter, digit, space, and punctuation counts from
+    identical explicit character-class regexes in both engines (no
+    \\p{{...}} names — those bind to each engine's Unicode table
+    version), plus 1e6 fixed-point shares. One scan, one agg; the
+    regex work is JVM codegen, not Python."""
+    d = load(spark, sf_dir, "documents")
+    aggs = [
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)))
+        .cast("long")
+        .alias(name)
+        for name, pat in _CHARCLASSES
+    ]
+    aggs.append(F.sum(F.length("text")).cast("long").alias("total"))
+    c = d.groupBy("source").agg(*aggs)
+    return c.select(
+        "source",
+        "letters",
+        "digits",
+        "spaces",
+        "punct",
+        "total",
+        (F.col("total") - F.col("letters") - F.col("digits") - F.col("spaces") - F.col("punct"))
+        .cast("long")
+        .alias("other"),
+        F.expr("(letters * 1000000) div total").cast("long").alias("letters_q"),
+        F.expr("(digits * 1000000) div total").cast("long").alias("digits_q"),
+    )
+
+
+@register(
+    "peak_hour_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         (epoch_us(ts) // 1000000 % 86400) // 3600 AS hr
+  FROM events
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_MK_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MK_GRID}) as int) AS gy,
+         cast(hr as int) AS hr, cast(count(*) as bigint) AS n
+  FROM pts GROUP BY gx, gy, hr
+), r AS (
+  SELECT gx, gy, hr, n,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY n DESC, hr) AS rn,
+         cast(sum(n) OVER (PARTITION BY gx, gy) as bigint) AS tot
+  FROM c
+)
+SELECT gx, gy, hr AS peak_hour, n AS peak_n, tot,
+       cast((n * 1000000) // tot as bigint) AS peak_share_q
+FROM r WHERE rn = 1
+""",
+)
+def peak_hour_cells(spark, sf_dir):
+    """Diurnal peak detection per 30° cell: the UTC hour with the most
+    events, its count, and its 1e6 fixed-point share of the cell's
+    activity — the temporal-signature feature that separates
+    commuter-pattern cells from always-on (bot/datacenter) cells.
+    One (cell, hour) agg then a 24-row-per-cell group-limit window;
+    ties break to the earliest hour in both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.expr("(unix_timestamp(ts) % 86400) div 3600").cast("int").alias("hr"),
+    )
+    c = ev.groupBy(
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_MK_GRID)).cast("int").alias("gx"),
+        F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_MK_GRID)).cast("int").alias("gy"),
+        "hr",
+    ).agg(F.count("*").cast("long").alias("n"))
+    w_rank = Window.partitionBy("gx", "gy").orderBy(F.col("n").desc(), "hr")
+    w_cell = Window.partitionBy("gx", "gy")
+    r = c.select(
+        "gx",
+        "gy",
+        "hr",
+        "n",
+        F.row_number().over(w_rank).alias("rn"),
+        F.sum("n").over(w_cell).cast("long").alias("tot"),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            "gx",
+            "gy",
+            F.col("hr").alias("peak_hour"),
+            F.col("n").alias("peak_n"),
+            "tot",
+            F.expr("(n * 1000000) div tot").cast("long").alias("peak_share_q"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -79,6 +79,7 @@ CROSS_OK = {
     "jackknife_mean_orders",  # 1-row grand-total broadcast into the 10-bucket table
     "vocab_topk_share_sources",  # 3-row k-dim broadcast into the ranked term table
     "four_clique_count",  # three 1-row motif-count aggregates cross-combined
+    "huff_market_share",  # bounded store-dim broadcast (catchment/gravity sibling)
 }
 
 
