@@ -19858,6 +19858,312 @@ def peak_hour_cells(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 7: unique prefixes, SAX, host novelty, quantile norm
+# ---------------------------------------------------------------------------
+
+_UPF_H = D.MD5_LONG_SQL.format(x="concat('u:', cast(doc_id as varchar))")
+
+
+@register(
+    "unique_prefix_urls",
+    f"""
+WITH urls AS (
+  SELECT DISTINCT concat('https://', source, '/',
+                         substr(md5(concat('u:', cast(doc_id as varchar))), 1,
+                                cast(1 + {_UPF_H} % 12 as int))) AS url
+  FROM documents
+),
+ranked AS (
+  SELECT url, cast(row_number() OVER (ORDER BY url) as bigint) AS rn FROM urls
+),
+pairs AS (
+  SELECT a.url AS ua, b.url AS ub, a.rn
+  FROM ranked a JOIN ranked b ON b.rn = a.rn + 1
+),
+lcp AS (
+  SELECT rn,
+         coalesce(min(CASE WHEN substr(ua, cast(i as int), 1) <> substr(ub, cast(i as int), 1)
+                           THEN i END) - 1,
+                  least(len(ua), len(ub))) AS l
+  FROM (SELECT ua, ub, rn, unnest(generate_series(1, least(len(ua), len(ub)))) AS i
+        FROM pairs)
+  GROUP BY rn, ua, ub
+),
+per AS (
+  SELECT r.url, r.rn, len(r.url) AS ln,
+         greatest(coalesce(lp.l, 0), coalesce(ln_.l, 0)) AS maxlcp
+  FROM ranked r
+  LEFT JOIN lcp lp ON lp.rn = r.rn - 1
+  LEFT JOIN lcp ln_ ON ln_.rn = r.rn
+)
+SELECT url, cast(ln as bigint) AS url_len,
+       cast(least(maxlcp + 1, ln) as bigint) AS uniq_prefix_len,
+       CASE WHEN maxlcp + 1 > ln THEN 1 ELSE 0 END AS is_prefix_of_other
+FROM per
+""",
+)
+def unique_prefix_urls(spark, sf_dir):
+    """Shortest unique prefix per URL (the minimal discriminating key —
+    what a prefix-compressed URL index or autocomplete layer stores):
+    the classic sort-neighbor reduction — a string's shortest unique
+    prefix depends ONLY on its two lexicographic neighbors, so one
+    global sort (two-phase rank, no single-partition window), one
+    rn+1 self-join, and a per-pair LCP by exploding character
+    positions (linear in total chars). maxlcp+1 capped at the URL's
+    own length flags exact-prefix collisions. DuckDB replays the
+    identical neighbor LCP."""
+    from gipspark.operators.ranking import global_row_number
+
+    d = load(spark, sf_dir, "documents")
+    h = D.md5_long(F.concat(F.lit("u:"), F.col("doc_id").cast("string")))
+    urls = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("/"),
+            F.substring(
+                F.md5(F.concat(F.lit("u:"), F.col("doc_id").cast("string"))),
+                F.lit(1),
+                (1 + h % 12).cast("int"),
+            ),
+        ).alias("url")
+    ).distinct()
+    ranked = global_row_number(urls, ["url"], out="rn")
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    pairs = a.join(b, F.col("b.rn") == F.col("a.rn") + 1).select(
+        F.col("a.url").alias("ua"), F.col("b.url").alias("ub"), F.col("a.rn").alias("rn")
+    )
+    expl = pairs.select(
+        "ua",
+        "ub",
+        "rn",
+        F.explode(F.sequence(F.lit(1), F.least(F.length("ua"), F.length("ub")))).alias("i"),
+    )
+    lcp = (
+        expl.groupBy("rn", "ua", "ub")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr(
+                        "substring(ua, cast(i as int), 1) <> substring(ub, cast(i as int), 1)"
+                    ),
+                    F.col("i"),
+                )
+            ).alias("firstdiff")
+        )
+        .select(
+            "rn",
+            F.coalesce(
+                F.col("firstdiff") - 1, F.least(F.length("ua"), F.length("ub"))
+            ).alias("l"),
+        )
+    )
+    lp = lcp.select((F.col("rn") + 1).alias("rn"), F.col("l").alias("l_prev"))
+    ln_ = lcp.select("rn", F.col("l").alias("l_next"))
+    per = (
+        ranked.join(lp, "rn", "left")
+        .join(ln_, "rn", "left")
+        .select(
+            "url",
+            F.length("url").alias("ln"),
+            F.greatest(
+                F.coalesce(F.col("l_prev"), F.lit(0)), F.coalesce(F.col("l_next"), F.lit(0))
+            ).alias("maxlcp"),
+        )
+    )
+    return per.select(
+        "url",
+        F.col("ln").cast("long").alias("url_len"),
+        F.least(F.col("maxlcp") + 1, F.col("ln")).cast("long").alias("uniq_prefix_len"),
+        F.when(F.col("maxlcp") + 1 > F.col("ln"), 1).otherwise(0).alias("is_prefix_of_other"),
+    )
+
+
+_SAX_SEGS = 8
+_SAX_SYMS = 4
+
+
+@register(
+    "sax_symbols_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         epoch_us(ts) // 1000000 // 86400 AS d
+  FROM events
+), spanb AS (
+  SELECT min(d) AS d0, max(d) - min(d) + 1 AS span FROM pts
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_MK_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MK_GRID}) as int) AS gy,
+         cast(((d - (SELECT d0 FROM spanb)) * {_SAX_SEGS}) // (SELECT span FROM spanb) as int)
+           AS seg,
+         cast(count(*) as bigint) AS n
+  FROM pts GROUP BY gx, gy, seg
+), paa AS (
+  SELECT gx, gy, seg, n,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY n, seg) AS vr,
+         count(*) OVER (PARTITION BY gx, gy) AS nseg
+  FROM c
+), sym AS (
+  SELECT gx, gy, seg,
+         cast(((vr - 1) * {_SAX_SYMS}) // nseg as int) AS s
+  FROM paa
+)
+SELECT gx, gy,
+       string_agg(cast(s as varchar), '' ORDER BY seg) AS sax,
+       cast(count(*) as bigint) AS n_segs
+FROM sym GROUP BY gx, gy
+""",
+)
+def sax_symbols_cells(spark, sf_dir):
+    """SAX symbolization of each cell's activity curve (the time-series
+    motif/anomaly alphabet): the observation span splits into 8 equal
+    segments (integer floor of (d−d0)·8/span — a per-segment count IS
+    the PAA in this equal-width design), and each segment maps to one
+    of 4 symbols by its RANK among the cell's own segments ((rank−1)·4
+    // nseg — the distribution-free stand-in for Gaussian breakpoints,
+    which would need erfinv). The symbol string concatenates in time
+    order. Per-cell windows only; exact integers; DuckDB replays the
+    identical ranks."""
+    ev = load(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+    )
+    spanb = ev.agg(
+        F.min("d").alias("d0"), (F.max("d") - F.min("d") + 1).alias("span")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(spanb))
+        .groupBy(
+            F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_MK_GRID)).cast("int").alias("gx"),
+            F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_MK_GRID)).cast("int").alias("gy"),
+            F.expr(f"cast(((d - d0) * {_SAX_SEGS}) div span as int)").alias("seg"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w_rank = Window.partitionBy("gx", "gy").orderBy("n", "seg")
+    w_cell = Window.partitionBy("gx", "gy")
+    sym = (
+        c.withColumn("vr", F.row_number().over(w_rank))
+        .withColumn("nseg", F.count("*").over(w_cell))
+        .select(
+            "gx",
+            "gy",
+            "seg",
+            F.expr(f"cast(((vr - 1) * {_SAX_SYMS}) div nseg as int)").alias("s"),
+        )
+    )
+    return sym.groupBy("gx", "gy").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "s"))), lambda x: x["s"].cast("string")
+            ),
+            "",
+        ).alias("sax"),
+        F.count("*").cast("long").alias("n_segs"),
+    )
+
+
+@register(
+    "doc_novelty_hosts",
+    """
+WITH toks AS (
+  SELECT DISTINCT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), hdf AS (
+  SELECT source, w, cast(count(*) as bigint) AS df FROM toks GROUP BY source, w
+)
+SELECT t.doc_id,
+       cast(count(*) as bigint) AS n_distinct,
+       cast(sum(CASE WHEN h.df >= 2 THEN 1 ELSE 0 END) as bigint) AS n_shared,
+       cast(((count(*) - sum(CASE WHEN h.df >= 2 THEN 1 ELSE 0 END)) * 1000000)
+            // count(*) as bigint) AS novelty_q
+FROM toks t JOIN hdf h ON h.source = t.source AND h.w = t.w
+GROUP BY t.doc_id
+""",
+)
+def doc_novelty_hosts(spark, sf_dir):
+    """Within-host novelty per doc — the boilerplate-vs-content signal
+    a crawler uses to stop fetching a template-heavy host: the share
+    of a doc's DISTINCT terms that appear in NO other doc of the same
+    host (host-df = 1 ⇒ unique to this doc, since the doc itself
+    contributes exactly one distinct occurrence). Navigation chrome
+    shared across a host scores 0; genuinely new articles score high.
+    One distinct-token explode, one (host, term) df agg, one df join
+    back — shuffle ∝ distinct tokens, 1e6 fixed-point share."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    hdf = toks.groupBy("source", "w").agg(F.count("*").cast("long").alias("df"))
+    return (
+        toks.join(hdf, ["source", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "novelty_q",
+            F.expr("((n_distinct - n_shared) * 1000000) div n_distinct").cast("long"),
+        )
+    )
+
+
+@register(
+    "quantile_normalize_sources",
+    """
+WITH ranked AS (
+  SELECT source, n_chars,
+         cast(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) as bigint) AS r
+  FROM documents
+), m AS (
+  SELECT cast(min(cnt) as bigint) AS mincnt
+  FROM (SELECT source, count(*) AS cnt FROM documents GROUP BY source)
+), kept AS (
+  SELECT source, n_chars, r FROM ranked WHERE r <= (SELECT mincnt FROM m)
+)
+SELECT r AS rank,
+       cast(count(*) as bigint) AS n_sources,
+       cast(sum(n_chars) as bigint) AS sum_chars,
+       cast((sum(n_chars) * 1000000) // count(*) as bigint) AS mean_chars_q
+FROM kept GROUP BY r
+""",
+)
+def quantile_normalize_sources(spark, sf_dir):
+    """Quantile normalization reference distribution across sources
+    (the batch-effect remover from genomics, applied to per-host doc
+    length distributions): rank docs by length within each source,
+    truncate every source to the smallest source's count so rank
+    vectors align, and emit the cross-source mean at each rank (1e6
+    fixed point — this is the target distribution every source maps
+    onto). One per-source ranking window + one rank-keyed agg; the
+    truncation threshold is a 1-row broadcast."""
+    d = load(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w_rank).cast("long").alias("r")
+    )
+    m = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").cast("long").alias("mincnt"))
+    )
+    kept = ranked.crossJoin(F.broadcast(m)).filter(F.col("r") <= F.col("mincnt"))
+    return (
+        kept.groupBy(F.col("r").alias("rank"))
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .withColumn("mean_chars_q", F.expr("(sum_chars * 1000000) div n_sources").cast("long"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

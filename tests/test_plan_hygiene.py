@@ -80,6 +80,8 @@ CROSS_OK = {
     "vocab_topk_share_sources",  # 3-row k-dim broadcast into the ranked term table
     "four_clique_count",  # three 1-row motif-count aggregates cross-combined
     "huff_market_share",  # bounded store-dim broadcast (catchment/gravity sibling)
+    "sax_symbols_cells",  # 1-row span anchor broadcast into the point table (haar sibling)
+    "quantile_normalize_sources",  # 1-row truncation threshold broadcast
 }
 
 
