@@ -20164,6 +20164,217 @@ def quantile_normalize_sources(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 8: isotonic calibration, ACF, Palma, return periods
+# ---------------------------------------------------------------------------
+
+
+@register("isotonic_calibration_sources", None)
+def isotonic_calibration_sources(spark, sf_dir):
+    """Isotonic (PAVA) calibration curve per source: docs bin by length
+    decile (global 10-bin grid), label = lang='en', and the per-source
+    empirical P(en | length-bin) is made monotone by
+    operators/isotonic.py — the post-hoc calibrator that turns a raw
+    score into a monotone probability (the step after
+    calibration_ece_docs measures miscalibration). Rows-only: the
+    pool-adjacent-violators recurrence is inherently sequential per
+    group, so there is no SQL twin — tests/test_isotonic.py proves the
+    kernel against a method-independent repeated-sweep PAVA and the
+    grouped operator against the kernel. Python sees only (source ×
+    10) binned rows; the fact-table work is one aggregate."""
+    from gipspark.operators.isotonic import isotonic_fit
+
+    d = load(spark, sf_dir, "documents")
+    binned = (
+        d.select(
+            "source",
+            F.least(F.expr("n_chars div 200"), F.lit(9)).cast("int").alias("bin"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.sum("y").cast("long").alias("sum_y"), F.count("*").cast("long").alias("cnt"))
+    )
+    return isotonic_fit(binned, ["source"]).orderBy("source", "bin")
+
+
+_ACF_LAGS = [1, 2, 3]
+
+
+@register(
+    "acf_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         epoch_us(ts) // 1000000 // 86400 AS d
+  FROM events
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_MK_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MK_GRID}) as int) AS gy,
+         d, cast(count(*) as bigint) AS x
+  FROM pts GROUP BY gx, gy, d
+), lags(lag) AS (VALUES {', '.join(f'({x})' for x in _ACF_LAGS)})
+SELECT a.gx, a.gy, lags.lag,
+       cast(count(*) as bigint) AS n_pairs,
+       cast(sum(a.x) as bigint) AS s1,
+       cast(sum(b.x) as bigint) AS s2,
+       cast(sum(a.x * b.x) as bigint) AS sp,
+       cast(count(*) * sum(a.x * b.x) - sum(a.x) * sum(b.x) as bigint) AS cov_num
+FROM c a JOIN lags ON true JOIN c b
+  ON b.gx = a.gx AND b.gy = a.gy AND b.d = a.d + lags.lag
+GROUP BY a.gx, a.gy, lags.lag
+""",
+)
+def acf_cells(spark, sf_dir):
+    """Autocovariance spectrum (lags 1–3) of each cell's daily counts —
+    the memory/persistence observable under cusum/mann-kendall (white
+    noise ⇒ cov_num ≈ 0 at all lags; commuter rhythm ⇒ structure):
+    pairs come from ONE self equi-join on (cell, d+lag) over observed
+    days, and the covariance numerator n·Σxy − ΣxΣy is exact bigint —
+    the no-float-reduction rule. The lag dim is a 3-row broadcast;
+    shuffle is keyed on the (cell, day) table, never points."""
+    ev = load(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+    )
+    c = ev.groupBy(
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_MK_GRID)).cast("int").alias("gx"),
+        F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_MK_GRID)).cast("int").alias("gy"),
+        "d",
+    ).agg(F.count("*").cast("long").alias("x"))
+    lags = spark.createDataFrame([(x,) for x in _ACF_LAGS], "lag int")
+    a = c.alias("a")
+    b = c.alias("b")
+    j = a.crossJoin(F.broadcast(lags)).join(
+        b,
+        (F.col("b.gx") == F.col("a.gx"))
+        & (F.col("b.gy") == F.col("a.gy"))
+        & (F.col("b.d") == F.col("a.d") + F.col("lag")),
+    )
+    return (
+        j.groupBy(F.col("a.gx").alias("gx"), F.col("a.gy").alias("gy"), "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("a.x")).cast("long").alias("s1"),
+            F.sum(F.col("b.x")).cast("long").alias("s2"),
+            F.sum(F.col("a.x") * F.col("b.x")).cast("long").alias("sp"),
+        )
+        .withColumn("cov_num", (F.col("n_pairs") * F.col("sp") - F.col("s1") * F.col("s2")).cast("long"))
+    )
+
+
+@register(
+    "palma_ratio_segments",
+    """
+WITH o AS (
+  SELECT c.c_mktsegment AS segment,
+         cast(round(o.o_totalprice * 100) as bigint) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), r AS (
+  SELECT segment, cents,
+         cast(row_number() OVER (PARTITION BY segment ORDER BY cents DESC, cents) as bigint)
+           AS rk,
+         cast(count(*) OVER (PARTITION BY segment) as bigint) AS n
+  FROM o
+)
+SELECT segment, any_value(n) AS n_orders,
+       cast(sum(CASE WHEN rk <= n // 10 THEN cents ELSE 0 END) as bigint) AS top10_cents,
+       cast(sum(CASE WHEN rk > n - (4 * n) // 10 THEN cents ELSE 0 END) as bigint)
+         AS bottom40_cents,
+       cast((sum(CASE WHEN rk <= n // 10 THEN cents ELSE 0 END) * 1000000)
+            // sum(CASE WHEN rk > n - (4 * n) // 10 THEN cents ELSE 0 END) as bigint)
+         AS palma_q
+FROM r GROUP BY segment
+""",
+)
+def palma_ratio_segments(spark, sf_dir):
+    """Palma inequality ratio per market segment — top-10% share over
+    bottom-40% share of order value (the modern complement to
+    gini_concentration_orders: Palma ignores the stable middle, which
+    is where the Gini's sensitivity is wasted): integer cents, rank
+    thresholds by floor division, 1e6 fixed-point ratio. One FK join,
+    one partitioned ranking window, one agg."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    cu = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(cu, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("segment"), "cents"
+    )
+    w_rank = Window.partitionBy("segment").orderBy(F.col("cents").desc())
+    w_seg = Window.partitionBy("segment")
+    r = j.select(
+        "segment",
+        "cents",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.count("*").over(w_seg).cast("long").alias("n"),
+    )
+    top = F.sum(F.when(F.col("rk") <= F.expr("n div 10"), F.col("cents")).otherwise(0))
+    bot = F.sum(
+        F.when(F.col("rk") > F.col("n") - F.expr("(4 * n) div 10"), F.col("cents")).otherwise(0)
+    )
+    return (
+        r.groupBy("segment")
+        .agg(
+            F.first("n").alias("n_orders"),
+            top.cast("long").alias("top10_cents"),
+            bot.cast("long").alias("bottom40_cents"),
+        )
+        .withColumn("palma_q", F.expr("(top10_cents * 1000000) div bottom40_cents").cast("long"))
+    )
+
+
+@register(
+    "return_period_weekly",
+    """
+WITH o AS (
+  SELECT epoch_us(o_orderdate) // 1000000 // 604800 AS wk,
+         cast(round(o_totalprice * 100) as bigint) AS cents
+  FROM orders
+), wmax AS (
+  SELECT wk, max(cents) AS max_cents, cast(count(*) as bigint) AS n_orders
+  FROM o GROUP BY wk
+), r AS (
+  SELECT wk, max_cents, n_orders,
+         cast(row_number() OVER (ORDER BY max_cents DESC, wk) as bigint) AS rk,
+         cast(count(*) OVER () as bigint) AS n_weeks
+  FROM wmax
+)
+SELECT wk, max_cents, n_orders, rk, n_weeks,
+       cast(((n_weeks + 1) * 1000000) // rk as bigint) AS return_period_q
+FROM r
+""",
+)
+def return_period_weekly(spark, sf_dir):
+    """Empirical return periods of weekly block maxima (the
+    extreme-value-analysis primitive — 'how rare is a week like
+    this?'): weekly max order value in exact cents, Weibull plotting
+    position (n+1)/rank in 1e6 fixed point. The block-maxima agg is
+    map-side combinable on the fact table; ranking runs on the
+    week-dim (calendar-bounded, so the unpartitioned window is
+    dim-scale by construction — the same contract as
+    nelson_aalen/gapfill)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.expr("unix_timestamp(o_orderdate) div 604800").alias("wk"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wmax = o.groupBy("wk").agg(
+        F.max("cents").alias("max_cents"), F.count("*").cast("long").alias("n_orders")
+    )
+    w_rank = Window.orderBy(F.col("max_cents").desc(), "wk")
+    w_all = Window.partitionBy()
+    r = wmax.select(
+        "wk",
+        "max_cents",
+        "n_orders",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.count("*").over(w_all).cast("long").alias("n_weeks"),
+    )
+    return r.withColumn(
+        "return_period_q", F.expr("((n_weeks + 1) * 1000000) div rk").cast("long")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

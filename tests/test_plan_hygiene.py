@@ -82,6 +82,7 @@ CROSS_OK = {
     "huff_market_share",  # bounded store-dim broadcast (catchment/gravity sibling)
     "sax_symbols_cells",  # 1-row span anchor broadcast into the point table (haar sibling)
     "quantile_normalize_sources",  # 1-row truncation threshold broadcast
+    "acf_cells",  # 3-row lag-dim broadcast into the cell-day table (lagged_xcorr sibling)
 }
 
 
