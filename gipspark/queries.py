@@ -20375,6 +20375,361 @@ def return_period_weekly(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 9: RRF fusion, log-rank test, Bloom FP contract,
+# KWIC snippets
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SCALE = 1000000000
+
+
+@register(
+    "rrf_fusion_docs",
+    f"""
+WITH feat AS (
+  SELECT doc_id, source, cast(n_chars as bigint) AS len_score,
+         cast(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) as bigint)
+           AS vocab_score,
+         {D.MD5_LONG_SQL.format(x="concat('rrf:', cast(doc_id as varchar))")} AS tiebreak
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source,
+         cast(row_number() OVER (PARTITION BY source ORDER BY len_score DESC, doc_id) as bigint) AS r1,
+         cast(row_number() OVER (PARTITION BY source ORDER BY vocab_score DESC, doc_id) as bigint) AS r2,
+         cast(row_number() OVER (PARTITION BY source ORDER BY tiebreak, doc_id) as bigint) AS r3
+  FROM feat
+), scored AS (
+  SELECT doc_id, source, r1, r2, r3,
+         {_RRF_SCALE} // ({_RRF_K} + r1) + {_RRF_SCALE} // ({_RRF_K} + r2)
+           + {_RRF_SCALE} // ({_RRF_K} + r3) AS rrf_q
+  FROM ranked
+)
+SELECT source, doc_id, r1, r2, r3, cast(rrf_q as bigint) AS rrf_q,
+       cast(row_number() OVER (PARTITION BY source ORDER BY rrf_q DESC, doc_id) as int)
+         AS fused_rank
+FROM scored
+QUALIFY fused_rank <= 3
+""",
+)
+def rrf_fusion_docs(spark, sf_dir):
+    """Reciprocal-rank fusion of three independent rankers per source
+    (the zero-training ensemble every multi-signal search stack uses —
+    Cormack's RRF): length, vocabulary richness, and an md5 shuffle
+    baseline each produce a per-source ranking; the fused score
+    Σ 1e9//(60+rank) is exact integer arithmetic (reciprocals as
+    floor divisions — deterministic, unlike float 1/(k+r)), and the
+    top-3 per source come from a group-limit window. All windows
+    partition by source — fusion never needs a global sort."""
+    d = load(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("len_score"),
+        F.size(F.array_distinct(T.tokens(F.col("text")))).cast("long").alias("vocab_score"),
+        D.md5_long(F.concat(F.lit("rrf:"), F.col("doc_id").cast("string"))).alias("tiebreak"),
+    )
+    w1 = Window.partitionBy("source").orderBy(F.col("len_score").desc(), "doc_id")
+    w2 = Window.partitionBy("source").orderBy(F.col("vocab_score").desc(), "doc_id")
+    w3 = Window.partitionBy("source").orderBy("tiebreak", "doc_id")
+    ranked = feat.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w1).cast("long").alias("r1"),
+        F.row_number().over(w2).cast("long").alias("r2"),
+        F.row_number().over(w3).cast("long").alias("r3"),
+    )
+    scored = ranked.withColumn(
+        "rrf_q",
+        (
+            F.expr(f"cast({_RRF_SCALE} as bigint) div ({_RRF_K} + r1)")
+            + F.expr(f"cast({_RRF_SCALE} as bigint) div ({_RRF_K} + r2)")
+            + F.expr(f"cast({_RRF_SCALE} as bigint) div ({_RRF_K} + r3)")
+        ).cast("long"),
+    )
+    w_f = Window.partitionBy("source").orderBy(F.col("rrf_q").desc(), "doc_id")
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("fused_rank") <= 3)
+        .select("source", "doc_id", "r1", "r2", "r3", "rrf_q", "fused_rank")
+    )
+
+
+_LR_SCALE = 1000000  # 1e6 ticks: n1_risk·d·scale must clear int64 at sf1
+
+
+@register(
+    "logrank_eventtypes",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS s FROM events
+  WHERE event_type IN ('click', 'view')
+), mx AS (SELECT max(s) AS gmax FROM ev),
+gaps AS (
+  SELECT user_id, event_type, s,
+         lead(s) OVER (PARTITION BY user_id, event_type ORDER BY s) AS nxt
+  FROM ev
+),
+dur AS (
+  SELECT event_type,
+         CASE WHEN nxt IS NULL THEN ((SELECT gmax FROM mx) - s) // 3600
+              ELSE (nxt - s) // 3600 END AS t,
+         CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS censored
+  FROM gaps
+),
+byt AS (
+  SELECT t,
+         cast(count(*) as bigint) AS n_all,
+         cast(sum(1 - censored) as bigint) AS d,
+         cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n1_all,
+         cast(sum(CASE WHEN event_type = 'click' AND censored = 0 THEN 1 ELSE 0 END) as bigint)
+           AS d1
+  FROM dur GROUP BY t
+),
+risk AS (
+  SELECT t, d, d1,
+         sum(n_all) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_risk,
+         sum(n1_all) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n1_risk
+  FROM byt
+)
+SELECT cast(count(*) as bigint) AS n_times,
+       cast(sum(d1) as bigint) AS o1,
+       cast(sum((n1_risk * d * {_LR_SCALE}) // n_risk) as bigint) AS e1_q,
+       cast(sum(d1) * {_LR_SCALE} - sum((n1_risk * d * {_LR_SCALE}) // n_risk) as bigint)
+         AS lr_num_q
+FROM risk WHERE d > 0
+""",
+)
+def logrank_eventtypes(spark, sf_dir):
+    """Log-rank test numerator comparing the return-time (inter-event
+    gap) survival of clicks vs views — the standard two-sample
+    survival comparison built on the nelson_aalen_users machinery:
+    at each death time, observed click deaths d1 against expectation
+    E1 = n1·d/n from the pooled risk set, with E1 kept in 1e6
+    fixed-point floor-division ticks so Σ(O−E) is exact integer both
+    engines. Two descending cumsums over the hour histogram give both
+    risk sets; the only event-scale work is the per-(user, type)
+    lead() window."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("user_id", "event_type", F.expr("unix_timestamp(ts)").alias("s"))
+    )
+    gmax = ev.agg(F.max("s").alias("gmax"))
+    w_u = Window.partitionBy("user_id", "event_type").orderBy("s")
+    gaps = ev.withColumn("nxt", F.lead("s").over(w_u))
+    dur = gaps.crossJoin(F.broadcast(gmax)).select(
+        "event_type",
+        F.when(F.col("nxt").isNull(), F.expr("(gmax - s) div 3600"))
+        .otherwise(F.expr("(nxt - s) div 3600"))
+        .alias("t"),
+        F.when(F.col("nxt").isNull(), 1).otherwise(0).alias("censored"),
+    )
+    byt = dur.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n1_all"),
+        F.sum(
+            F.when((F.col("event_type") == "click") & (F.col("censored") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("d1"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byt.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("n_all").over(w_desc).alias("n_risk"),
+        F.sum("n1_all").over(w_desc).alias("n1_risk"),
+    ).filter(F.col("d") > 0)
+    e1 = F.sum(F.expr(f"(n1_risk * d * cast({_LR_SCALE} as bigint)) div n_risk"))
+    return risk.agg(
+        F.count("*").cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("o1"),
+        e1.cast("long").alias("e1_q"),
+        (F.sum("d1") * F.lit(_LR_SCALE) - e1).cast("long").alias("lr_num_q"),
+    )
+
+
+_BF_M = 4096
+_BF_SALTS = ["b0", "b1", "b2"]
+
+
+def _bf_h(salt: str, key: str) -> str:
+    return (
+        D.MD5_LONG_SQL.format(x=f"concat('{salt}:', cast({key} as varchar))") + f" % {_BF_M}"
+    )
+
+
+@register(
+    "bloom_fp_rate",
+    f"""
+WITH bits AS (
+  {' UNION '.join(f"SELECT DISTINCT {_bf_h(s, 'p_partkey')} AS b FROM part" for s in _BF_SALTS)}
+),
+probes AS (
+  SELECT c_custkey + 10000000 AS pk FROM customer
+),
+hits AS (
+  SELECT p.pk, cast(count(*) as bigint) AS n_hit
+  FROM (
+    {' UNION ALL '.join(f"SELECT pk, {_bf_h(s, 'pk')} AS b FROM probes" for s in _BF_SALTS)}
+  ) p JOIN bits ON bits.b = p.b
+  GROUP BY p.pk
+)
+SELECT cast((SELECT count(*) FROM probes) as bigint) AS n_probes,
+       cast((SELECT count(*) FROM bits) as bigint) AS n_bits_set,
+       cast(count(*) as bigint) AS n_fp,
+       cast((count(*) * 1000000) // (SELECT count(*) FROM probes) as bigint) AS fp_rate_q
+FROM hits WHERE n_hit = {len(_BF_SALTS)}
+""",
+)
+def bloom_fp_rate(spark, sf_dir):
+    """Measured false-positive rate of the Bloom filter construction
+    (the accuracy contract next to bloom_semi_join_orders — HLL and
+    approx-percentile already have theirs): part keys populate an
+    m=4096, k=3 md5 filter; customer keys offset by 10⁷ (guaranteed
+    absent) probe it; a probe is a false positive iff ALL THREE of its
+    bit positions are set. The bit table and the probe hash explode
+    are both exact md5 arithmetic, so Spark and DuckDB count the
+    identical FP set — a sketch whose error itself is deterministic.
+    Shuffles: one distinct on bits, one bit-keyed join; never wider
+    than 3× the probe table."""
+    part = load(spark, sf_dir, "part")
+    cust = load(spark, sf_dir, "customer")
+    bits = None
+    for s in _BF_SALTS:
+        b = part.select(
+            (D.md5_long(F.concat(F.lit(f"{s}:"), F.col("p_partkey").cast("string"))) % _BF_M).alias("b")
+        )
+        bits = b if bits is None else bits.union(b)
+    bits = bits.distinct()
+    probes = cust.select((F.col("c_custkey") + 10000000).alias("pk"))
+    ph = None
+    for s in _BF_SALTS:
+        p = probes.select(
+            "pk",
+            (D.md5_long(F.concat(F.lit(f"{s}:"), F.col("pk").cast("string"))) % _BF_M).alias("b"),
+        )
+        ph = p if ph is None else ph.unionAll(p)
+    hits = (
+        ph.join(bits, "b")
+        .groupBy("pk")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+        .filter(F.col("n_hit") == len(_BF_SALTS))
+    )
+    n_probes = probes.agg(F.count("*").cast("long").alias("n_probes"))
+    n_bits = bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    nf = hits.agg(F.count("*").cast("long").alias("n_fp"))
+    return (
+        nf.crossJoin(F.broadcast(n_probes))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_probes",
+            "n_bits_set",
+            "n_fp",
+            F.expr("(n_fp * 1000000) div n_probes").cast("long").alias("fp_rate_q"),
+        )
+    )
+
+
+_KWIC_TERMS = ["join", "hash", "stream"]
+_KWIC_CTX = 15
+
+
+@register(
+    "kwic_snippets_docs",
+    f"""
+WITH hits AS (
+  {' UNION ALL '.join(
+      f'''SELECT doc_id, source, '{t}' AS term, i,
+         substr(text, cast(greatest(1, i - {_KWIC_CTX}) as int),
+                cast(i - greatest(1, i - {_KWIC_CTX}) + {len(t)} + {_KWIC_CTX} as int)) AS snippet
+  FROM (SELECT doc_id, source, text, unnest(generate_series(1, len(text) - {len(t) - 1})) AS i
+        FROM documents)
+  WHERE substr(text, cast(i as int), {len(t)}) = '{t}'
+    AND (i = 1 OR substr(text, cast(i as int) - 1, 1) = ' ')
+    AND (i + {len(t)} > len(text) OR substr(text, cast(i as int) + {len(t)}, 1) = ' ')'''
+      for t in _KWIC_TERMS
+  )}
+),
+firsts AS (
+  SELECT term, source, doc_id, i, snippet,
+         row_number() OVER (PARTITION BY term, source ORDER BY doc_id, i) AS rn
+  FROM hits
+)
+SELECT h.term, h.source, cast(count(*) as bigint) AS n_hits,
+       cast(count(DISTINCT h.doc_id) as bigint) AS n_docs,
+       any_value(f.snippet) AS first_snippet
+FROM hits h JOIN firsts f ON f.term = h.term AND f.source = h.source AND f.rn = 1
+GROUP BY h.term, h.source
+""",
+)
+def kwic_snippets_docs(spark, sf_dir):
+    """Keyword-in-context concordance (the corpus-linguistics KWIC
+    view — every search 'snippet' generator is this): exact
+    whitespace-boundary matches of a literal term list found by a
+    linear character-position explode, ±15-char context windows cut
+    with pure substring arithmetic, and per (term, source) the hit
+    count, doc frequency, and the deterministic first snippet
+    (ordered by doc, offset). No regex engine differences to trust —
+    both engines compare raw substrings. Scan cost is chars × terms,
+    the same linear shape as the CDC chunker."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    parts = []
+    for t in _KWIC_TERMS:
+        tl = len(t)
+        pos = d.select(
+            "doc_id",
+            "source",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (tl - 1))).alias("i"),
+        )
+        m = pos.filter(
+            (F.expr(f"substring(text, cast(i as int), {tl})") == t)
+            & ((F.col("i") == 1) | (F.expr("substring(text, cast(i as int) - 1, 1)") == " "))
+            & (
+                (F.col("i") + tl > F.length("text"))
+                | (F.expr(f"substring(text, cast(i as int) + {tl}, 1)") == " ")
+            )
+        ).select(
+            "doc_id",
+            "source",
+            F.lit(t).alias("term"),
+            "i",
+            F.expr(
+                f"substring(text, cast(greatest(1, i - {_KWIC_CTX}) as int), "
+                f"cast(i - greatest(1, i - {_KWIC_CTX}) + {tl} + {_KWIC_CTX} as int))"
+            ).alias("snippet"),
+        )
+        parts.append(m)
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionAll(p)
+    w_first = Window.partitionBy("term", "source").orderBy("doc_id", "i")
+    firsts = (
+        hits.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select("term", "source", F.col("snippet").alias("first_snippet"))
+    )
+    return (
+        hits.groupBy("term", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .join(firsts, ["term", "source"])
+        .select("term", "source", "n_hits", "n_docs", "first_snippet")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

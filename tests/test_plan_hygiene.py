@@ -83,6 +83,8 @@ CROSS_OK = {
     "sax_symbols_cells",  # 1-row span anchor broadcast into the point table (haar sibling)
     "quantile_normalize_sources",  # 1-row truncation threshold broadcast
     "acf_cells",  # 3-row lag-dim broadcast into the cell-day table (lagged_xcorr sibling)
+    "logrank_eventtypes",  # 1-row corpus-end anchor broadcast (nelson_aalen sibling)
+    "bloom_fp_rate",  # two 1-row scalar aggregates cross-combined into the single stat row
 }
 
 
