@@ -20730,6 +20730,295 @@ def kwic_snippets_docs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 10: consistent-hash ring, priority sampling,
+# histogram equalization, space-time scan
+# ---------------------------------------------------------------------------
+
+_RING_NODES = 8
+_RING_VNODES = 16
+_RING_M = 1 << 60
+
+
+def _ring_vnode_rows(extra: bool) -> list[tuple[str, int]]:
+    import hashlib
+
+    rows = []
+    n_nodes = _RING_NODES + (1 if extra else 0)
+    for n in range(n_nodes):
+        for v in range(_RING_VNODES):
+            h = int(hashlib.md5(f"ring:n{n}:v{v}".encode()).hexdigest()[:15], 16) % _RING_M
+            rows.append((f"n{n}", h))
+    return rows
+
+
+def _ring_owner_sql(vrows: list[tuple[str, int]], alias: str) -> str:
+    # all vnode hashes are pairwise distinct (asserted at import), so
+    # ring distances for a fixed key are distinct ⇒ arg_min is
+    # deterministic without a tie-break
+    vals = ", ".join(f"('{n}', {h})" for n, h in vrows)
+    return f"""
+{alias}_v(node, vh) AS (VALUES {vals}),
+{alias} AS (
+  SELECT k.kh, arg_min(v.node, (v.vh - k.kh + {_RING_M}) % {_RING_M}) AS node
+  FROM keys k CROSS JOIN {alias}_v v
+  GROUP BY k.kh
+)"""
+
+
+assert len({h for _, h in _ring_vnode_rows(True)}) == (_RING_NODES + 1) * _RING_VNODES
+
+
+@register(
+    "consistent_ring_assign",
+    f"""
+WITH keys AS (
+  SELECT doc_id, {D.MD5_LONG_SQL.format(x="concat('key:', cast(doc_id as varchar))")}
+                  % {_RING_M} AS kh
+  FROM documents
+),
+{_ring_owner_sql(_ring_vnode_rows(False), 'own_a')},
+{_ring_owner_sql(_ring_vnode_rows(True), 'own_b')},
+j AS (
+  SELECT k.doc_id, a.node AS before_node, b.node AS after_node
+  FROM keys k JOIN own_a a ON a.kh = k.kh JOIN own_b b ON b.kh = k.kh
+)
+SELECT after_node AS node,
+       cast(sum(CASE WHEN before_node = after_node THEN 1 ELSE 0 END) as bigint) AS n_stayed,
+       cast(sum(CASE WHEN before_node <> after_node THEN 1 ELSE 0 END) as bigint) AS n_gained,
+       cast(count(*) as bigint) AS n_after
+FROM j GROUP BY after_node
+""",
+)
+def consistent_ring_assign(spark, sf_dir):
+    """Consistent-hash ring resharding contract (the complement of
+    hrw_shard_assign — rings are what Dynamo/Cassandra ship): 8 nodes
+    × 16 md5 vnodes own keys by minimal clockwise ring distance
+    (exact modular arithmetic, ties broken by a node-hash key), then a
+    9th node joins and the query reports, per post-join node, how many
+    keys stayed vs moved — the defining ring property is that ONLY
+    keys adjacent to the new vnodes move (≈1/9 of traffic), and this
+    makes it measurable. The vnode table is a bounded literal
+    broadcast; ownership is one group-limit argmin per key."""
+    keys = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            D.md5_long(F.concat(F.lit("key:"), F.col("doc_id").cast("string"))) % _RING_M
+        ).alias("kh"),
+    )
+
+    def owners(extra: bool, out: str):
+        vrows = _ring_vnode_rows(extra)
+        vn = spark.createDataFrame(vrows, "node string, vh long")
+        j = keys.crossJoin(F.broadcast(vn)).select(
+            "doc_id",
+            "kh",
+            "node",
+            ((F.col("vh") - F.col("kh") + _RING_M) % _RING_M).alias("dist"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("dist")
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("node").alias(out))
+        )
+
+    a = owners(False, "before_node")
+    b = owners(True, "after_node")
+    return (
+        a.join(b, "doc_id")
+        .groupBy(F.col("after_node").alias("node"))
+        .agg(
+            F.sum(F.when(F.col("before_node") == F.col("after_node"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_stayed"),
+            F.sum(F.when(F.col("before_node") != F.col("after_node"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gained"),
+            F.count("*").cast("long").alias("n_after"),
+        )
+    )
+
+
+_PS_K = 50
+
+
+@register(
+    "priority_sample_docs",
+    f"""
+WITH pri AS (
+  SELECT doc_id, cast(n_chars as bigint) AS w,
+         {D.MD5_LONG_SQL.format(x="concat('ps:', cast(doc_id as varchar))")}
+           // greatest(cast(n_chars as bigint), 1) AS priority
+  FROM documents
+), ranked AS (
+  SELECT doc_id, w, priority,
+         cast(row_number() OVER (ORDER BY priority, doc_id) as int) AS rk
+  FROM pri
+)
+SELECT doc_id, w, cast(priority as bigint) AS priority, rk
+FROM ranked WHERE rk <= {_PS_K}
+""",
+)
+def priority_sample_docs(spark, sf_dir):
+    """Priority sampling (Duffield/Lund/Thorup — the weighted
+    without-replacement scheme whose subset-sum estimates are
+    near-optimal): each doc draws the deterministic md5 uniform and
+    its priority is hash//weight, so heavier docs get systematically
+    smaller priorities; the sample is the k smallest. RNG-free
+    (repeatable across reruns — the property a lineage-audited
+    pipeline needs), exact integer priorities; the top-k is
+    TakeOrderedAndProject-shaped, never a full sort. Completes the
+    sampling family: stratified (equal), systematic (cumulative),
+    HT (inclusion-prob), priority (weighted min-k)."""
+    d = load(spark, sf_dir, "documents")
+    pri = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("w"),
+        D.md5_long(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))).alias("h"),
+    ).select(
+        "doc_id",
+        "w",
+        F.expr("h div greatest(w, cast(1 as bigint))").alias("priority"),
+    )
+    w_rank = Window.orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rk") <= _PS_K)
+        .select("doc_id", "w", F.col("priority").cast("long").alias("priority"), "rk")
+    )
+
+
+_HEQ_LEVELS = 16
+
+
+@register(
+    "hist_equalize_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+), r AS (
+  SELECT cx, cy, v,
+         cast(rank() OVER (ORDER BY v) as bigint) AS rk,
+         cast(count(*) OVER () as bigint) AS n
+  FROM grid
+)
+SELECT cx, cy, v,
+       cast(((rk - 1) * {_HEQ_LEVELS}) // n as int) AS eq_level
+FROM r
+""",
+)
+def hist_equalize_cells(spark, sf_dir):
+    """Histogram equalization of the event-density raster (the
+    contrast-stretch every web-map heat layer applies before
+    colorizing — raw counts are Zipf-skewed and render as one hot
+    pixel): each cell's 16-level output is its value RANK scaled by
+    the cell count, rank() (not row_number) so equal densities get
+    equal levels in both engines. The window runs on the cell table —
+    dim-scale after the one map-combinable point aggregate, the same
+    contract as the gradient/hillshade family."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    w_rank = Window.orderBy("v")
+    w_all = Window.partitionBy()
+    return (
+        grid.withColumn("rk", F.rank().over(w_rank).cast("long"))
+        .withColumn("n", F.count("*").over(w_all).cast("long"))
+        .select(
+            "cx",
+            "cy",
+            "v",
+            F.expr(f"cast(((rk - 1) * {_HEQ_LEVELS}) div n as int)").alias("eq_level"),
+        )
+    )
+
+
+_SCAN_TOPK = 10
+
+
+@register(
+    "st_scan_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon,
+         epoch_us(ts) // 1000000 // 604800 AS wk
+  FROM events
+), o AS (
+  SELECT cast(floor((lon + 180.0) / {_MK_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MK_GRID}) as int) AS gy,
+         wk, cast(count(*) as bigint) AS obs
+  FROM pts GROUP BY gx, gy, wk
+), r AS (SELECT gx, gy, cast(sum(obs) as bigint) AS rt FROM o GROUP BY gx, gy),
+c AS (SELECT wk, cast(sum(obs) as bigint) AS ct FROM o GROUP BY wk),
+t AS (SELECT cast(sum(obs) as bigint) AS tt FROM o),
+ex AS (
+  SELECT o.gx, o.gy, o.wk, o.obs, r.rt, c.ct,
+         cast(o.obs as bigint) * (SELECT tt FROM t) - r.rt * c.ct AS excess_num
+  FROM o JOIN r ON r.gx = o.gx AND r.gy = o.gy JOIN c ON c.wk = o.wk
+)
+SELECT gx, gy, wk, obs, rt, ct, cast(excess_num as bigint) AS excess_num,
+       cast(row_number() OVER (ORDER BY excess_num DESC, gx, gy, wk) as int) AS rk
+FROM ex
+QUALIFY rk <= {_SCAN_TOPK}
+""",
+)
+def st_scan_cells(spark, sf_dir):
+    """Space-time scan statistic, permutation-model flavor (SaTScan's
+    screening pass — which (cell, week) pockets hold more activity
+    than their space and time marginals predict, the
+    outbreak/flashmob/bot-burst detector): excess_num = O·T − R·C is
+    the exact integer numerator of O − E under the permutation
+    expectation E = R·C/T (the chisq/modularity discipline — no
+    division enters the hash), ranked top-10. One (cell, week) agg +
+    two marginal joins + the allowlisted 1-row total broadcast."""
+    ev = load(spark, sf_dir, "events").select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+        F.expr("unix_timestamp(ts) div 604800").alias("wk"),
+    )
+    o = ev.groupBy(
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_MK_GRID)).cast("int").alias("gx"),
+        F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_MK_GRID)).cast("int").alias("gy"),
+        "wk",
+    ).agg(F.count("*").cast("long").alias("obs"))
+    r = o.groupBy("gx", "gy").agg(F.sum("obs").cast("long").alias("rt"))
+    c = o.groupBy("wk").agg(F.sum("obs").cast("long").alias("ct"))
+    t = o.agg(F.sum("obs").cast("long").alias("tt"))
+    ex = (
+        o.join(r, ["gx", "gy"])
+        .join(F.broadcast(c), "wk")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "gx",
+            "gy",
+            "wk",
+            "obs",
+            "rt",
+            "ct",
+            (F.col("obs") * F.col("tt") - F.col("rt") * F.col("ct"))
+            .cast("long")
+            .alias("excess_num"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("excess_num").desc(), "gx", "gy", "wk")
+    return (
+        ex.withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rk") <= _SCAN_TOPK)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

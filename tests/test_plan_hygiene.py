@@ -85,6 +85,8 @@ CROSS_OK = {
     "acf_cells",  # 3-row lag-dim broadcast into the cell-day table (lagged_xcorr sibling)
     "logrank_eventtypes",  # 1-row corpus-end anchor broadcast (nelson_aalen sibling)
     "bloom_fp_rate",  # two 1-row scalar aggregates cross-combined into the single stat row
+    "consistent_ring_assign",  # bounded 128/144-vnode literal broadcast (hrw sibling)
+    "st_scan_cells",  # 1-row grand-total broadcast (chisq/modularity sibling)
 }
 
 
