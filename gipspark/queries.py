@@ -21019,6 +21019,343 @@ def st_scan_cells(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 11: segregation index, RANSAC, motifs, conductance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segregation_index_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+), c AS (
+  SELECT cast(floor((lon + 180.0) / {_MK_GRID}) as int) AS gx,
+         cast(floor((90.0 - lat) / {_MK_GRID}) as int) AS gy,
+         cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS a,
+         cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS b
+  FROM pts GROUP BY gx, gy
+), tot AS (
+  SELECT cast(sum(a) as bigint) AS ta, cast(sum(b) as bigint) AS tb FROM c
+)
+SELECT c.gx, c.gy, c.a, c.b,
+       cast(abs(c.a * tot.tb - c.b * tot.ta) as bigint) AS contrib_num,
+       cast((abs(c.a * tot.tb - c.b * tot.ta) * 1000000) // (2 * tot.ta * tot.tb) as bigint)
+         AS contrib_q
+FROM c CROSS JOIN tot
+""",
+)
+def segregation_index_cells(spark, sf_dir):
+    """Duncan dissimilarity index contributions per cell — the
+    demography segregation measure (what share of clicks would have
+    to relocate for clicks and views to spread identically): D = ½
+    Σ|aᵢ/A − bᵢ/B|, carried as the exact integer |aᵢ·B − bᵢ·A| with
+    the common denominator 2AB applied once in 1e6 fixed point.
+    Σ contrib_q ≈ D·1e6. One cell aggregate + the allowlisted 1-row
+    marginal broadcast — the chisq/st_scan shuffle shape."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            C.derived_lat(F.col("event_id")).alias("lat"),
+            C.derived_lon(F.col("event_id")).alias("lon"),
+            "event_type",
+        )
+    )
+    c = ev.groupBy(
+        F.floor((F.col("lon") + F.lit(180.0)) / F.lit(_MK_GRID)).cast("int").alias("gx"),
+        F.floor((F.lit(90.0) - F.col("lat")) / F.lit(_MK_GRID)).cast("int").alias("gy"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("long").alias("b"),
+    )
+    tot = c.agg(F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "gx",
+        "gy",
+        "a",
+        "b",
+        F.abs(F.col("a") * F.col("tb") - F.col("b") * F.col("ta")).cast("long").alias("contrib_num"),
+        F.expr("(abs(a * tb - b * ta) * 1000000) div (2 * ta * tb)").cast("long").alias("contrib_q"),
+    )
+
+
+_RANSAC_K = 16
+_RANSAC_TOL = 8
+
+
+@register(
+    "ransac_trend_daily",
+    f"""
+WITH pts AS (
+  SELECT epoch_us(ts) // 1000000 // 86400 AS d, cast(count(*) as bigint) AS y
+  FROM events GROUP BY d
+), idx AS (
+  SELECT d, y, cast(row_number() OVER (ORDER BY d) as bigint) AS i,
+         cast(count(*) OVER () as bigint) AS n
+  FROM pts
+), cand AS (
+  SELECT k.k,
+         1 + {D.MD5_LONG_SQL.format(x="concat('ra:', cast(k.k as varchar))")} % any_value(i.n) AS i1,
+         1 + {D.MD5_LONG_SQL.format(x="concat('rb:', cast(k.k as varchar))")} % any_value(i.n) AS i2
+  FROM (VALUES {', '.join(f'({k})' for k in range(_RANSAC_K))}) AS k(k), idx i
+  GROUP BY k.k
+), lines AS (
+  SELECT c.k, p1.d AS x1, p1.y AS y1, p2.d - p1.d AS dx, p2.y - p1.y AS dy
+  FROM cand c JOIN idx p1 ON p1.i = c.i1 JOIN idx p2 ON p2.i = c.i2
+  WHERE c.i1 <> c.i2
+), scored AS (
+  SELECT l.k, l.x1, l.y1, l.dx, l.dy,
+         cast(sum(CASE WHEN abs(l.dy * (p.d - l.x1) - l.dx * (p.y - l.y1))
+                        <= {_RANSAC_TOL} * abs(l.dx) THEN 1 ELSE 0 END) as bigint) AS inliers
+  FROM lines l CROSS JOIN idx p
+  GROUP BY l.k, l.x1, l.y1, l.dx, l.dy
+)
+SELECT k, x1, y1, dx, dy, inliers,
+       cast(row_number() OVER (ORDER BY inliers DESC, k) as int) AS rk
+FROM scored
+QUALIFY rk <= 3
+""",
+)
+def ransac_trend_daily(spark, sf_dir):
+    """Deterministic RANSAC line fit to the daily event-count series —
+    the robust trend that OLS (ols_trend_cells) can't give when bot
+    bursts contaminate the tail: 16 candidate lines through
+    md5-chosen point pairs (RNG-free — the repeatability contract),
+    inliers counted by the cross-multiplied vertical-distance test
+    |dy·(x−x₁) − dx·(y−y₁)| ≤ τ·|dx| so no division or sqrt enters
+    the count. Top-3 models by inlier count. The day table is
+    calendar-bounded, so the candidate×points product is dim², never
+    event-scale."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("d")
+    )
+    pts = ev.groupBy("d").agg(F.count("*").cast("long").alias("y"))
+    w_i = Window.orderBy("d")
+    w_all = Window.partitionBy()
+    idx = pts.select(
+        "d",
+        "y",
+        F.row_number().over(w_i).cast("long").alias("i"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    ks = spark.createDataFrame([(k,) for k in range(_RANSAC_K)], "k int")
+    nrow = idx.agg(F.first("n").alias("n"))
+    cand = ks.crossJoin(F.broadcast(nrow)).select(
+        "k",
+        (
+            1
+            + D.md5_long(F.concat(F.lit("ra:"), F.col("k").cast("string"))) % F.col("n")
+        ).alias("i1"),
+        (
+            1
+            + D.md5_long(F.concat(F.lit("rb:"), F.col("k").cast("string"))) % F.col("n")
+        ).alias("i2"),
+    )
+    p1 = idx.select(F.col("i").alias("i1"), F.col("d").alias("x1"), F.col("y").alias("y1"))
+    p2 = idx.select(F.col("i").alias("i2"), F.col("d").alias("x2"), F.col("y").alias("y2"))
+    lines = (
+        cand.filter(F.col("i1") != F.col("i2"))
+        .join(F.broadcast(p1), "i1")
+        .join(F.broadcast(p2), "i2")
+        .select(
+            "k",
+            "x1",
+            "y1",
+            (F.col("x2") - F.col("x1")).alias("dx"),
+            (F.col("y2") - F.col("y1")).alias("dy"),
+        )
+    )
+    scored = (
+        lines.crossJoin(idx.select("d", "y"))
+        .groupBy("k", "x1", "y1", "dx", "dy")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("dy") * (F.col("d") - F.col("x1"))
+                        - F.col("dx") * (F.col("y") - F.col("y1"))
+                    )
+                    <= _RANSAC_TOL * F.abs(F.col("dx")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("inliers")
+        )
+    )
+    w_rank = Window.orderBy(F.col("inliers").desc(), "k")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_MOTIF_W = 4
+
+
+@register(
+    "motif_discovery_daily",
+    f"""
+WITH pts AS (
+  SELECT epoch_us(ts) // 1000000 // 86400 AS d, cast(count(*) as bigint) AS y
+  FROM events GROUP BY d
+), idx AS (
+  SELECT d, y, cast(row_number() OVER (ORDER BY d) as bigint) AS i FROM pts
+), win AS (
+  SELECT a.i AS w0,
+         list(b.y ORDER BY b.i) AS v
+  FROM idx a JOIN idx b ON b.i BETWEEN a.i AND a.i + {_MOTIF_W - 1}
+  GROUP BY a.i HAVING count(*) = {_MOTIF_W}
+), pairs AS (
+  SELECT x.w0 AS wa, y.w0 AS wb,
+         cast(list_reduce(list_transform(generate_series(1, {_MOTIF_W}),
+                          j -> abs(x.v[j] - y.v[j])), (acc, e) -> acc + e) as bigint) AS l1
+  FROM win x JOIN win y ON y.w0 >= x.w0 + {_MOTIF_W}
+), best AS (
+  SELECT wa, min(l1) AS min_l1 FROM pairs GROUP BY wa
+)
+SELECT b.wa AS window_start, b.min_l1,
+       cast(min(p.wb) as bigint) AS nn_window,
+       cast(row_number() OVER (ORDER BY b.min_l1, b.wa) as int) AS motif_rank
+FROM best b JOIN pairs p ON p.wa = b.wa AND p.l1 = b.min_l1
+GROUP BY b.wa, b.min_l1
+QUALIFY motif_rank <= 5
+""",
+)
+def motif_discovery_daily(spark, sf_dir):
+    """Matrix-profile-style motif discovery over the daily event
+    series: every 4-day window's nearest NON-OVERLAPPING window by L1
+    distance (the trivial-match exclusion zone — overlapping windows
+    always look similar), top-5 motif pairs ranked by distance. L1 on
+    integer counts is exact; windows come from one self band-join on
+    the calendar index (dim-scale: the pair kernel is days², never
+    events²). The repeated-pattern detector behind bot-schedule and
+    weekly-rhythm mining."""
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 86400").alias("d")
+    )
+    pts = ev.groupBy("d").agg(F.count("*").cast("long").alias("y"))
+    w_i = Window.orderBy("d")
+    idx = pts.select("d", "y", F.row_number().over(w_i).cast("long").alias("i"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    win = (
+        a.join(
+            b,
+            (F.col("b.i") >= F.col("a.i")) & (F.col("b.i") <= F.col("a.i") + (_MOTIF_W - 1)),
+        )
+        .groupBy(F.col("a.i").alias("w0"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct(F.col("b.i").alias("i"), F.col("b.y").alias("y")))).alias("sv"),
+            F.count("*").alias("cnt"),
+        )
+        .filter(F.col("cnt") == _MOTIF_W)
+        .select("w0", F.transform(F.col("sv"), lambda s: s["y"]).alias("v"))
+    )
+    x = win.alias("x")
+    y = win.alias("y")
+    pairs = x.join(y, F.col("y.w0") >= F.col("x.w0") + _MOTIF_W).select(
+        F.col("x.w0").alias("wa"),
+        F.col("y.w0").alias("wb"),
+        F.aggregate(
+            F.zip_with(F.col("x.v"), F.col("y.v"), lambda p, q: F.abs(p - q)),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + e,
+        ).alias("l1"),
+    )
+    best = pairs.groupBy("wa").agg(F.min("l1").alias("min_l1"))
+    joined = best.join(
+        pairs.select(F.col("wa").alias("pwa"), "wb", F.col("l1").alias("pl1")),
+        (F.col("pwa") == F.col("wa")) & (F.col("pl1") == F.col("min_l1")),
+    ).groupBy("wa", "min_l1").agg(F.min("wb").cast("long").alias("nn_window"))
+    w_rank = Window.orderBy("min_l1", "window_start")
+    return (
+        joined.select(F.col("wa").alias("window_start"), "min_l1", "nn_window")
+        .withColumn("motif_rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("motif_rank") <= 5)
+    )
+
+
+@register(
+    "conductance_by_source",
+    f"""
+WITH nodes AS (SELECT doc_id AS id, source FROM documents),
+edges AS (
+  SELECT doc_id AS src, {_PR_EDGE_DST} % {_PR_N} AS dst
+  FROM documents, (VALUES (0),(1),(2)) AS t(j)
+),
+lab AS (
+  SELECT e.src, e.dst, ns.source AS s_src, nd.source AS s_dst
+  FROM edges e JOIN nodes ns ON ns.id = e.src JOIN nodes nd ON nd.id = e.dst
+),
+vol AS (
+  SELECT s_src AS source,
+         cast(count(*) as bigint) AS volume,
+         cast(sum(CASE WHEN s_src <> s_dst THEN 1 ELSE 0 END) as bigint) AS cut
+  FROM lab GROUP BY s_src
+),
+tot AS (SELECT cast(count(*) as bigint) AS m FROM lab)
+SELECT vol.source, vol.volume, vol.cut,
+       cast(tot.m - vol.volume as bigint) AS comp_volume,
+       cast((vol.cut * 1000000) // least(vol.volume, tot.m - vol.volume) as bigint)
+         AS conductance_q
+FROM vol CROSS JOIN tot
+WHERE least(vol.volume, tot.m - vol.volume) > 0
+""",
+)
+def conductance_by_source(spark, sf_dir):
+    """Conductance φ(S) = cut(S) / min(vol(S), vol(S̄)) of each source
+    community in the shared directed link graph — the expansion
+    measure that modularity_by_source can't see (modularity rewards
+    density, conductance certifies bottlenecks; sweep-cut spectral
+    partitioning minimizes exactly this). Exact integer cut/volume
+    from one edge-labeling join pair, 1e6 fixed-point quotient, 1-row
+    total-volume broadcast. Graph-scale work: two node-keyed hash
+    joins — the pagerank edge shuffle shape."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"), "source")
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    D.md5_long(F.concat(F.lit(f"e:{j}:"), F.col("doc_id").cast("string"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    lab = (
+        edges.join(
+            nodes.select(F.col("id").alias("src"), F.col("source").alias("s_src")), "src"
+        )
+        .join(nodes.select(F.col("id").alias("dst"), F.col("source").alias("s_dst")), "dst")
+    )
+    vol = lab.groupBy(F.col("s_src").alias("source")).agg(
+        F.count("*").cast("long").alias("volume"),
+        F.sum(F.when(F.col("s_src") != F.col("s_dst"), 1).otherwise(0))
+        .cast("long")
+        .alias("cut"),
+    )
+    tot = lab.agg(F.count("*").cast("long").alias("m"))
+    return (
+        vol.crossJoin(F.broadcast(tot))
+        .filter(F.least(F.col("volume"), F.col("m") - F.col("volume")) > 0)
+        .select(
+            "source",
+            "volume",
+            "cut",
+            (F.col("m") - F.col("volume")).cast("long").alias("comp_volume"),
+            F.expr("(cut * 1000000) div least(volume, m - volume)")
+            .cast("long")
+            .alias("conductance_q"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

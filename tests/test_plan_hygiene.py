@@ -87,6 +87,10 @@ CROSS_OK = {
     "bloom_fp_rate",  # two 1-row scalar aggregates cross-combined into the single stat row
     "consistent_ring_assign",  # bounded 128/144-vnode literal broadcast (hrw sibling)
     "st_scan_cells",  # 1-row grand-total broadcast (chisq/modularity sibling)
+    "segregation_index_cells",  # 1-row marginal broadcast (chisq sibling)
+    "ransac_trend_daily",  # 16 candidate lines × calendar-bounded day dim (lagged_xcorr sibling)
+    "motif_discovery_daily",  # calendar-bounded window band-joins (days², never events²)
+    "conductance_by_source",  # 1-row edge-total broadcast (modularity sibling)
 }
 
 
