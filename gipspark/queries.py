@@ -21356,6 +21356,273 @@ def conductance_by_source(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 12: set cover, edge embeddedness, sorted-
+# neighborhood blocking, greedy knapsack
+# ---------------------------------------------------------------------------
+
+_SC_ROUNDS = 5
+
+
+def _set_cover_oracle_sql() -> str:
+    parts = [
+        f"""tw AS (
+  SELECT DISTINCT source, unnest({D.shingles_all_sql('text', 3)}) AS w
+  FROM documents
+)"""
+    ]
+    prev_cov = None
+    picks = []
+    for r in range(1, _SC_ROUNDS + 1):
+        uncov = (
+            "tw"
+            if prev_cov is None
+            else f"(SELECT tw.* FROM tw LEFT JOIN {prev_cov} c ON c.w = tw.w WHERE c.w IS NULL)"
+        )
+        parts.append(
+            f"""g{r} AS (
+  SELECT source, cast(count(*) as bigint) AS gain
+  FROM {uncov} u GROUP BY source
+),
+p{r} AS (
+  SELECT source, gain, {r} AS round FROM g{r}
+  ORDER BY gain DESC, source LIMIT 1
+),
+cov{r} AS (
+  SELECT DISTINCT tw.w FROM tw JOIN p{r} ON p{r}.source = tw.source
+  {f'UNION SELECT w FROM {prev_cov}' if prev_cov else ''}
+)"""
+        )
+        picks.append(f"SELECT round, source, gain FROM p{r}")
+        prev_cov = f"cov{r}"
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT round, source, gain FROM ({' UNION ALL '.join(picks)})
+"""
+
+
+@register("set_cover_sources", _set_cover_oracle_sql())
+def set_cover_sources(spark, sf_dir):
+    """Greedy set cover — pick 5 sources that together cover the most
+    3-shingle vocabulary (the corpus-acquisition / crawl-seed
+    selection problem;
+    greedy is the optimal-approximation 1−1/e algorithm): each round
+    scores every source by its count of STILL-UNCOVERED terms (one
+    anti-join + one agg), takes the argmax (a bounded driver scalar,
+    the kmeans/compact precedent — 5 rounds, one row each), and folds
+    the winner's terms into the covered set. The oracle replays the
+    same 5 unrolled rounds in CTEs. At scale the per-round work is
+    one term-keyed shuffle; rounds are few by construction."""
+    d = load(spark, sf_dir, "documents")
+    tw = d.select("source", F.explode(D.shingles_all(F.col("text"), 3)).alias("w")).distinct()
+    covered = None
+    out_rows = []
+    for r in range(1, _SC_ROUNDS + 1):
+        uncov = tw if covered is None else tw.join(covered, "w", "left_anti")
+        top = (
+            uncov.groupBy("source")
+            .agg(F.count("*").cast("long").alias("gain"))
+            .orderBy(F.col("gain").desc(), "source")
+            .first()
+        )
+        if top is None:  # vocabulary exhausted before 5 rounds — stop, like the oracle
+            break
+        out_rows.append((r, top["source"], int(top["gain"])))
+        picked_terms = tw.filter(F.col("source") == top["source"]).select("w")
+        covered = picked_terms if covered is None else covered.union(picked_terms).distinct()
+        covered = covered.localCheckpoint(eager=True)
+    return spark.createDataFrame(out_rows, "round int, source string, gain bigint")
+
+
+@register(
+    "edge_embeddedness_links",
+    f"""
+WITH edges_raw AS (
+  SELECT doc_id AS src,
+         (doc_id + 1 + {_TRI_DST} % 25) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0),(1),(2),(4),(5)) AS t(j)
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src <> dst
+), adj AS (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+), common AS (
+  SELECT e.a, e.b, cast(count(*) as bigint) AS emb
+  FROM und e JOIN adj x ON x.u = e.a JOIN adj y ON y.u = e.b AND y.v = x.v
+  GROUP BY e.a, e.b
+)
+SELECT und.a, und.b, coalesce(c.emb, 0) AS embeddedness,
+       CASE WHEN coalesce(c.emb, 0) = 0 THEN 1 ELSE 0 END AS is_local_bridge
+FROM und LEFT JOIN common c ON c.a = und.a AND c.b = und.b
+""",
+)
+def edge_embeddedness_links(spark, sf_dir):
+    """Edge embeddedness (common-neighbor count per edge — Granovetter
+    made computable: embeddedness 0 = a LOCAL BRIDGE, the weak tie
+    that carries novel information across communities; high
+    embeddedness = redundant strong tie): per undirected edge, wedges
+    through both endpoints meet in one (edge, neighbor) equi-join
+    pair — the triangle-count kernel re-aggregated per edge instead
+    of globally. Exact counts; bridges flagged. Shuffle ∝ wedges,
+    bounded by Σdeg² like every triangle-family op."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    er = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.col("doc_id")
+                        + 1
+                        + D.md5_long(
+                            F.concat(F.lit(f"t:{j}:"), F.col("doc_id").cast("string"))
+                        )
+                        % 25
+                    )
+                    % n
+                    for j in (0, 1, 2, 4, 5)
+                ]
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    und = er.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    x = adj.alias("x")
+    y = adj.alias("y")
+    common = (
+        und.join(x, F.col("x.u") == F.col("a"))
+        .join(y, (F.col("y.u") == F.col("b")) & (F.col("y.v") == F.col("x.v")))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("emb"))
+    )
+    return und.join(common, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("emb"), F.lit(0)).cast("long").alias("embeddedness"),
+        F.when(F.coalesce(F.col("emb"), F.lit(0)) == 0, 1).otherwise(0).alias("is_local_bridge"),
+    )
+
+
+_SNB_W = 3
+_SNB_MAXDIST = 2
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    f"""
+WITH names AS (
+  SELECT c_custkey AS ck, lower(c_name) AS nm FROM customer WHERE c_custkey % 4 = 1
+),
+ranked AS (
+  SELECT ck, nm, cast(row_number() OVER (ORDER BY nm, ck) as bigint) AS rn FROM names
+),
+cand AS (
+  SELECT a.ck AS ck_a, b.ck AS ck_b, a.nm AS nm_a, b.nm AS nm_b
+  FROM ranked a JOIN ranked b
+    ON b.rn > a.rn AND b.rn <= a.rn + {_SNB_W}
+)
+SELECT ck_a, ck_b, cast(levenshtein(nm_a, nm_b) as bigint) AS dist
+FROM cand
+WHERE levenshtein(nm_a, nm_b) <= {_SNB_MAXDIST}
+""",
+)
+def sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking for entity resolution (the third
+    blocking scheme beside soundex_blocking_docs and the PassJoin
+    segments in fuzzy_title_join — SNB is what you use when typos
+    hit the END of strings and phonetic keys miss): sort records by
+    the name key, slide a width-3 window (an rn-band self-join on the
+    two-phase global rank — candidates ∝ n·w, never n²), verify with
+    exact edit distance ≤ 2. Both engines ship the same
+    Wagner-Fischer levenshtein, already relied on by the fuzzy
+    family."""
+    from gipspark.operators.ranking import global_row_number
+
+    names = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 1)
+        .select(F.col("c_custkey").alias("ck"), F.lower(F.col("c_name")).alias("nm"))
+    )
+    ranked = global_row_number(names, ["nm", "ck"], out="rn")
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    cand = a.join(
+        b,
+        (F.col("b.rn") > F.col("a.rn")) & (F.col("b.rn") <= F.col("a.rn") + _SNB_W),
+    ).select(
+        F.col("a.ck").alias("ck_a"),
+        F.col("b.ck").alias("ck_b"),
+        F.col("a.nm").alias("nm_a"),
+        F.col("b.nm").alias("nm_b"),
+    )
+    return cand.select(
+        "ck_a",
+        "ck_b",
+        F.levenshtein("nm_a", "nm_b").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= _SNB_MAXDIST)
+
+
+@register(
+    "greedy_knapsack_docs",
+    """
+WITH items AS (
+  SELECT doc_id,
+         cast(n_chars as bigint) AS weight,
+         cast(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) as bigint)
+           AS value
+  FROM documents WHERE n_chars > 0
+),
+budget AS (SELECT cast(sum(weight) // 10 as bigint) AS cap FROM items),
+ranked AS (
+  SELECT doc_id, weight, value,
+         (value * 1000000) // weight AS density_q,
+         sum(weight) OVER (ORDER BY (value * 1000000) // weight DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+  FROM items
+)
+SELECT r.doc_id, r.weight, r.value, cast(r.density_q as bigint) AS density_q,
+       cast(r.cum_w as bigint) AS cum_w
+FROM ranked r CROSS JOIN budget b
+WHERE r.cum_w <= b.cap
+""",
+)
+def greedy_knapsack_docs(spark, sf_dir):
+    """Greedy density knapsack — select docs maximizing vocabulary
+    value under a character budget (10% of the corpus), the
+    budgeted-crawl / training-token-budget selection heuristic (and
+    the classic 1/2-approximation): density = value·1e6 // weight is
+    an exact integer (no float ratio to disagree on), the take-while
+    is a running-weight window in density order, and the budget is
+    the allowlisted 1-row broadcast. At scale the prefix cumsum runs
+    on the two-phase pattern; the fixture's single window documents
+    the semantics."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    items = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.size(F.array_distinct(T.tokens(F.col("text")))).cast("long").alias("value"),
+    )
+    budget = items.agg(F.expr("sum(weight) div 10").cast("long").alias("cap"))
+    ranked = items.withColumn(
+        "density_q", F.expr("(value * 1000000) div weight").cast("long")
+    )
+    w_cum = Window.orderBy(F.col("density_q").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = ranked.withColumn("cum_w", F.sum("weight").over(w_cum).cast("long"))
+    return (
+        ranked.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_w") <= F.col("cap"))
+        .select("doc_id", "weight", "value", "density_q", "cum_w")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -91,6 +91,8 @@ CROSS_OK = {
     "ransac_trend_daily",  # 16 candidate lines × calendar-bounded day dim (lagged_xcorr sibling)
     "motif_discovery_daily",  # calendar-bounded window band-joins (days², never events²)
     "conductance_by_source",  # 1-row edge-total broadcast (modularity sibling)
+    "greedy_knapsack_docs",  # 1-row budget scalar broadcast (weighted_systematic sibling)
+    "sorted_neighborhood_pairs",  # rn-band self-join on the bounded ranked key table
 }
 
 
