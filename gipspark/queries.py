@@ -21623,6 +21623,309 @@ def greedy_knapsack_docs(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 13: k-anonymity, D'Hondt, join cardinality, rich club
+# ---------------------------------------------------------------------------
+
+_KA_KS = [2, 5, 10]
+
+
+@register(
+    "k_anonymity_audit",
+    f"""
+WITH qi AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         cast(floor(c_acctbal / 1000.0) as int) AS bal_band,
+         c_custkey
+  FROM customer
+), grp AS (
+  SELECT seg, nat, bal_band, cast(count(*) as bigint) AS gsize,
+         cast(count(DISTINCT c_custkey % 7) as bigint) AS l_div
+  FROM qi GROUP BY seg, nat, bal_band
+), tot AS (SELECT cast(sum(gsize) as bigint) AS n FROM grp),
+ks(k) AS (VALUES {', '.join(f'({k})' for k in _KA_KS)})
+SELECT ks.k,
+       cast(sum(CASE WHEN gsize < ks.k THEN gsize ELSE 0 END) as bigint) AS n_exposed,
+       cast((sum(CASE WHEN gsize < ks.k THEN gsize ELSE 0 END) * 1000000)
+            // any_value(tot.n) as bigint) AS exposed_q,
+       cast(min(gsize) as bigint) AS min_group,
+       cast(sum(CASE WHEN l_div < 2 THEN gsize ELSE 0 END) as bigint) AS n_low_ldiv
+FROM grp CROSS JOIN tot CROSS JOIN ks
+GROUP BY ks.k
+""",
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity / l-diversity audit over the quasi-identifier tuple
+    (segment, nation, balance band) — the data-governance gate a
+    release pipeline runs before publishing: for k ∈ {{2,5,10}}, how
+    many rows sit in QI groups smaller than k (re-identifiable), the
+    1e6 fixed-point exposure share, the worst group size, and the
+    rows whose group has fewer than 2 distinct sensitive values
+    (l-diversity < 2 — homogeneous groups leak even when k holds).
+    One QI aggregate + a 3-row k dim + the 1-row total broadcast."""
+    cu = load(spark, sf_dir, "customer")
+    qi = cu.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias("bal_band"),
+        "c_custkey",
+    )
+    grp = qi.groupBy("seg", "nat", "bal_band").agg(
+        F.count("*").cast("long").alias("gsize"),
+        F.countDistinct(F.col("c_custkey") % 7).cast("long").alias("l_div"),
+    )
+    tot = grp.agg(F.sum("gsize").cast("long").alias("n"))
+    ks = spark.createDataFrame([(k,) for k in _KA_KS], "k int")
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("gsize") < F.col("k"), F.col("gsize")).otherwise(0))
+            .cast("long")
+            .alias("n_exposed"),
+            F.first("n").alias("__n"),
+            F.min("gsize").cast("long").alias("min_group"),
+            F.sum(F.when(F.col("l_div") < 2, F.col("gsize")).otherwise(0))
+            .cast("long")
+            .alias("n_low_ldiv"),
+        )
+        .withColumn("exposed_q", F.expr("(n_exposed * 1000000) div __n").cast("long"))
+        .select("k", "n_exposed", "exposed_q", "min_group", "n_low_ldiv")
+    )
+
+
+_DH_SEATS = 20
+
+
+@register(
+    "dhondt_seats_sources",
+    f"""
+WITH votes AS (
+  SELECT source, cast(count(*) as bigint) AS v FROM documents GROUP BY source
+), quot AS (
+  SELECT source, v, d.d,
+         (v * 1000000000) // d.d AS q
+  FROM votes, (VALUES {', '.join(f'({i})' for i in range(1, _DH_SEATS + 1))}) AS d(d)
+), ranked AS (
+  SELECT source, v, d, q,
+         cast(row_number() OVER (ORDER BY q DESC, source, d) as int) AS rk
+  FROM quot
+)
+SELECT source, any_value(v) AS votes,
+       cast(count(*) as bigint) AS seats,
+       cast(min(rk) as bigint) AS first_seat_rank
+FROM ranked WHERE rk <= {_DH_SEATS}
+GROUP BY source
+""",
+)
+def dhondt_seats_sources(spark, sf_dir):
+    """D'Hondt divisor apportionment of 20 'crawl budget seats' across
+    sources by doc count — the divisor-method counterpart to the
+    largest-remainder crawl_budget_apportion (divisor methods are
+    house-monotone; Hamilton isn't — together they bracket the
+    apportionment design space): quotients v/d for d=1..20 ranked as
+    exact 1e9 floor-division ticks (quotient ties break by source
+    then divisor — documented, deterministic), top-20 quotients are
+    the seats. One vote agg + a 20-row divisor dim + one global
+    ranking window over the bounded (sources×20) quotient table."""
+    d = load(spark, sf_dir, "documents")
+    votes = d.groupBy("source").agg(F.count("*").cast("long").alias("v"))
+    divs = spark.createDataFrame([(i,) for i in range(1, _DH_SEATS + 1)], "d int")
+    quot = votes.crossJoin(F.broadcast(divs)).select(
+        "source", "v", "d", F.expr("(v * 1000000000) div d").cast("long").alias("q")
+    )
+    w_rank = Window.orderBy(F.col("q").desc(), "source", "d")
+    ranked = quot.withColumn("rk", F.row_number().over(w_rank).cast("int"))
+    return (
+        ranked.filter(F.col("rk") <= _DH_SEATS)
+        .groupBy("source")
+        .agg(
+            F.first("v").alias("votes"),
+            F.count("*").cast("long").alias("seats"),
+            F.min("rk").cast("long").alias("first_seat_rank"),
+        )
+    )
+
+
+_JC_SAMPLE_MOD = 16
+
+
+@register(
+    "join_card_estimate",
+    f"""
+WITH a AS (
+  SELECT o_custkey AS k FROM orders
+), b AS (
+  SELECT c_custkey AS k FROM customer
+), exact_cnt AS (
+  SELECT cast(sum(ca.n * cb.n) as bigint) AS exact_rows
+  FROM (SELECT k, cast(count(*) as bigint) AS n FROM a GROUP BY k) ca
+  JOIN (SELECT k, cast(count(*) as bigint) AS n FROM b GROUP BY k) cb ON cb.k = ca.k
+), samp AS (
+  SELECT cast(sum(ca.n * cb.n) as bigint) AS samp_rows
+  FROM (SELECT k, cast(count(*) as bigint) AS n FROM a
+        WHERE {D.MD5_LONG_SQL.format(x="concat('jc:', cast(k as varchar))")} % {_JC_SAMPLE_MOD} = 0
+        GROUP BY k) ca
+  JOIN (SELECT k, cast(count(*) as bigint) AS n FROM b
+        WHERE {D.MD5_LONG_SQL.format(x="concat('jc:', cast(k as varchar))")} % {_JC_SAMPLE_MOD} = 0
+        GROUP BY k) cb ON cb.k = ca.k
+)
+SELECT exact_cnt.exact_rows,
+       samp.samp_rows,
+       cast(samp.samp_rows * {_JC_SAMPLE_MOD} as bigint) AS est_rows,
+       cast(abs(samp.samp_rows * {_JC_SAMPLE_MOD} - exact_cnt.exact_rows) * 1000000
+            // greatest(exact_cnt.exact_rows, 1) as bigint) AS rel_err_q
+FROM exact_cnt CROSS JOIN samp
+""",
+)
+def join_card_estimate(spark, sf_dir):
+    """Join-cardinality estimation contract — the query-optimizer
+    primitive, made checkable: |orders ⋈ customer| computed exactly
+    as Σ cntA(k)·cntB(k) (never materializing the join), and
+    estimated from a correlated 1/16 KEY-hash sample (both sides keep
+    the SAME hashed keys — the only sampling scheme that preserves
+    join structure; independent row samples would miss almost every
+    match) scaled by 16. The query emits exact, sampled, estimate,
+    and 1e6 relative error — the contract a cost model would assert.
+    Both paths are count-aggregates + one key join; no row explosion."""
+    a = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    b = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+
+    def counts(df):
+        return df.groupBy("k").agg(F.count("*").cast("long").alias("n"))
+
+    def keep(df):
+        return df.filter(
+            D.md5_long(F.concat(F.lit("jc:"), F.col("k").cast("string"))) % _JC_SAMPLE_MOD
+            == 0
+        )
+
+    exact = (
+        counts(a)
+        .join(counts(b).withColumnRenamed("n", "nb"), "k")
+        .agg(F.sum(F.col("n") * F.col("nb")).cast("long").alias("exact_rows"))
+    )
+    samp = (
+        counts(keep(a))
+        .join(counts(keep(b)).withColumnRenamed("n", "nb"), "k")
+        .agg(F.sum(F.col("n") * F.col("nb")).cast("long").alias("samp_rows"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(samp))
+        .withColumn("est_rows", (F.col("samp_rows") * _JC_SAMPLE_MOD).cast("long"))
+        .withColumn(
+            "rel_err_q",
+            F.expr(
+                "(abs(est_rows - exact_rows) * 1000000) div greatest(exact_rows, cast(1 as bigint))"
+            ).cast("long"),
+        )
+    )
+
+
+_RC_KS = [2, 4, 8]
+
+
+@register(
+    "rich_club_links",
+    f"""
+WITH edges_raw AS (
+  SELECT doc_id AS src,
+         (doc_id + 1 + {_TRI_DST} % 25) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0),(1),(2),(4),(5)) AS t(j)
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src <> dst
+), deg AS (
+  SELECT id, cast(count(*) as bigint) AS deg
+  FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+  GROUP BY id
+), ks(k) AS (VALUES {', '.join(f'({k})' for k in _RC_KS)}),
+rich AS (
+  SELECT ks.k, deg.id FROM ks JOIN deg ON deg.deg > ks.k
+), nk AS (
+  SELECT k, cast(count(*) as bigint) AS n_rich FROM rich GROUP BY k
+), ek AS (
+  SELECT r1.k, cast(count(*) as bigint) AS e_rich
+  FROM und JOIN rich r1 ON r1.id = und.a JOIN rich r2 ON r2.id = und.b AND r2.k = r1.k
+  GROUP BY r1.k
+)
+SELECT nk.k, nk.n_rich, coalesce(ek.e_rich, 0) AS e_rich,
+       cast(nk.n_rich * (nk.n_rich - 1) // 2 as bigint) AS possible,
+       cast(CASE WHEN nk.n_rich >= 2
+                 THEN (coalesce(ek.e_rich, 0) * 2000000) // (nk.n_rich * (nk.n_rich - 1))
+                 ELSE 0 END as bigint) AS phi_q
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+""",
+)
+def rich_club_links(spark, sf_dir):
+    """Rich-club coefficient φ(k) = E_{{>k}} / C(N_{{>k}}, 2) at k ∈
+    {{2,4,8}} — do high-degree hubs preferentially interlink (the
+    link-farm / oligarchy signature that degree assortativity only
+    hints at)? Membership is one degree filter; rich-edge counting is
+    two id-keyed hash joins of the edge list against the (k, member)
+    dim; φ in 1e6 fixed point with the exact pair denominator. No
+    pair enumeration — possible pairs come from arithmetic, not a
+    join."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    er = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.col("doc_id")
+                        + 1
+                        + D.md5_long(
+                            F.concat(F.lit(f"t:{j}:"), F.col("doc_id").cast("string"))
+                        )
+                        % 25
+                    )
+                    % n
+                    for j in (0, 1, 2, 4, 5)
+                ]
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    und = er.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select("b"))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _RC_KS], "k int")
+    rich = ks.crossJoin(deg).filter(F.col("deg") > F.col("k")).select("k", "id")
+    nk = rich.groupBy("k").agg(F.count("*").cast("long").alias("n_rich"))
+    r1 = rich.select(F.col("k"), F.col("id").alias("a"))
+    r2 = rich.select(F.col("k").alias("k2"), F.col("id").alias("rb"))
+    ek = (
+        und.join(r1, "a")
+        .join(r2, (F.col("k2") == F.col("k")) & (F.col("rb") == F.col("b")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("e_rich"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k",
+            "n_rich",
+            F.coalesce(F.col("e_rich"), F.lit(0)).cast("long").alias("e_rich"),
+            F.expr("(n_rich * (n_rich - 1)) div 2").cast("long").alias("possible"),
+            F.when(
+                F.col("n_rich") >= 2,
+                F.expr("(coalesce(e_rich, 0) * 2000000) div (n_rich * (n_rich - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("phi_q"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -93,6 +93,10 @@ CROSS_OK = {
     "conductance_by_source",  # 1-row edge-total broadcast (modularity sibling)
     "greedy_knapsack_docs",  # 1-row budget scalar broadcast (weighted_systematic sibling)
     "sorted_neighborhood_pairs",  # rn-band self-join on the bounded ranked key table
+    "k_anonymity_audit",  # 1-row total + 3-row k-dim broadcasts
+    "dhondt_seats_sources",  # 20-row divisor dim × bounded source votes
+    "join_card_estimate",  # two 1-row count aggregates cross-combined
+    "rich_club_links",  # 3-row k-dim fan-out of the degree table
 }
 
 
