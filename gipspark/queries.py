@@ -21926,6 +21926,1011 @@ def rich_club_links(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-3 batch 14: CUPED, Chaikin smoothing, KMV sketch, cohort LTV
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cuped_adjustment_users",
+    """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS d,
+         cast(round(value * 100) as bigint) AS cents
+  FROM events
+), spanb AS (SELECT min(d) AS d0 FROM ev),
+per AS (
+  SELECT user_id,
+         cast(sum(CASE WHEN d < (SELECT d0 FROM spanb) + 7 THEN cents ELSE 0 END) as bigint)
+           AS x,
+         cast(sum(CASE WHEN d >= (SELECT d0 FROM spanb) + 7 THEN cents ELSE 0 END) as bigint)
+           AS y
+  FROM ev GROUP BY user_id
+), s AS (
+  SELECT cast(count(*) as bigint) AS n,
+         cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+         cast(sum(x * x) as bigint) AS sxx, cast(sum(x * y) as bigint) AS sxy
+  FROM per
+)
+SELECT n, sx, sy,
+       cast(n * sxy - sx * sy as bigint) AS cov_num,
+       cast(n * sxx - sx * sx as bigint) AS var_num,
+       cast(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) END as bigint)
+         AS theta_q,
+       cast(sy * 1000000 - (CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) END)
+            * (sx - 0) as bigint) AS adj_sum_q
+FROM s
+""",
+)
+def cuped_adjustment_users(spark, sf_dir):
+    """CUPED variance reduction (the experimentation-platform
+    workhorse — regress the experiment-period metric on the
+    pre-period covariate and analyze the residual, cutting variance
+    by corr²): x = first-week spend, y = post-week spend per user;
+    θ = cov/var carried as the exact integer pair (n·Σxy − ΣxΣy,
+    n·Σxx − Σx²) plus the 1e6 floor quotient, and the adjusted total
+    Σy·1e6 − θ_q·Σx in the same ticks. One per-user aggregate + one
+    1-row moment fold; zero floats. Magnitudes: cents sums ≤ ~1e9 at
+    sf1, so the int64 cross products clear 9.2e18 with headroom."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d0 = ev.agg(F.min("d").alias("d0"))
+    per = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("d0") + 7, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("d") >= F.col("d0") + 7, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    s = per.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return (
+        s.withColumn("cov_num", (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long"))
+        .withColumn("var_num", (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long"))
+        .withColumn(
+            "theta_q",
+            F.when(F.col("var_num") == 0, F.lit(0))
+            .otherwise(F.expr("(cov_num * 1000000) div var_num"))
+            .cast("long"),
+        )
+        .withColumn(
+            "adj_sum_q", (F.col("sy") * F.lit(1000000) - F.col("theta_q") * F.col("sx")).cast("long")
+        )
+        .select("n", "sx", "sy", "cov_num", "var_num", "theta_q", "adj_sum_q")
+    )
+
+
+@register(
+    "chaikin_smooth_traj",
+    f"""
+WITH pts AS (
+  SELECT user_id, event_id, ts,
+         cast(round(({_LAT.format(k='event_id')}) * 10000) as bigint) AS lat4,
+         cast(round(({_LON.format(k='event_id')}) * 10000) as bigint) AS lon4
+  FROM events WHERE user_id % 10 = 1
+), seq AS (
+  SELECT user_id, lat4, lon4,
+         lead(lat4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nlat,
+         lead(lon4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nlon,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) as bigint) AS i
+  FROM pts
+), cut AS (
+  SELECT user_id, i, 0 AS half,
+         3 * lat4 + nlat AS qlat, 3 * lon4 + nlon AS qlon
+  FROM seq WHERE nlat IS NOT NULL
+  UNION ALL
+  SELECT user_id, i, 1 AS half,
+         lat4 + 3 * nlat AS qlat, lon4 + 3 * nlon AS qlon
+  FROM seq WHERE nlat IS NOT NULL
+)
+SELECT user_id, cast(count(*) as bigint) AS n_out,
+       cast(sum(qlat) as bigint) AS sum_qlat, cast(sum(qlon) as bigint) AS sum_qlon,
+       cast(min(qlat) as bigint) AS min_qlat, cast(max(qlat) as bigint) AS max_qlat
+FROM cut GROUP BY user_id
+""",
+)
+def chaikin_smooth_traj(spark, sf_dir):
+    """Chaikin corner-cutting (one iteration) over each sampled user's
+    trajectory — the map-generalization smoother dual to RDP
+    simplification (RDP removes points, Chaikin rounds corners):
+    every consecutive pair (P, Q) yields the ¼ and ¾ points, carried
+    as EXACT 4×-scaled integers 3P+Q and P+3Q on the 1e-4-degree
+    lattice — no division ever happens. Per-user profile (count,
+    sums, extremes) keeps the result hashable at any size. One
+    per-user lead() window + one agg; the smoother is a narrow map."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 1)
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(C.derived_lat(F.col("event_id")) * 10000).cast("long").alias("lat4"),
+        F.round(C.derived_lon(F.col("event_id")) * 10000).cast("long").alias("lon4"),
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pts.select(
+        "user_id",
+        "lat4",
+        "lon4",
+        F.lead("lat4").over(w_u).alias("nlat"),
+        F.lead("lon4").over(w_u).alias("nlon"),
+    ).filter(F.col("nlat").isNotNull())
+    q1 = seq.select(
+        "user_id",
+        (3 * F.col("lat4") + F.col("nlat")).alias("qlat"),
+        (3 * F.col("lon4") + F.col("nlon")).alias("qlon"),
+    )
+    q2 = seq.select(
+        "user_id",
+        (F.col("lat4") + 3 * F.col("nlat")).alias("qlat"),
+        (F.col("lon4") + 3 * F.col("nlon")).alias("qlon"),
+    )
+    return (
+        q1.unionAll(q2)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_out"),
+            F.sum("qlat").cast("long").alias("sum_qlat"),
+            F.sum("qlon").cast("long").alias("sum_qlon"),
+            F.min("qlat").cast("long").alias("min_qlat"),
+            F.max("qlat").cast("long").alias("max_qlat"),
+        )
+    )
+
+
+_KMV_K = 64
+_KMV_MAXH = (1 << 60) - 1
+
+
+@register(
+    "kmv_distinct_contract",
+    f"""
+WITH toks AS (
+  SELECT DISTINCT unnest({D.shingles_sql('text', 3)}) AS w
+  FROM documents
+), h AS (
+  SELECT w, {D.MD5_LONG_SQL.format(x='w')} % {_KMV_MAXH} AS hv FROM toks
+), kth AS (
+  SELECT hv FROM h ORDER BY hv LIMIT 1 OFFSET {_KMV_K - 1}
+), exact_cnt AS (SELECT cast(count(*) as bigint) AS exact_d FROM toks)
+SELECT exact_cnt.exact_d,
+       cast((SELECT hv FROM kth) as bigint) AS kth_min,
+       cast(({_KMV_K - 1} * cast({_KMV_MAXH} as hugeint))
+            // (SELECT hv FROM kth) as bigint) AS kmv_estimate,
+       cast(abs(cast(({_KMV_K - 1} * cast({_KMV_MAXH} as hugeint))
+            // (SELECT hv FROM kth) as bigint) - exact_cnt.exact_d) * 1000000
+            // exact_cnt.exact_d as bigint) AS rel_err_q
+FROM exact_cnt
+""",
+)
+def kmv_distinct_contract(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch with a
+    measured accuracy contract — the third cardinality sketch beside
+    HLL and the exact count, and the one whose sketches UNION
+    losslessly by merging bottom-k sets: estimate = (k−1)·M / h(k)
+    with M the hash range and h(k) the k-th smallest md5 value, all
+    exact integer arithmetic (128-bit for the product), so the
+    estimate AND its 1e6 relative error hash identically. The k-th
+    minimum is a top-k (TakeOrderedAndProject shape), never a full
+    sort."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(D.shingles(F.col("text"), 3)).alias("w")).distinct()
+    h = toks.select((D.md5_long(F.col("w")) % _KMV_MAXH).alias("hv"))
+    kth = h.orderBy("hv").limit(_KMV_K).orderBy(F.col("hv").desc()).limit(1)
+    exact = toks.agg(F.count("*").cast("long").alias("exact_d"))
+    d38 = "decimal(38,0)"
+    return (
+        exact.crossJoin(F.broadcast(kth.select(F.col("hv").alias("kth_min"))))
+        .withColumn(
+            "kmv_estimate",
+            (
+                (F.lit(_KMV_K - 1).cast(d38) * F.lit(_KMV_MAXH).cast(d38))
+                / F.col("kth_min").cast(d38)
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "rel_err_q",
+            F.expr("(abs(kmv_estimate - exact_d) * 1000000) div exact_d").cast("long"),
+        )
+        .select("exact_d", "kth_min", "kmv_estimate", "rel_err_q")
+    )
+
+
+@register(
+    "cohort_ltv_weekly",
+    """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000000 // 604800 AS wk,
+         cast(round(value * 100) as bigint) AS cents
+  FROM events
+), first_wk AS (
+  SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id
+), cell AS (
+  SELECT f.cohort, ev.wk - f.cohort AS age,
+         cast(sum(ev.cents) as bigint) AS rev,
+         cast(count(DISTINCT ev.user_id) as bigint) AS active_users
+  FROM ev JOIN first_wk f ON f.user_id = ev.user_id
+  GROUP BY f.cohort, age
+), sized AS (
+  SELECT cohort, cast(count(*) as bigint) AS cohort_size FROM first_wk GROUP BY cohort
+)
+SELECT c.cohort, c.age, c.rev, c.active_users, s.cohort_size,
+       cast(sum(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_rev,
+       cast((sum(c.rev) OVER (PARTITION BY c.cohort ORDER BY c.age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) // s.cohort_size
+            as bigint) AS ltv_cents_per_user_x100
+FROM cell c JOIN sized s ON s.cohort = c.cohort
+""",
+)
+def cohort_ltv_weekly(spark, sf_dir):
+    """Cohort lifetime-value curve (the revenue companion to
+    cohort_retention_weekly): users cohort by first-seen week, and
+    each (cohort, age) cell carries revenue, actives, the cumulative
+    revenue (a per-cohort running window), and cumulative LTV per
+    cohort member in exact cents ×100 by integer division. One
+    first-seen aggregate, one FK self-join, one (cohort, age) agg,
+    one partitioned cumsum — the canonical cohort-matrix plan that
+    shuffles on user_id exactly twice."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 604800").alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    first_wk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    cell = (
+        ev.join(first_wk, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("age"))
+        .agg(
+            F.sum("cents").cast("long").alias("rev"),
+            F.countDistinct("user_id").cast("long").alias("active_users"),
+        )
+    )
+    sized = first_wk.groupBy("cohort").agg(F.count("*").cast("long").alias("cohort_size"))
+    w_cum = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cell.join(sized, "cohort")
+        .withColumn("cum_rev", F.sum("rev").over(w_cum).cast("long"))
+        .withColumn(
+            "ltv_cents_per_user_x100",
+            F.expr("(cum_rev * 100) div cohort_size").cast("long"),
+        )
+        .select(
+            "cohort", "age", "rev", "active_users", "cohort_size", "cum_rev",
+            "ltv_cents_per_user_x100",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-4 batch 15: AMS F2 sketch, SymSpell blocking, speed QA,
+# reverse-1NN influence
+# ---------------------------------------------------------------------------
+
+
+_AMS_SIGN_KEY = "'ams' || cast(i as varchar) || ':' || w"
+
+
+@register(
+    "ams_f2_contract",
+    f"""
+WITH tf AS (
+  SELECT w, cast(count(*) as bigint) AS f
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents) t
+  GROUP BY w
+), exact AS (SELECT cast(sum(f * f) as bigint) AS f2 FROM tf),
+zs AS (
+  SELECT i,
+         cast(sum((1 - 2 * ({D.MD5_LONG_SQL.format(x=_AMS_SIGN_KEY)} % 2)) * f)
+              as bigint) AS z
+  FROM tf, (SELECT unnest(generate_series(0, 8)) AS i) sk
+  GROUP BY i
+), est AS (
+  SELECT z * z AS e, row_number() OVER (ORDER BY z * z, i) AS rn FROM zs
+)
+SELECT exact.f2, cast(est.e as bigint) AS median_est,
+       cast(abs(est.e - exact.f2) * 1000000 // exact.f2 as bigint) AS rel_err_q
+FROM exact, est WHERE est.rn = 5
+""",
+)
+def ams_f2_contract(spark, sf_dir):
+    """AMS tug-of-war sketch for the second frequency moment F2 = Σf²
+    of the term-frequency vector, with a measured accuracy contract —
+    the join-size / self-join-cost estimator (F2 of the key histogram
+    IS the self-join cardinality), the third sketch contract beside
+    HLL (F0) and CMS (point counts): nine independent ±1 sign streams
+    s_i(w) from md5 parity fold to Z_i = Σ s_i(w)·f_w, each Z_i² is an
+    unbiased F2 estimate, and the median of nine is the
+    variance-tamed report. All integer: signs are hash parities, Z
+    and Z² exact bigints (|Z| ≤ Σf ≈ corpus tokens, so Z² is safe to
+    ~3e9 tokens — documented headroom), the median is a row_number
+    pick over the 9-row sketch dim, never a float quantile. One
+    term-count aggregate + a 9-row broadcast fan-out; shuffle is one
+    hash agg on the token explode."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    exact = tf.agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("f2"))
+    sk = spark.range(9).select(F.col("id").cast("int").alias("i"))
+    sign = 1 - 2 * (
+        D.md5_long(F.concat(F.lit("ams"), F.col("i").cast("string"), F.lit(":"), F.col("w"))) % 2
+    )
+    zs = (
+        tf.crossJoin(F.broadcast(sk))
+        .select("i", (sign * F.col("f")).alias("sf"))
+        .groupBy("i")
+        .agg(F.sum("sf").cast("long").alias("z"))
+    )
+    est = (
+        zs.select((F.col("z") * F.col("z")).alias("e"), "i")
+        .withColumn("rn", F.row_number().over(Window.orderBy("e", "i")))
+        .filter(F.col("rn") == 5)
+    )
+    return (
+        exact.crossJoin(F.broadcast(est.select(F.col("e").alias("median_est"))))
+        .withColumn("rel_err_q", F.expr("(abs(median_est - f2) * 1000000) div f2").cast("long"))
+        .select("f2", "median_est", "rel_err_q")
+    )
+
+
+@register(
+    "symspell_match_docs",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TITLE_SQL} AS title FROM documents
+), v AS (
+  SELECT doc_id, title,
+         CASE WHEN p = 0 THEN title
+              ELSE substr(title, 1, cast(p - 1 as int)) || substr(title, cast(p + 1 as int))
+         END AS var
+  FROM (SELECT doc_id, title, unnest(generate_series(0, length(title))) AS p FROM t)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.title AS ta, b.title AS tb
+  FROM v a JOIN v b ON b.var = a.var AND b.doc_id > a.doc_id
+)
+SELECT doc_a, doc_b, cast(levenshtein(ta, tb) as bigint) AS dist
+FROM cand WHERE levenshtein(ta, tb) <= 1
+""",
+)
+def symspell_match_docs(spark, sf_dir):
+    """SymSpell deletion-neighborhood matching — the fourth blocking
+    scheme beside the stem/length-band block, soundex, and
+    sorted-neighborhood: two strings within edit distance 1 MUST share
+    a member of their 1-deletion variant sets (substitution ⇒ same
+    position deleted both sides; indel ⇒ one side deletes; equality ⇒
+    the p=0 identity variant), so candidates come from ONE equi-join
+    on the variant key and the exact levenshtein refine runs only
+    inside buckets. Candidate cost is Σ occupancy² over variant
+    buckets (occupancy bounded by the alphabet at each masked
+    position), never |D|² — the inverse of the fuzzy-join stem block:
+    SymSpell needs no stem heuristic and catches edits ANYWHERE,
+    at ~|s| index rows per string (the SymSpell space/time trade)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _title_col().alias("title"))
+    v = t.select(
+        "doc_id",
+        "title",
+        F.explode(F.sequence(F.lit(0), F.length("title"))).alias("p"),
+    ).select(
+        "doc_id",
+        "title",
+        F.when(F.col("p") == 0, F.col("title"))
+        .otherwise(F.expr("concat(substring(title, 1, p - 1), substring(title, p + 1))"))
+        .alias("var"),
+    )
+    a = v.select(F.col("doc_id").alias("doc_a"), F.col("title").alias("ta"), "var")
+    b = v.select(F.col("doc_id").alias("doc_b"), F.col("title").alias("tb"), "var")
+    cand = (
+        a.join(b, "var")
+        .filter(F.col("doc_b") > F.col("doc_a"))
+        .select("doc_a", "doc_b", "ta", "tb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+_TELEPORT_MMS = 55_000  # 55 m/s ≈ 200 km/h — faster is a GPS glitch
+
+
+@register(
+    "speed_profile_user",
+    f"""
+WITH pts AS (
+  SELECT user_id, event_id, ts,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), seq AS (
+  SELECT user_id, lat, lon, ts,
+         lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+         lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM pts
+), legs AS (
+  SELECT user_id,
+         cast(round({HAVERSINE_SQL.format(lat1='plat', lon1='plon', lat2='lat', lon2='lon')}, 0)
+              as bigint) AS step_m,
+         epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000 AS dt_s
+  FROM seq WHERE plat IS NOT NULL
+), sp AS (
+  SELECT user_id, step_m, dt_s,
+         CASE WHEN dt_s > 0 THEN step_m * 1000 // dt_s END AS speed_mms
+  FROM legs
+)
+SELECT user_id, cast(count(*) as bigint) AS n_legs,
+       cast(sum(step_m) as bigint) AS dist_m,
+       cast(sum(dt_s) as bigint) AS dur_s,
+       cast(coalesce(max(speed_mms), 0) as bigint) AS max_speed_mms,
+       cast(count(CASE WHEN speed_mms > {_TELEPORT_MMS} THEN 1 END) as bigint) AS n_teleports
+FROM sp GROUP BY user_id
+""",
+)
+def speed_profile_user(spark, sf_dir):
+    """Per-user speed profile + teleport QA — the mobility-data
+    cleaning pass that runs BEFORE any trajectory analytics (a fix
+    sequence with 200 km/h jumps is a device glitch or an account
+    shared across devices, and every downstream dwell/turn/circuity
+    stat is poisoned by it): legs from one (ts, event_id) lag window,
+    whole-meter haversine ticks over floor-second gaps, speed as
+    exact mm/s floor division (zero-gap legs yield NULL speed, never
+    a division error), teleport = faster than 55 m/s. Same
+    one-shuffle window→agg shape as trajectory_user_stats; the speed
+    math is pure codegen arithmetic."""
+    from gipspark.geo.haversine import haversine_col
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id",
+        F.round(
+            haversine_col(F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")),
+            0,
+        )
+        .cast("long")
+        .alias("step_m"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("dt_s"),
+    ).filter(F.col("step_m").isNotNull())
+    sp = legs.withColumn(
+        "speed_mms", F.when(F.col("dt_s") > 0, F.expr("(step_m * 1000) div dt_s"))
+    )
+    return sp.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_legs"),
+        F.sum("step_m").cast("long").alias("dist_m"),
+        F.sum("dt_s").cast("long").alias("dur_s"),
+        F.coalesce(F.max("speed_mms"), F.lit(0)).cast("long").alias("max_speed_mms"),
+        F.count(F.when(F.col("speed_mms") > _TELEPORT_MMS, True)).cast("long").alias("n_teleports"),
+    )
+
+
+_RKNN_HAV = HAVERSINE_SQL.format(lat1="q.q_lat", lon1="q.q_lon", lat2="p.p_lat", lon2="p.p_lon")
+
+
+@register(
+    "rknn_influence_suppliers",
+    f"""
+WITH q AS (
+  SELECT c_custkey AS q_id,
+         {C.DERIVED_LAT_SQL.format(k='c_custkey')} AS q_lat,
+         {C.DERIVED_LON_SQL.format(k='c_custkey')} AS q_lon
+  FROM customer
+), p AS (
+  SELECT s_suppkey AS p_id,
+         {C.DERIVED_LAT_SQL.format(k='s_suppkey * 211 + 7')} AS p_lat,
+         {C.DERIVED_LON_SQL.format(k='s_suppkey * 211 + 7')} AS p_lon
+  FROM supplier
+), d AS (
+  SELECT q.q_id, p.p_id,
+         row_number() OVER (PARTITION BY q.q_id ORDER BY {_RKNN_HAV}, p.p_id) AS rn
+  FROM q, p
+), nn AS (SELECT q_id, p_id FROM d WHERE rn = 1),
+cnt AS (SELECT p_id, cast(count(*) as bigint) AS n_influenced FROM nn GROUP BY p_id),
+tot AS (SELECT cast(count(*) as bigint) AS n_q FROM q)
+SELECT p.p_id AS s_suppkey,
+       cast(coalesce(cnt.n_influenced, 0) as bigint) AS n_influenced,
+       cast(coalesce(cnt.n_influenced, 0) * 1000000 // tot.n_q as bigint) AS share_q
+FROM p LEFT JOIN cnt ON cnt.p_id = p.p_id, tot
+""",
+)
+def rknn_influence_suppliers(spark, sf_dir):
+    """Bichromatic reverse nearest neighbor (RkNN, k=1): for every
+    supplier, how many customers have IT as their closest supplier —
+    the facility-influence / cannibalization query (the hard Voronoi
+    cell cardinality, where catchment_counts_suppliers assigns and
+    this one inverts the assignment to the facility side, zeros
+    included). The forward 1-NN comes from the exact cell-prefiltered
+    knn_join (k-ring guarantee loop — never the |C|×|S| product the
+    oracle brute-forces); influence is one count per facility plus a
+    left join back to the supplier dim so uncontested-zero facilities
+    survive. Ties break (dist, supplier id) — knn_join's own law."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("q_id"),
+        C.derived_lat(F.col("c_custkey")).alias("q_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("q_lon"),
+    )
+    pk = F.col("s_suppkey") * 211 + 7
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("p_id"),
+        C.derived_lat(pk).alias("p_lat"),
+        C.derived_lon(pk).alias("p_lon"),
+    )
+    nn = knn_join(cust, sup, k=1, n_points_hint=table_rows(sf_dir, "supplier")).select(
+        "q_id", "p_id"
+    )
+    cnt = nn.groupBy("p_id").agg(F.count("*").cast("long").alias("n_influenced"))
+    tot = cust.agg(F.count("*").cast("long").alias("n_q"))
+    return (
+        sup.select("p_id")
+        .join(cnt, "p_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p_id").alias("s_suppkey"),
+            F.coalesce(F.col("n_influenced"), F.lit(0)).cast("long").alias("n_influenced"),
+            F.expr("(coalesce(n_influenced, 0) * 1000000) div n_q").cast("long").alias("share_q"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-4 batch 16: permutation test, power iteration, multi-touch
+# attribution, Otsu thresholding
+# ---------------------------------------------------------------------------
+
+
+_PERM_N = 64
+
+
+@register(
+    "permutation_test_values",
+    f"""
+WITH ev AS (
+  SELECT event_id, event_type, cast(round(value * 100) as bigint) AS cents
+  FROM events WHERE event_type IN ('click', 'view')
+), obs AS (
+  SELECT cast(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) as bigint) AS sa,
+         cast(sum(CASE WHEN event_type = 'view' THEN cents ELSE 0 END) as bigint) AS sb,
+         cast(count(CASE WHEN event_type = 'click' THEN 1 END) as bigint) AS na,
+         cast(count(CASE WHEN event_type = 'view' THEN 1 END) as bigint) AS nb
+  FROM ev
+), perms AS (
+  SELECT k,
+         cast(sum(CASE WHEN {D.MD5_LONG_SQL.format(x="'perm:' || cast(k as varchar) || ':' || cast(event_id as varchar)")} % 2 = 0
+                       THEN cents ELSE 0 END) as bigint) AS psa,
+         cast(sum(CASE WHEN {D.MD5_LONG_SQL.format(x="'perm:' || cast(k as varchar) || ':' || cast(event_id as varchar)")} % 2 = 0
+                       THEN 0 ELSE cents END) as bigint) AS psb,
+         cast(count(CASE WHEN {D.MD5_LONG_SQL.format(x="'perm:' || cast(k as varchar) || ':' || cast(event_id as varchar)")} % 2 = 0
+                         THEN 1 END) as bigint) AS pna,
+         cast(count(CASE WHEN {D.MD5_LONG_SQL.format(x="'perm:' || cast(k as varchar) || ':' || cast(event_id as varchar)")} % 2 = 0
+                         THEN NULL ELSE 1 END) as bigint) AS pnb
+  FROM ev, (SELECT unnest(generate_series(1, {_PERM_N})) AS k)
+  GROUP BY k
+), extreme AS (
+  SELECT cast(count(*) as bigint) AS n_extreme
+  FROM perms, obs
+  WHERE pna > 0 AND pnb > 0
+    AND abs(cast(psa as hugeint) * pnb - cast(psb as hugeint) * pna) * (obs.na * obs.nb)
+        >= abs(cast(obs.sa as hugeint) * obs.nb - cast(obs.sb as hugeint) * obs.na) * (pna * pnb)
+)
+SELECT obs.na, obs.nb,
+       cast(obs.sa * obs.nb - obs.sb * obs.na as bigint) AS obs_diff_num,
+       cast({_PERM_N} as bigint) AS n_perms, extreme.n_extreme,
+       cast((1 + extreme.n_extreme) * 1000000 // (1 + {_PERM_N}) as bigint) AS p_q
+FROM obs, extreme
+""",
+)
+def permutation_test_values(spark, sf_dir):
+    """Deterministic permutation test for the click-vs-view value
+    difference — the exact nonparametric complement to the Welch
+    t-test (ab_welch_users): 64 md5-keyed relabelings of each event
+    (RNG-free, so the p-value is reproducible and lineage-auditable),
+    statistic = the mean difference carried as the exact cross-
+    multiplied integer pair (s_a·n_b − s_b·n_a over common denominator
+    n_a·n_b), extremity compared by a further cross-multiply in
+    128-bit so no division or float ever enters, and the standard
+    add-one p estimate (1+#extreme)/(1+P) in 1e6 ticks. The
+    relabeling fan-out is events×64 — one bounded explode, one hash
+    agg; the 64-row perm table then meets two 1-row anchors."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    ev = ev.select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    obs = ev.agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("event_type") == "view", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.count(F.when(F.col("event_type") == "click", True)).cast("long").alias("na"),
+        F.count(F.when(F.col("event_type") == "view", True)).cast("long").alias("nb"),
+    )
+    ks = spark.range(1, _PERM_N + 1).select(F.col("id").cast("int").alias("k"))
+    flip = (
+        D.md5_long(
+            F.concat(
+                F.lit("perm:"),
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        % 2
+        == 0
+    )
+    perms = (
+        ev.crossJoin(F.broadcast(ks))
+        .select("k", F.when(flip, F.col("cents")).alias("ca"), F.when(~flip, F.col("cents")).alias("cb"))
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("psa"),
+            F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("psb"),
+            F.count("ca").cast("long").alias("pna"),
+            F.count("cb").cast("long").alias("pnb"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    extreme = (
+        perms.crossJoin(F.broadcast(obs))
+        .filter((F.col("pna") > 0) & (F.col("pnb") > 0))
+        .filter(
+            F.abs(
+                F.col("psa").cast(d38) * F.col("pnb") - F.col("psb").cast(d38) * F.col("pna")
+            )
+            * (F.col("na") * F.col("nb")).cast(d38)
+            >= F.abs(
+                F.col("sa").cast(d38) * F.col("nb") - F.col("sb").cast(d38) * F.col("na")
+            )
+            * (F.col("pna") * F.col("pnb")).cast(d38)
+        )
+        .agg(F.count("*").cast("long").alias("n_extreme"))
+    )
+    return (
+        obs.crossJoin(F.broadcast(extreme))
+        .select(
+            "na",
+            "nb",
+            (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).cast("long").alias("obs_diff_num"),
+            F.lit(_PERM_N).cast("long").alias("n_perms"),
+            "n_extreme",
+            F.expr(f"((1 + n_extreme) * 1000000) div (1 + {_PERM_N})").cast("long").alias("p_q"),
+        )
+    )
+
+
+_PI_DIMS = 8
+_PI_SCALE = 1024
+_PI_ITERS = 4
+
+
+def _pi_sql() -> str:
+    dims = range(1, _PI_DIMS + 1)
+    qcols = ", ".join(
+        f"cast(round(embedding[{i}]::double * {_PI_SCALE}) as bigint) AS q{i}" for i in dims
+    )
+    mcols = ", ".join(
+        f"cast(sum(q{i} * q{j}) as bigint) AS m{i}_{j}" for i in dims for j in dims
+    )
+    its = [f"it0 AS (SELECT *, {', '.join(f'cast({_PI_SCALE} as bigint) AS v{i}_0' for i in dims)} FROM m)"]
+    for t in range(1, _PI_ITERS + 1):
+        ws = ", ".join(
+            f"({' + '.join(f'm{i}_{j} * v{j}_{t - 1}' for j in dims)}) AS w{i}_{t}" for i in dims
+        )
+        nrm = f"greatest(1, {', '.join(f'abs(w{i}_{t})' for i in dims)})"
+        its.append(f"pre{t} AS (SELECT *, {ws} FROM it{t - 1})")
+        its.append(
+            f"it{t} AS (SELECT *, {nrm} AS n_{t}, "
+            + ", ".join(f"w{i}_{t} * {_PI_SCALE} // ({nrm}) AS v{i}_{t}" for i in dims)
+            + f" FROM pre{t})"
+        )
+    last = _PI_ITERS
+    fin = " UNION ALL ".join(
+        f"SELECT {i} AS dim, cast(v{i}_{last} as bigint) AS v_q, "
+        f"cast(n_{last} // {_PI_SCALE} as bigint) AS lambda_lo FROM it{last}"
+        for i in dims
+    )
+    return (
+        f"WITH q AS (SELECT {qcols} FROM embeddings), m AS (SELECT {mcols} FROM q),\n"
+        + ",\n".join(its)
+        + f"\n{fin}"
+    )
+
+
+@register("power_iteration_embeddings", _pi_sql())
+def power_iteration_embeddings(spark, sf_dir):
+    """Top principal direction of the leading 8-dim embedding block by
+    fixed-point power iteration — the iterative-linear-algebra
+    pattern (PCA / spectral methods) with a bit-exact cross-engine
+    contract, which float BLAS can never give: embeddings quantize to
+    1024 ticks, the raw second-moment matrix M = Σ qqᵀ folds in ONE
+    1-row aggregate (the only shuffle), and four v ← M·v / ‖·‖∞
+    rounds run as pure scalar integer arithmetic ON that row —
+    renormalizing to 1024 ticks by floor division each round, so
+    every intermediate is an exact bigint (|w| ≤ 8·M_max·1024,
+    int64-safe past sf100). λ lower bound = final ∞-norm // 1024.
+    Spark runs the identical recurrence as chained codegen projects;
+    convergence in 4 rounds is the contract (the top-two gap of the
+    synthetic embeddings is wide), documented rather than tested-for."""
+    dims = range(1, _PI_DIMS + 1)
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        *[
+            F.round(F.col("embedding").getItem(i - 1).cast("double") * _PI_SCALE)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in dims
+        ]
+    )
+    m = q.agg(
+        *[
+            F.sum(F.col(f"q{i}") * F.col(f"q{j}")).cast("long").alias(f"m{i}_{j}")
+            for i in dims
+            for j in dims
+        ]
+    )
+    cur = m.select("*", *[F.lit(_PI_SCALE).cast("long").alias(f"v{i}_0") for i in dims])
+    for t in range(1, _PI_ITERS + 1):
+        cur = cur.select(
+            "*",
+            *[
+                sum(
+                    (F.col(f"m{i}_{j}") * F.col(f"v{j}_{t - 1}") for j in dims),
+                    F.lit(0).cast("long"),
+                ).alias(f"w{i}_{t}")
+                for i in dims
+            ],
+        )
+        cur = cur.select(
+            "*",
+            F.greatest(
+                F.lit(1).cast("long"), *[F.abs(F.col(f"w{i}_{t}")) for i in dims]
+            ).alias(f"n_{t}"),
+        )
+        cur = cur.select(
+            "*",
+            *[F.expr(f"(w{i}_{t} * {_PI_SCALE}) div n_{t}").alias(f"v{i}_{t}") for i in dims],
+        )
+    last = _PI_ITERS
+    stack = ", ".join(f"{i}, cast(v{i}_{last} as bigint)" for i in dims)
+    return cur.select(
+        F.expr(f"stack({_PI_DIMS}, {stack}) as (dim, v_q)"),
+        F.expr(f"cast(n_{last} div {_PI_SCALE} as bigint)").alias("lambda_lo"),
+    )
+
+
+@register(
+    "multitouch_attribution_users",
+    """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+), seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np_id,
+         first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np_ts
+  FROM ev
+), touches AS (
+  SELECT user_id, event_id, event_type, np_id
+  FROM seq
+  WHERE event_type <> 'purchase' AND np_id IS NOT NULL
+    AND epoch_us(np_ts) // 1000000 - epoch_us(ts) // 1000000 <= 604800
+), ranked AS (
+  SELECT user_id, event_type, np_id,
+         cast(count(*) OVER (PARTITION BY user_id, np_id) as bigint) AS n_t,
+         row_number() OVER (PARTITION BY user_id, np_id ORDER BY event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id, np_id ORDER BY event_id DESC) AS rl
+  FROM touches
+)
+SELECT event_type,
+       cast(count(*) as bigint) AS n_touch,
+       cast(sum(1000000 // n_t) as bigint) AS linear_credit_q,
+       cast(count(CASE WHEN rf = 1 THEN 1 END) as bigint) AS n_first_touch,
+       cast(count(CASE WHEN rl = 1 THEN 1 END) as bigint) AS n_last_touch
+FROM ranked GROUP BY event_type
+""",
+)
+def multitouch_attribution_users(spark, sf_dir):
+    """Multi-touch marketing attribution (first / last / linear — the
+    three canonical credit rules, answered in one plan): every click
+    or view assigns to the user's NEXT purchase within 7 days via one
+    forward ignore-nulls window fill (the resample_linear_user
+    machinery pointed forward — no as-of join, no range join, one
+    user_id shuffle), then per-conversion touch counts turn into
+    exact linear credits 1e6 // n_t plus first/last flags from two
+    rank orders of the same partition. Credit conservation (Σ linear
+    ≈ 1e6 per conversion, floor remainder documented) makes the
+    result auditable; output is the 2-row per-channel credit table."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("event_id")), ignorenulls=True
+        )
+        .over(w)
+        .alias("np_id"),
+        F.first(F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("np_ts"),
+    )
+    touches = seq.filter(
+        (F.col("event_type") != "purchase")
+        & F.col("np_id").isNotNull()
+        & (
+            F.unix_timestamp("np_ts") - F.unix_timestamp("ts") <= 604800
+        )
+    ).select("user_id", "event_id", "event_type", "np_id")
+    wp = Window.partitionBy("user_id", "np_id")
+    ranked = touches.select(
+        "event_type",
+        F.count("*").over(wp).cast("long").alias("n_t"),
+        F.row_number().over(wp.orderBy("event_id")).alias("rf"),
+        F.row_number().over(wp.orderBy(F.col("event_id").desc())).alias("rl"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_touch"),
+        F.sum(F.expr("1000000 div n_t")).cast("long").alias("linear_credit_q"),
+        F.count(F.when(F.col("rf") == 1, True)).cast("long").alias("n_first_touch"),
+        F.count(F.when(F.col("rl") == 1, True)).cast("long").alias("n_last_touch"),
+    )
+
+
+_OTSU_LEVELS = 16
+
+
+@register(
+    "otsu_threshold_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+), vm AS (SELECT cast(max(v) as bigint) AS vmax FROM grid),
+lv AS (
+  SELECT least({_OTSU_LEVELS - 1}, v * {_OTSU_LEVELS} // (vm.vmax + 1)) AS lvl, v
+  FROM grid, vm
+), hist AS (
+  SELECT lvl, cast(count(*) as bigint) AS c, cast(sum(v) as bigint) AS s FROM lv GROUP BY lvl
+), tot AS (SELECT cast(sum(c) as bigint) AS ct, cast(sum(s) as bigint) AS st FROM hist),
+pre AS (
+  SELECT lvl,
+         cast(sum(c) OVER (ORDER BY lvl) as bigint) AS c0,
+         cast(sum(s) OVER (ORDER BY lvl) as bigint) AS s0
+  FROM hist
+), scored AS (
+  SELECT pre.lvl AS threshold, pre.c0, pre.s0,
+         tot.ct - pre.c0 AS c1, tot.st - pre.s0 AS s1,
+         cast((cast(pre.s0 as hugeint) * (tot.ct - pre.c0) - cast(tot.st - pre.s0 as hugeint) * pre.c0)
+              * (cast(pre.s0 as hugeint) * (tot.ct - pre.c0) - cast(tot.st - pre.s0 as hugeint) * pre.c0)
+              // (cast(pre.c0 as hugeint) * (tot.ct - pre.c0) * tot.ct * tot.ct) as bigint) AS btw_q
+  FROM pre, tot WHERE tot.ct - pre.c0 > 0
+)
+SELECT threshold, c0, s0, cast(c1 as bigint) AS c1, cast(s1 as bigint) AS s1, btw_q
+FROM scored
+ORDER BY btw_q DESC, threshold ASC LIMIT 1
+""",
+)
+def otsu_threshold_cells(spark, sf_dir):
+    """Otsu's optimal threshold over the event-density raster — the
+    binarization step every raster→vector pipeline runs before region
+    labeling (raster_regions_cells assumes a foreground mask; THIS is
+    where the mask comes from): density values bin to 16 levels, and
+    the threshold maximizing between-class variance w0·w1·(μ0−μ1)² is
+    found from ONE prefix-sum window over the 16-row histogram —
+    the variance carried as the exact 128-bit integer
+    (s0·c1 − s1·c0)² // (c0·c1·C²) so no float enters the argmax
+    (ties → smallest threshold, by explicit sort law). One
+    map-combinable point agg, one 16-row window, two 1-row anchors —
+    the hist_equalize shape with an argmax instead of a rank."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    grid = (
+        pts.select(
+            F.floor((F.col("lon") + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - F.col("lat")) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    vm = grid.agg(F.max("v").cast("long").alias("vmax"))
+    lv = grid.crossJoin(F.broadcast(vm)).select(
+        F.least(
+            F.lit(_OTSU_LEVELS - 1).cast("long"),
+            F.expr(f"(v * {_OTSU_LEVELS}) div (vmax + 1)"),
+        ).alias("lvl"),
+        "v",
+    )
+    hist = lv.groupBy("lvl").agg(
+        F.count("*").cast("long").alias("c"), F.sum("v").cast("long").alias("s")
+    )
+    tot = hist.agg(F.sum("c").cast("long").alias("ct"), F.sum("s").cast("long").alias("st"))
+    wo = Window.orderBy("lvl")
+    pre = hist.select(
+        "lvl",
+        F.sum("c").over(wo).cast("long").alias("c0"),
+        F.sum("s").over(wo).cast("long").alias("s0"),
+    )
+    d38 = "decimal(38,0)"
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("ct") - F.col("c0") > 0)
+        .select(
+            F.col("lvl").alias("threshold"),
+            "c0",
+            "s0",
+            (F.col("ct") - F.col("c0")).cast("long").alias("c1"),
+            (F.col("st") - F.col("s0")).cast("long").alias("s1"),
+            (
+                (
+                    (F.col("s0").cast(d38) * (F.col("ct") - F.col("c0")))
+                    - ((F.col("st") - F.col("s0")).cast(d38) * F.col("c0"))
+                )
+                * (
+                    (F.col("s0").cast(d38) * (F.col("ct") - F.col("c0")))
+                    - ((F.col("st") - F.col("s0")).cast(d38) * F.col("c0"))
+                )
+                / (
+                    F.col("c0").cast(d38)
+                    * (F.col("ct") - F.col("c0"))
+                    * F.col("ct")
+                    * F.col("ct")
+                )
+            )
+            .cast("long")
+            .alias("btw_q"),
+        )
+    )
+    return scored.orderBy(F.col("btw_q").desc(), F.col("threshold").asc()).limit(1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -97,6 +97,12 @@ CROSS_OK = {
     "dhondt_seats_sources",  # 20-row divisor dim × bounded source votes
     "join_card_estimate",  # two 1-row count aggregates cross-combined
     "rich_club_links",  # 3-row k-dim fan-out of the degree table
+    "cuped_adjustment_users",  # 1-row day-zero anchor broadcast (decayed_tile_heat sibling)
+    "kmv_distinct_contract",  # 1-row kth-minimum scalar broadcast into the exact count
+    "ams_f2_contract",  # 9-row sketch dim fan-out + 1-row exact-F2 broadcast
+    "rknn_influence_suppliers",  # knn straggler fallback + 1-row total broadcast (catchment sibling)
+    "permutation_test_values",  # 64-row perm-dim fan-out + two 1-row anchors (jackknife sibling)
+    "otsu_threshold_cells",  # 1-row vmax + 1-row total broadcasts into the 16-row histogram
 }
 
 
