@@ -22931,6 +22931,378 @@ def otsu_threshold_cells(spark, sf_dir):
     return scored.orderBy(F.col("btw_q").desc(), F.col("threshold").asc()).limit(1)
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-4 batch 17: Fellegi-Sunter, Banzhaf power, weighted Jaccard,
+# landscape metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fellegi_sunter_weights",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TITLE_SQL} AS title, lang, source FROM documents
+), b AS (
+  SELECT doc_id, title, lang, source,
+         regexp_replace(title, '-[a-z]+$', '') AS stem, length(title) AS L
+  FROM t
+), pairs AS (
+  SELECT CASE WHEN levenshtein(a.title, c.title) <= 1 THEN 1 ELSE 0 END AS is_m,
+         CASE WHEN a.lang = c.lang THEN 1 ELSE 0 END AS ag_lang,
+         CASE WHEN a.source = c.source THEN 1 ELSE 0 END AS ag_src,
+         CASE WHEN a.L = c.L THEN 1 ELSE 0 END AS ag_len
+  FROM b a JOIN b c ON c.stem = a.stem AND c.doc_id > a.doc_id
+), s AS (
+  SELECT cast(sum(is_m) as bigint) AS n_match,
+         cast(count(*) - sum(is_m) as bigint) AS n_nonmatch,
+         cast(sum(is_m * ag_lang) as bigint) AS am_lang,
+         cast(sum((1 - is_m) * ag_lang) as bigint) AS au_lang,
+         cast(sum(is_m * ag_src) as bigint) AS am_src,
+         cast(sum((1 - is_m) * ag_src) as bigint) AS au_src,
+         cast(sum(is_m * ag_len) as bigint) AS am_len,
+         cast(sum((1 - is_m) * ag_len) as bigint) AS au_len
+  FROM pairs
+)
+SELECT 'lang' AS field, n_match, n_nonmatch, am_lang AS n_agree_match,
+       au_lang AS n_agree_nonmatch,
+       cast(am_lang * 1000000 // greatest(1, n_match) as bigint) AS m_q,
+       cast(au_lang * 1000000 // greatest(1, n_nonmatch) as bigint) AS u_q
+FROM s
+UNION ALL
+SELECT 'source', n_match, n_nonmatch, am_src, au_src,
+       cast(am_src * 1000000 // greatest(1, n_match) as bigint),
+       cast(au_src * 1000000 // greatest(1, n_nonmatch) as bigint)
+FROM s
+UNION ALL
+SELECT 'len', n_match, n_nonmatch, am_len, au_len,
+       cast(am_len * 1000000 // greatest(1, n_match) as bigint),
+       cast(au_len * 1000000 // greatest(1, n_nonmatch) as bigint)
+FROM s
+""",
+)
+def fellegi_sunter_weights(spark, sf_dir):
+    """Fellegi-Sunter record-linkage parameters: per comparison field
+    (lang / source / title-length), the m-probability P(agree|match)
+    and u-probability P(agree|non-match) estimated over stem-blocked
+    candidate pairs with lev≤1 as the match label — the
+    probabilistic-linkage weight table that turns the fuzzy/SNB/
+    SymSpell blocking schemes into a SCORED matcher (a field whose
+    m/u ratio is high is worth its comparison cost; one near 1 is
+    noise). Probabilities are exact 1e6 floor ratios of pair counts;
+    the blocked self-join is the fuzzy_title_join stem block
+    (candidates ∝ block occupancy, never |D|²), one 1-row moment fold,
+    3 unpivoted field rows."""
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        _title_col().alias("title"),
+        "lang",
+        "source",
+        F.regexp_replace(_title_col(), "-[a-z]+$", "").alias("stem"),
+        F.length(_title_col()).alias("L"),
+    )
+    a = b.select(
+        F.col("doc_id").alias("ida"),
+        F.col("title").alias("ta"),
+        F.col("lang").alias("la"),
+        F.col("source").alias("sa"),
+        "stem",
+        F.col("L").alias("len_a"),
+    )
+    c = b.select(
+        F.col("doc_id").alias("idc"),
+        F.col("title").alias("tc"),
+        F.col("lang").alias("lc"),
+        F.col("source").alias("sc"),
+        "stem",
+        F.col("L").alias("len_c"),
+    )
+    pairs = a.join(c, "stem").filter(F.col("idc") > F.col("ida")).select(
+        F.when(F.levenshtein("ta", "tc") <= 1, 1).otherwise(0).alias("is_m"),
+        F.when(F.col("la") == F.col("lc"), 1).otherwise(0).alias("ag_lang"),
+        F.when(F.col("sa") == F.col("sc"), 1).otherwise(0).alias("ag_src"),
+        F.when(F.col("len_a") == F.col("len_c"), 1).otherwise(0).alias("ag_len"),
+    )
+    s = pairs.agg(
+        F.sum("is_m").cast("long").alias("n_match"),
+        (F.count("*") - F.sum("is_m")).cast("long").alias("n_nonmatch"),
+        F.sum(F.col("is_m") * F.col("ag_lang")).cast("long").alias("am_lang"),
+        F.sum((1 - F.col("is_m")) * F.col("ag_lang")).cast("long").alias("au_lang"),
+        F.sum(F.col("is_m") * F.col("ag_src")).cast("long").alias("am_src"),
+        F.sum((1 - F.col("is_m")) * F.col("ag_src")).cast("long").alias("au_src"),
+        F.sum(F.col("is_m") * F.col("ag_len")).cast("long").alias("am_len"),
+        F.sum((1 - F.col("is_m")) * F.col("ag_len")).cast("long").alias("au_len"),
+    )
+    rows = []
+    for name, am, au in (
+        ("lang", "am_lang", "au_lang"),
+        ("source", "am_src", "au_src"),
+        ("len", "am_len", "au_len"),
+    ):
+        rows.append(
+            s.select(
+                F.lit(name).alias("field"),
+                "n_match",
+                "n_nonmatch",
+                F.col(am).alias("n_agree_match"),
+                F.col(au).alias("n_agree_nonmatch"),
+                F.expr(f"({am} * 1000000) div greatest(1, n_match)").cast("long").alias("m_q"),
+                F.expr(f"({au} * 1000000) div greatest(1, n_nonmatch)").cast("long").alias("u_q"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+_BZF_PLAYERS = 6
+
+
+@register(
+    "banzhaf_power_sources",
+    f"""
+WITH w AS (
+  SELECT source, cast(sum(n_chars) // 1000 as bigint) AS wt
+  FROM documents GROUP BY source
+), top AS (
+  SELECT source, wt, cast(row_number() OVER (ORDER BY wt DESC, source) as int) AS r
+  FROM w QUALIFY r <= {_BZF_PLAYERS}
+), q AS (SELECT cast(sum(wt) // 2 + 1 as bigint) AS quota FROM top),
+co AS (SELECT unnest(generate_series(0, {2 ** _BZF_PLAYERS - 1})) AS c),
+ws AS (
+  SELECT co.c, cast(coalesce(sum(CASE WHEN (co.c >> (t.r - 1)) & 1 = 1 THEN t.wt END), 0)
+                    as bigint) AS wsum
+  FROM co, top t GROUP BY co.c
+), swings AS (
+  SELECT t.source, t.wt,
+         cast(count(CASE WHEN (ws.c >> (t.r - 1)) & 1 = 0
+                          AND ws.wsum < q.quota AND ws.wsum + t.wt >= q.quota
+                         THEN 1 END) as bigint) AS n_swings
+  FROM top t, ws, q GROUP BY t.source, t.wt
+), tot AS (SELECT cast(sum(n_swings) as bigint) AS total_swings FROM swings)
+SELECT s.source, s.wt, s.n_swings,
+       cast(CASE WHEN tot.total_swings > 0
+                 THEN s.n_swings * 1000000 // tot.total_swings ELSE 0 END as bigint) AS power_q
+FROM swings s, tot
+""",
+)
+def banzhaf_power_sources(spark, sf_dir):
+    """Banzhaf voting-power index of the top-6 sources weighted by
+    corpus bytes — the coalition-power complement to the D'Hondt and
+    Hamilton apportionments (apportionment divides seats
+    proportionally; Banzhaf measures how often a player is actually
+    PIVOTAL under majority quota, which is wildly non-proportional —
+    the classic result that weight shares misstate power): all 2⁶
+    coalitions enumerate as one 64-row literal dim, membership is a
+    bit test on the player's rank, a swing is coalition-sum < quota ≤
+    sum + w_p, and the normalized index is exact 1e6 floor ticks.
+    The 64×6 grid is a bounded literal cross — power-set evaluation
+    is constant-size by design (players fixed at 6), never data-scale."""
+    d = load(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(F.expr("sum(n_chars) div 1000").cast("long").alias("wt"))
+    top = (
+        w.withColumn("r", F.row_number().over(Window.orderBy(F.col("wt").desc(), "source")))
+        .filter(F.col("r") <= _BZF_PLAYERS)
+        .select("source", "wt", F.col("r").cast("int").alias("r"))
+    )
+    q = top.agg(F.expr("sum(wt) div 2 + 1").cast("long").alias("quota"))
+    co = spark.range(2**_BZF_PLAYERS).select(F.col("id").cast("int").alias("c"))
+    ws = (
+        co.crossJoin(F.broadcast(top))
+        .groupBy("c")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.expr("(c >> (r - 1)) & 1 = 1"), F.col("wt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("wsum")
+        )
+    )
+    swings = (
+        top.crossJoin(ws)
+        .crossJoin(F.broadcast(q))
+        .groupBy("source", "wt")
+        .agg(
+            F.count(
+                F.when(
+                    F.expr("(c >> (r - 1)) & 1 = 0")
+                    & (F.col("wsum") < F.col("quota"))
+                    & (F.col("wsum") + F.col("wt") >= F.col("quota")),
+                    True,
+                )
+            )
+            .cast("long")
+            .alias("n_swings")
+        )
+    )
+    tot = swings.agg(F.sum("n_swings").cast("long").alias("total_swings"))
+    return (
+        swings.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "wt",
+            "n_swings",
+            F.expr(
+                "CASE WHEN total_swings > 0 THEN (n_swings * 1000000) div total_swings ELSE 0 END"
+            )
+            .cast("long")
+            .alias("power_q"),
+        )
+    )
+
+
+_WJ_NQUERIES = 20
+
+
+@register(
+    "weighted_jaccard_top1",
+    f"""
+WITH tf AS (
+  SELECT doc_id, w, cast(count(*) as bigint) AS f
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents) t
+  GROUP BY doc_id, w
+), tot AS (
+  SELECT doc_id, cast(sum(f) as bigint) AS tf_sum FROM tf GROUP BY doc_id
+), smin AS (
+  SELECT a.doc_id AS q_doc, b.doc_id AS o_doc,
+         cast(sum(least(a.f, b.f)) as bigint) AS s_min
+  FROM tf a JOIN tf b ON b.w = a.w AND b.doc_id <> a.doc_id
+  WHERE a.doc_id < {_WJ_NQUERIES}
+  GROUP BY a.doc_id, b.doc_id
+), scored AS (
+  SELECT smin.q_doc, smin.o_doc,
+         cast(smin.s_min * 1000000 // (ta.tf_sum + tb.tf_sum - smin.s_min) as bigint) AS wj_q,
+         row_number() OVER (PARTITION BY smin.q_doc
+                            ORDER BY smin.s_min * 1000000 // (ta.tf_sum + tb.tf_sum - smin.s_min) DESC,
+                                     smin.o_doc) AS rn
+  FROM smin JOIN tot ta ON ta.doc_id = smin.q_doc JOIN tot tb ON tb.doc_id = smin.o_doc
+)
+SELECT q_doc, o_doc AS best_doc, wj_q FROM scored WHERE rn = 1
+""",
+)
+def weighted_jaccard_top1(spark, sf_dir):
+    """Weighted (multiset / bag) Jaccard nearest neighbor for a fixed
+    20-doc query panel: J_w = Σ_w min(f_a, f_b) / Σ_w max(f_a, f_b)
+    over term FREQUENCIES, the bag-similarity that set Jaccard
+    (jaccard_top1_docs) collapses when vocabulary is small but usage
+    intensity differs — with max-side via the identity Σmax = Σf_a +
+    Σf_b − Σmin so only the shared-term inner join is ever computed.
+    Exact integer 1e6 score, ties → smallest neighbor id. Candidate
+    cost is Σ_w posting(w)·|Q∩posting(w)| ≤ \\|Q\\|·\\|D\\| — a documented
+    fixed-panel baseline, the cosine_topk_bruteforce discipline, with
+    the LSH band route as the scale path."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("f").cast("long").alias("tf_sum"))
+    a = tf.filter(F.col("doc_id") < _WJ_NQUERIES).select(
+        F.col("doc_id").alias("q_doc"), "w", F.col("f").alias("fa")
+    )
+    b = tf.select(F.col("doc_id").alias("o_doc"), "w", F.col("f").alias("fb"))
+    smin = (
+        a.join(b, "w")
+        .filter(F.col("o_doc") != F.col("q_doc"))
+        .groupBy("q_doc", "o_doc")
+        .agg(F.sum(F.least("fa", "fb")).cast("long").alias("s_min"))
+    )
+    scored = (
+        smin.join(tot.select(F.col("doc_id").alias("q_doc"), F.col("tf_sum").alias("ta")), "q_doc")
+        .join(tot.select(F.col("doc_id").alias("o_doc"), F.col("tf_sum").alias("tb")), "o_doc")
+        .withColumn("wj_q", F.expr("(s_min * 1000000) div (ta + tb - s_min)").cast("long"))
+    )
+    wq = Window.partitionBy("q_doc").orderBy(F.col("wj_q").desc(), F.col("o_doc").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("q_doc", F.col("o_doc").alias("best_doc"), "wj_q")
+    )
+
+
+_LSM_DENSE_MIN = 3
+
+
+@register(
+    "landscape_edge_metrics",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+), fg AS (SELECT cx, cy FROM grid WHERE v >= {_LSM_DENSE_MIN}),
+inter AS (
+  SELECT cast(count(*) as bigint) AS interior_edges
+  FROM fg a JOIN fg b
+    ON (b.cx = a.cx + 1 AND b.cy = a.cy) OR (b.cx = a.cx AND b.cy = a.cy + 1)
+), base AS (
+  SELECT cast(count(*) as bigint) AS n_cells,
+         cast(count(CASE WHEN v >= {_LSM_DENSE_MIN} THEN 1 END) as bigint) AS n_fg
+  FROM grid
+)
+SELECT base.n_cells, base.n_fg, inter.interior_edges,
+       cast(4 * base.n_fg - 2 * inter.interior_edges as bigint) AS perimeter_edges,
+       cast(base.n_fg * 1000000 // base.n_cells as bigint) AS fg_share_q,
+       cast(CASE WHEN base.n_fg > 0
+                 THEN (4 * base.n_fg - 2 * inter.interior_edges) * 1000000 // base.n_fg
+                 ELSE 0 END as bigint) AS edge_density_q
+FROM base, inter
+""",
+)
+def landscape_edge_metrics(spark, sf_dir):
+    """FRAGSTATS-style landscape metrics of the dense-cell mask (the
+    fragmentation observables ecology and urban-form analysis read
+    off a binarized raster, here the ≥3-events foreground that
+    grid_cluster/raster_regions also use): interior 4-adjacency edge
+    count from ONE foreground self-join on the two forward neighbor
+    offsets, exact perimeter by the lattice identity 4·n_fg −
+    2·interior (unobserved neighbors ARE background, so no background
+    table is ever materialized), foreground share and edge density in
+    1e6 ticks. High edge density at fixed share = fragmented sprawl;
+    low = compact cores. Two 1-row aggregates cross-combined."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    fg = grid.filter(F.col("v") >= _LSM_DENSE_MIN).select("cx", "cy")
+    a = fg.select(F.col("cx").alias("ax"), F.col("cy").alias("ay"))
+    b = fg.select(F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    right = a.join(b, (F.col("bx") == F.col("ax") + 1) & (F.col("by") == F.col("ay")))
+    down = a.join(b, (F.col("bx") == F.col("ax")) & (F.col("by") == F.col("ay") + 1))
+    inter = right.unionAll(down).agg(F.count("*").cast("long").alias("interior_edges"))
+    base = grid.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.count(F.when(F.col("v") >= _LSM_DENSE_MIN, True)).cast("long").alias("n_fg"),
+    )
+    return (
+        base.crossJoin(F.broadcast(inter))
+        .select(
+            "n_cells",
+            "n_fg",
+            "interior_edges",
+            (4 * F.col("n_fg") - 2 * F.col("interior_edges")).cast("long").alias("perimeter_edges"),
+            F.expr("(n_fg * 1000000) div n_cells").cast("long").alias("fg_share_q"),
+            F.expr(
+                "CASE WHEN n_fg > 0 THEN ((4 * n_fg - 2 * interior_edges) * 1000000) div n_fg "
+                "ELSE 0 END"
+            )
+            .cast("long")
+            .alias("edge_density_q"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -103,6 +103,8 @@ CROSS_OK = {
     "rknn_influence_suppliers",  # knn straggler fallback + 1-row total broadcast (catchment sibling)
     "permutation_test_values",  # 64-row perm-dim fan-out + two 1-row anchors (jackknife sibling)
     "otsu_threshold_cells",  # 1-row vmax + 1-row total broadcasts into the 16-row histogram
+    "banzhaf_power_sources",  # 64-coalition x 6-player literal power-set grid (constant size)
+    "landscape_edge_metrics",  # two 1-row aggregates cross-combined (bbox_union sibling)
 }
 
 
