@@ -22132,16 +22132,16 @@ def kmv_distinct_contract(spark, sf_dir):
     h = toks.select((D.md5_long(F.col("w")) % _KMV_MAXH).alias("hv"))
     kth = h.orderBy("hv").limit(_KMV_K).orderBy(F.col("hv").desc()).limit(1)
     exact = toks.agg(F.count("*").cast("long").alias("exact_d"))
-    d38 = "decimal(38,0)"
     return (
         exact.crossJoin(F.broadcast(kth.select(F.col("hv").alias("kth_min"))))
         .withColumn(
             "kmv_estimate",
-            (
-                (F.lit(_KMV_K - 1).cast(d38) * F.lit(_KMV_MAXH).cast(d38))
-                / F.col("kth_min").cast(d38)
-            )
-            .cast("long"),
+            # decimal `div` (not `/`): `/` rounds HALF_UP at scale 6 before a
+            # long cast, which can exceed the true floor quotient by one
+            F.expr(
+                f"(cast({_KMV_K - 1} as decimal(38,0)) * cast({_KMV_MAXH} as decimal(38,0)))"
+                " div kth_min"
+            ).cast("long"),
         )
         .withColumn(
             "rel_err_q",
@@ -22898,7 +22898,6 @@ def otsu_threshold_cells(spark, sf_dir):
         F.sum("c").over(wo).cast("long").alias("c0"),
         F.sum("s").over(wo).cast("long").alias("s0"),
     )
-    d38 = "decimal(38,0)"
     scored = (
         pre.crossJoin(F.broadcast(tot))
         .filter(F.col("ct") - F.col("c0") > 0)
@@ -22908,21 +22907,12 @@ def otsu_threshold_cells(spark, sf_dir):
             "s0",
             (F.col("ct") - F.col("c0")).cast("long").alias("c1"),
             (F.col("st") - F.col("s0")).cast("long").alias("s1"),
-            (
-                (
-                    (F.col("s0").cast(d38) * (F.col("ct") - F.col("c0")))
-                    - ((F.col("st") - F.col("s0")).cast(d38) * F.col("c0"))
-                )
-                * (
-                    (F.col("s0").cast(d38) * (F.col("ct") - F.col("c0")))
-                    - ((F.col("st") - F.col("s0")).cast(d38) * F.col("c0"))
-                )
-                / (
-                    F.col("c0").cast(d38)
-                    * (F.col("ct") - F.col("c0"))
-                    * F.col("ct")
-                    * F.col("ct")
-                )
+            # decimal `div` (not `/`): `/` rounds HALF_UP at scale 6 before a
+            # long cast, which can exceed the true floor quotient by one
+            F.expr(
+                "(cast(s0 as decimal(38,0)) * (ct - c0) - cast(st - s0 as decimal(38,0)) * c0)"
+                " * (cast(s0 as decimal(38,0)) * (ct - c0) - cast(st - s0 as decimal(38,0)) * c0)"
+                " div (cast(c0 as decimal(38,0)) * (ct - c0) * ct * ct)"
             )
             .cast("long")
             .alias("btw_q"),
@@ -23300,6 +23290,417 @@ def landscape_edge_metrics(spark, sf_dir):
             .cast("long")
             .alias("edge_density_q"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-4 batch 18: IPF balancing, eigenvector centrality, Poisson
+# bootstrap, BH-FDR
+# ---------------------------------------------------------------------------
+
+
+_IPF_ROUNDS = 3
+
+
+def _ipf_sql() -> str:
+    head = f"""
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) // 1000000 // 86400 AS d, ts, event_id,
+         cast(floor(({_LON.format(k='event_id')} + 180.0) / 30.0) as int) AS cell
+  FROM events
+), seq AS (
+  SELECT user_id, d, cell,
+         row_number() OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, d ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM pts
+), fl AS (
+  SELECT fo.user_id, fo.d, fo.cell AS o, fd.cell AS dst
+  FROM (SELECT user_id, d, cell FROM seq WHERE rn_a = 1) fo
+  JOIN (SELECT user_id, d, cell FROM seq WHERE rn_d = 1) fd USING (user_id, d)
+), od AS (
+  SELECT o, dst, cast(count(*) * 1000000 as bigint) AS x0
+  FROM fl GROUP BY o, dst
+), rt AS (
+  SELECT o, cast(sum(x0) as bigint) AS r_target FROM od GROUP BY o
+), ct AS (
+  SELECT dst, cast(sum(x0) as bigint) AS c_target FROM od GROUP BY dst
+)"""
+    body = []
+    prev = "od"
+    xcol = "x0"
+    for t in range(1, _IPF_ROUNDS + 1):
+        body.append(
+            f""", rs{t} AS (
+  SELECT o, cast(sum({xcol}) as bigint) AS rsum FROM {prev} GROUP BY o
+), xr{t} AS (
+  SELECT p.o, p.dst,
+         cast(cast(p.{xcol} as hugeint) * rt.r_target // rs{t}.rsum as bigint) AS xr
+  FROM {prev} p JOIN rs{t} ON rs{t}.o = p.o JOIN rt ON rt.o = p.o
+), cs{t} AS (
+  SELECT dst, cast(sum(xr) as bigint) AS csum FROM xr{t} GROUP BY dst
+), it{t} AS (
+  SELECT p.o, p.dst,
+         cast(cast(p.xr as hugeint) * ct.c_target // cs{t}.csum as bigint) AS x{t}
+  FROM xr{t} p JOIN cs{t} ON cs{t}.dst = p.dst JOIN ct ON ct.dst = p.dst
+)"""
+        )
+        prev, xcol = f"it{t}", f"x{t}"
+    tail = f"""
+SELECT o, dst, cast({xcol} as bigint) AS x_q FROM {prev}"""
+    return head + "".join(body) + tail
+
+
+@register("ipf_od_balance", _ipf_sql())
+def ipf_od_balance(spark, sf_dir):
+    """Iterative proportional fitting (IPF / RAS / Sinkhorn balancing)
+    of the daily origin→destination flow matrix — the transport-
+    modeling primitive that reconciles a seed OD matrix with row and
+    column control totals (here: its own marginals, so the contract
+    is that three rounds of exact floor-scaled balancing stay within
+    flooring error of a fixpoint — the classic doubly-constrained
+    gravity calibration loop): each round multiplies every flow by
+    target//rowsum then target//colsum in 128-bit integer ticks, so
+    Spark and DuckDB replay bit-identically. The matrix is CELL×CELL
+    (bounded dim after the one user-day min_by/max_by fold — the
+    od_matrix_daily shape), each round is two dim-scale aggregates +
+    two joins; rounds are unrolled, no driver loop."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        "ts",
+        "event_id",
+        F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 30.0).cast("int").alias("cell"),
+    )
+    fl = pts.groupBy("user_id", "d").agg(
+        F.expr("min_by(cell, struct(ts, event_id))").alias("o"),
+        F.expr("max_by(cell, struct(ts, event_id))").alias("dst"),
+    )
+    od = fl.groupBy("o", "dst").agg((F.count("*") * 1000000).cast("long").alias("x0"))
+    rt = od.groupBy("o").agg(F.sum("x0").cast("long").alias("r_target"))
+    ct = od.groupBy("dst").agg(F.sum("x0").cast("long").alias("c_target"))
+    cur, xcol = od, "x0"
+    for t in range(1, _IPF_ROUNDS + 1):
+        rs = cur.groupBy("o").agg(F.sum(xcol).cast("long").alias("rsum"))
+        xr = (
+            cur.join(rs, "o")
+            .join(rt, "o")
+            .select(
+                "o",
+                "dst",
+                F.expr(f"(cast({xcol} as decimal(38,0)) * r_target) div rsum")
+                .cast("long")
+                .alias("xr"),
+            )
+        )
+        cs = xr.groupBy("dst").agg(F.sum("xr").cast("long").alias("csum"))
+        cur = (
+            xr.join(cs, "dst")
+            .join(ct, "dst")
+            .select(
+                "o",
+                "dst",
+                F.expr("(cast(xr as decimal(38,0)) * c_target) div csum")
+                .cast("long")
+                .alias(f"x{t}"),
+            )
+        )
+        xcol = f"x{t}"
+    return cur.select("o", "dst", F.col(xcol).alias("x_q"))
+
+
+_EIG_ROUNDS = 3
+_EIG_TOPK = 10
+
+
+def _eig_sql() -> str:
+    head = f"""
+WITH edges_raw AS (
+  SELECT doc_id AS src,
+         (doc_id + 1 + {_TRI_DST} % 25) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0),(1),(2),(4),(5)) AS t(j)
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src <> dst
+), sym AS (
+  SELECT a AS s, b AS d FROM und UNION ALL SELECT b, a FROM und
+), v0 AS (
+  SELECT DISTINCT s AS id, cast(1024 as bigint) AS v FROM sym
+)"""
+    body = []
+    prev = "v0"
+    for t in range(1, _EIG_ROUNDS + 1):
+        body.append(
+            f""", w{t} AS (
+  SELECT sym.d AS id, cast(sum(p.v) as bigint) AS w
+  FROM sym JOIN {prev} p ON p.id = sym.s GROUP BY sym.d
+), m{t} AS (SELECT cast(max(w) as bigint) AS m FROM w{t}),
+v{t} AS (
+  SELECT w{t}.id, cast(w{t}.w * 1024 // m{t}.m as bigint) AS v FROM w{t}, m{t}
+)"""
+        )
+        prev = f"v{t}"
+    tail = f"""
+SELECT id, v AS v_q, cast(row_number() OVER (ORDER BY v DESC, id) as int) AS rnk
+FROM {prev}
+QUALIFY rnk <= {_EIG_TOPK}"""
+    return head + "".join(body) + tail
+
+
+@register("eigen_centrality_links", _eig_sql())
+def eigen_centrality_links(spark, sf_dir):
+    """Eigenvector centrality of the small-world link graph by three
+    unrolled power-iteration rounds — the graph twin of
+    power_iteration_embeddings (same fixed-point discipline, but the
+    matvec is an EDGE JOIN instead of a 1-row scalar fold, which is
+    how eigenvector problems actually distribute: v ← A·v is one
+    symmetrized-edge join + one hash agg per round, renormalized to
+    1024 ticks by the 1-row max broadcast): prestige flows to nodes
+    adjacent to high-prestige nodes, the recursion degree centrality
+    can't see. Exact integer throughout; top-10 by (v, id). Three
+    join+agg rounds on the edge list — shuffle ∝ 3·|E|, the bounded
+    alternative to convergence-loop centrality at 100 TB."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    er = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.col("doc_id")
+                        + 1
+                        + D.md5_long(
+                            F.concat(F.lit(f"t:{j}:"), F.col("doc_id").cast("string"))
+                        )
+                        % 25
+                    )
+                    % n
+                    for j in (0, 1, 2, 4, 5)
+                ]
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    und = er.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = und.select(F.col("a").alias("s"), F.col("b").alias("d_")).unionAll(
+        und.select(F.col("b").alias("s"), F.col("a").alias("d_"))
+    )
+    v = sym.select(F.col("s").alias("id")).distinct().withColumn(
+        "v", F.lit(1024).cast("long")
+    )
+    for _t in range(_EIG_ROUNDS):
+        w = (
+            sym.join(v.select(F.col("id").alias("s"), "v"), "s")
+            .groupBy(F.col("d_").alias("id"))
+            .agg(F.sum("v").cast("long").alias("w"))
+        )
+        m = w.agg(F.max("w").cast("long").alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "id", F.expr("(w * 1024) div m").cast("long").alias("v")
+        )
+    wr = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    return (
+        v.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _EIG_TOPK)
+        .select("id", F.col("v").alias("v_q"), "rnk")
+    )
+
+
+_BOOT_REPS = 32
+# Poisson(1) CDF in 1e6 ticks: P(X<=k) for k = 0..5; the tail maps to 6.
+_BOOT_CUTS = (367879, 735758, 919698, 981011, 996340, 999406)
+
+
+_BOOT_KEY = "'boot:' || cast(k as varchar) || ':' || cast(o_orderkey as varchar)"
+
+
+def _boot_mult_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_BOOT_CUTS)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@register(
+    "poisson_bootstrap_ci",
+    f"""
+WITH o AS (
+  SELECT o_orderkey, cast(round(o_totalprice * 100) as bigint) AS cents FROM orders
+), obs AS (
+  SELECT cast(sum(cents) * 100 // count(*) as bigint) AS mean_obs_q FROM o
+), reps AS (
+  SELECT k,
+         cast(sum(mult * cents) as bigint) AS wsum,
+         cast(sum(mult) as bigint) AS wn
+  FROM (
+    SELECT k, cents,
+           {_boot_mult_sql(f"{D.MD5_LONG_SQL.format(x=_BOOT_KEY)} % 1000000")} AS mult
+    FROM o, (SELECT unnest(generate_series(1, {_BOOT_REPS})) AS k)
+  ) GROUP BY k
+), stats AS (
+  SELECT k, cast(wsum * 100 // wn as bigint) AS mean_q,
+         row_number() OVER (ORDER BY wsum * 100 // wn, k) AS rn
+  FROM reps WHERE wn > 0
+)
+SELECT obs.mean_obs_q,
+       cast({_BOOT_REPS} as bigint) AS n_reps,
+       (SELECT mean_q FROM stats WHERE rn = 2) AS ci_lo_q,
+       (SELECT mean_q FROM stats WHERE rn = {_BOOT_REPS - 1}) AS ci_hi_q
+FROM obs
+""",
+)
+def poisson_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap confidence interval for the mean order value
+    — THE bootstrap that works on a cluster (classic resampling needs
+    global with-replacement draws; the Poisson approximation gives
+    every row an independent Poisson(1) multiplicity, so each
+    replicate is one weighted aggregate and all 32 replicates ride
+    ONE bounded fan-out): multiplicities come from md5 uniforms cut
+    at the frozen Poisson(1) CDF ticks (RNG-free, reproducible),
+    replicate means are exact centi-cent floor ratios, and the 90%
+    interval is the rank-2 / rank-31 replicate by explicit order —
+    quantiles as order statistics, never interpolation. Events×32
+    explode + one hash agg; two 1-row anchors combine at the end."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    obs = o.agg(F.expr("(sum(cents) * 100) div count(*)").cast("long").alias("mean_obs_q"))
+    ks = spark.range(1, _BOOT_REPS + 1).select(F.col("id").cast("int").alias("k"))
+    u = (
+        D.md5_long(
+            F.concat(
+                F.lit("boot:"),
+                F.col("k").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        )
+        % 1000000
+    )
+    mult = F.when(u < _BOOT_CUTS[0], 0)
+    for i, c in enumerate(_BOOT_CUTS[1:], start=1):
+        mult = mult.when(u < c, i)
+    mult = mult.otherwise(6)
+    reps = (
+        o.crossJoin(F.broadcast(ks))
+        .select("k", (mult * F.col("cents")).alias("wc"), mult.alias("mult"))
+        .groupBy("k")
+        .agg(F.sum("wc").cast("long").alias("wsum"), F.sum("mult").cast("long").alias("wn"))
+    )
+    stats = (
+        reps.filter(F.col("wn") > 0)
+        .select("k", F.expr("(wsum * 100) div wn").cast("long").alias("mean_q"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("mean_q", "k")))
+    )
+    lo = stats.filter(F.col("rn") == 2).select(F.col("mean_q").alias("ci_lo_q"))
+    hi = stats.filter(F.col("rn") == _BOOT_REPS - 1).select(F.col("mean_q").alias("ci_hi_q"))
+    return (
+        obs.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "mean_obs_q",
+            F.lit(_BOOT_REPS).cast("long").alias("n_reps"),
+            "ci_lo_q",
+            "ci_hi_q",
+        )
+    )
+
+
+_BH_ALPHA_Q = 50_000  # alpha = 0.05 in 1e6 ticks
+
+
+@register(
+    "bh_fdr_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS o
+  FROM pts GROUP BY cx, cy
+), tot AS (
+  SELECT cast(sum(o) as bigint) AS total, cast(count(*) as bigint) AS n_cells FROM grid
+), pv AS (
+  SELECT cx, cy, o,
+         least(1000000, cast(tot.total * 1000000 // (o * tot.n_cells) as bigint)) AS p_q,
+         tot.n_cells
+  FROM grid, tot
+), ranked AS (
+  SELECT cx, cy, o, p_q, n_cells,
+         cast(row_number() OVER (ORDER BY p_q, cx, cy) as bigint) AS rnk
+  FROM pv
+), kstar AS (
+  SELECT cast(coalesce(max(CASE WHEN p_q * n_cells <= {_BH_ALPHA_Q} * rnk THEN rnk END), 0)
+              as bigint) AS k_star
+  FROM ranked
+)
+SELECT tot.n_cells, tot.total, kstar.k_star,
+       (SELECT cast(min(p_q) as bigint) FROM ranked) AS min_p_q,
+       (SELECT cast(count(*) as bigint) FROM ranked WHERE p_q <= {_BH_ALPHA_Q}) AS n_nominal
+FROM tot, kstar
+""",
+)
+def bh_fdr_cells(spark, sf_dir):
+    """Benjamini-Hochberg FDR control over per-cell density anomalies
+    — the multiple-testing gate every cell-level anomaly scan
+    (st_scan, gi_star, rate_anomaly) should pass through before
+    alerting on thousands of cells at once: per-cell p-value is the
+    exact Markov bound E/O = total/(o·n_cells) in 1e6 ticks (crude
+    but distribution-free and integer-exact — the documented design
+    choice), cells rank by p, and BH keeps ranks ≤ k* = max{{k :
+    p_(k)·n ≤ α·k}} with the comparison cross-multiplied so no
+    division enters the cutoff. α = 0.05. Output is the 1-row
+    decision summary (n, k*, min p, nominal-α count): on the
+    uniform synthetic geography the correct answer IS k* = 0 — BH
+    refusing every cell that uncorrected α would wrongly alert on,
+    which is exactly the multiple-testing lesson, and n_nominal
+    shows the avoided false-discovery mass. One point agg, one
+    dim-scale ranking window, two 1-row anchors."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    tot = grid.agg(
+        F.sum("o").cast("long").alias("total"), F.count("*").cast("long").alias("n_cells")
+    )
+    pv = grid.crossJoin(F.broadcast(tot)).select(
+        "cx",
+        "cy",
+        "o",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr("(total * 1000000) div (o * n_cells)").cast("long"),
+        ).alias("p_q"),
+        "n_cells",
+    )
+    ranked = pv.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("p_q", "cx", "cy")).cast("long")
+    )
+    summary = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_q") * F.col("n_cells") <= _BH_ALPHA_Q * F.col("rnk"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("k_star"),
+        F.min("p_q").cast("long").alias("min_p_q"),
+        F.count(F.when(F.col("p_q") <= _BH_ALPHA_Q, True)).cast("long").alias("n_nominal"),
+    )
+    return tot.crossJoin(F.broadcast(summary)).select(
+        "n_cells", "total", "k_star", "min_p_q", "n_nominal"
     )
 
 

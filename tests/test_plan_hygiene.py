@@ -105,6 +105,9 @@ CROSS_OK = {
     "otsu_threshold_cells",  # 1-row vmax + 1-row total broadcasts into the 16-row histogram
     "banzhaf_power_sources",  # 64-coalition x 6-player literal power-set grid (constant size)
     "landscape_edge_metrics",  # two 1-row aggregates cross-combined (bbox_union sibling)
+    "eigen_centrality_links",  # 1-row max-norm broadcast per unrolled round (x3)
+    "poisson_bootstrap_ci",  # 32-rep fan-out + two 1-row rank anchors (permutation sibling)
+    "bh_fdr_cells",  # 1-row total + 1-row k* summary broadcasts into the cell table
 }
 
 
