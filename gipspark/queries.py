@@ -23704,6 +23704,389 @@ def bh_fdr_cells(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-4 batch 19: lateness profile, JL projection, k-truss,
+# choropleth classification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lateness_profile_users",
+    """
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+  FROM events
+), lat AS (
+  SELECT user_id,
+         epoch_us(run_max) // 1000000 - epoch_us(ts) // 1000000 AS late_s
+  FROM seq
+)
+SELECT user_id, cast(count(*) as bigint) AS n_events,
+       cast(count(CASE WHEN late_s > 0 THEN 1 END) as bigint) AS n_late,
+       cast(max(late_s) as bigint) AS max_late_s,
+       cast(sum(late_s) as bigint) AS sum_late_s
+FROM lat GROUP BY user_id
+""",
+)
+def lateness_profile_users(spark, sf_dir):
+    """Event-time lateness profile per user — the observability query
+    that TUNES the streaming watermarks this engine's windowed/dedup
+    operators depend on (withWatermark's delay is a guess unless you
+    measure how late events actually arrive): arrival order is the
+    ingest id, lateness is running-max(event time) minus event time in
+    floor seconds, and the per-user profile (late count, max, sum)
+    says which delay bound drops what mass. One running-max window +
+    one agg sharing the user_id shuffle — the trajectory_user_stats
+    plan shape pointed at the time axis itself."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lat = ev.select(
+        "user_id",
+        (F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")).alias("late_s"),
+    )
+    return lat.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count(F.when(F.col("late_s") > 0, True)).cast("long").alias("n_late"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+        F.sum("late_s").cast("long").alias("sum_late_s"),
+    )
+
+
+_JL_IN = 64
+_JL_OUT = 8
+_JL_SCALE = 1024
+_JL_NPAIRS = 16
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """Frozen ±1 projection entry from the md5 of the literal key —
+    computed once in Python and inlined as a literal coefficient in
+    BOTH engines, so the 'random' matrix is part of the query text."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl:{i}:{j}".encode()).hexdigest()[:15], 16)
+    return 1 - 2 * (h % 2)
+
+
+def _jl_sql() -> str:
+    dims = range(1, _JL_IN + 1)
+    outs = range(1, _JL_OUT + 1)
+    qcols = ", ".join(
+        f"cast(round(embedding[{j}]::double * {_JL_SCALE}) as bigint) AS q{j}" for j in dims
+    )
+    pcols = ", ".join(
+        "("
+        + " + ".join(f"({_jl_sign(i, j)}) * q{j}" for j in dims)
+        + f") AS p{i}"
+        for i in outs
+    )
+    d2e = " + ".join(f"(a.q{j} - b.q{j}) * (a.q{j} - b.q{j})" for j in dims)
+    d2p = " + ".join(f"(a.p{i} - b.p{i}) * (a.p{i} - b.p{i})" for i in outs)
+    return f"""
+WITH q AS (SELECT vec_id, {qcols} FROM embeddings WHERE vec_id < {2 * _JL_NPAIRS}),
+p AS (SELECT vec_id, *, {pcols} FROM q)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       cast({d2e} as bigint) AS d2_exact,
+       cast({d2p} as bigint) AS d2_proj,
+       cast(({d2p}) * 1000000 // ({_JL_OUT} * ({d2e})) as bigint) AS ratio_q
+FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id % 2 = 0 AND ({d2e}) > 0
+"""
+
+
+@register("jl_projection_contract", _jl_sql())
+def jl_projection_contract(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 random projection (64 → 8 dims) with a
+    measured distance-distortion contract — the dimensionality-
+    reduction sketch under every ANN shortcut, made checkable: the
+    projection matrix is FROZEN md5-parity signs inlined as literal
+    coefficients (the query text IS the matrix, so both engines
+    compute the identical linear map with no RNG and no float), the
+    projected squared distance of 16 fixed vector pairs compares to
+    the exact 64-dim squared distance as the 1e6 ratio against the
+    E[d²_proj] = k·d²_exact identity. All integer on the 1024-tick
+    lattice. The projection itself is a narrow codegen map — the
+    scale path this contract certifies is projecting EVERY vector."""
+    outs = range(1, _JL_OUT + 1)
+    dims = range(1, _JL_IN + 1)
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2 * _JL_NPAIRS)
+    q = e.select(
+        "vec_id",
+        *[
+            F.round(F.col("embedding").getItem(j - 1).cast("double") * _JL_SCALE)
+            .cast("long")
+            .alias(f"q{j}")
+            for j in dims
+        ],
+    )
+    p = q.select(
+        "*",
+        *[
+            sum(
+                (F.lit(_jl_sign(i, j)) * F.col(f"q{j}") for j in dims),
+                F.lit(0).cast("long"),
+            ).alias(f"p{i}")
+            for i in outs
+        ],
+    )
+    a = p.select([F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select([F.col(c).alias(f"b_{c}") for c in p.columns])
+    j = a.join(b, F.col("b_vec_id") == F.col("a_vec_id") + 1).filter(
+        F.col("a_vec_id") % 2 == 0
+    )
+    d2e = sum(
+        ((F.col(f"a_q{k}") - F.col(f"b_q{k}")) * (F.col(f"a_q{k}") - F.col(f"b_q{k}")) for k in dims),
+        F.lit(0).cast("long"),
+    )
+    d2p = sum(
+        ((F.col(f"a_p{i}") - F.col(f"b_p{i}")) * (F.col(f"a_p{i}") - F.col(f"b_p{i}")) for i in outs),
+        F.lit(0).cast("long"),
+    )
+    return (
+        j.select(
+            F.col("a_vec_id").alias("id_a"),
+            F.col("b_vec_id").alias("id_b"),
+            d2e.cast("long").alias("d2_exact"),
+            d2p.cast("long").alias("d2_proj"),
+        )
+        .filter(F.col("d2_exact") > 0)
+        .withColumn(
+            "ratio_q",
+            F.expr(f"(d2_proj * 1000000) div ({_JL_OUT} * d2_exact)").cast("long"),
+        )
+    )
+
+
+_TRUSS_K = 4  # support >= K-2 = 2 triangles per surviving edge
+_TRUSS_ROUNDS = 3
+
+
+def _truss_sql() -> str:
+    head = f"""
+WITH edges_raw AS (
+  SELECT doc_id AS src,
+         (doc_id + 1 + {_TRI_DST} % 25) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0),(1),(2),(4),(5)) AS t(j)
+), und0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src <> dst
+)"""
+    body = []
+    for t in range(1, _TRUSS_ROUNDS + 1):
+        p = t - 1
+        body.append(
+            f""", sym{p} AS (
+  SELECT a AS s, b AS d FROM und{p} UNION ALL SELECT b, a FROM und{p}
+), sup{t} AS (
+  SELECT e.a, e.b, cast(count(*) as bigint) AS sup
+  FROM und{p} e
+  JOIN sym{p} s1 ON s1.s = e.a
+  JOIN sym{p} s2 ON s2.s = e.b AND s2.d = s1.d
+  GROUP BY e.a, e.b
+), und{t} AS (
+  SELECT a, b FROM sup{t} WHERE sup >= {_TRUSS_K - 2}
+)"""
+        )
+    counts = " UNION ALL ".join(
+        f"SELECT {t} AS round, (SELECT cast(count(*) as bigint) FROM und{t}) AS n_edges"
+        for t in range(_TRUSS_ROUNDS + 1)
+    )
+    return head + "".join(body) + "\n" + counts
+
+
+@register("ktruss_links", _truss_sql())
+def ktruss_links(spark, sf_dir):
+    """4-truss tightening of the link graph — the cohesion filter one
+    notch above k-core (kcore_doc_links keeps nodes with enough
+    NEIGHBORS; a truss keeps edges with enough TRIANGLES, so it
+    certifies overlapping ties, the community-backbone signal): three
+    unrolled rounds of [count support per edge via the oriented wedge
+    join, drop edges with < K−2 triangles], reporting the surviving
+    edge count per round — the bounded-round contract (like the eigen
+    and IPF unrollings) instead of a convergence loop, documented:
+    each round is one wedge join + one hash agg, shuffle ∝ Σd_out²,
+    and the survivor curve flattening is the convergence evidence."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    er = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.col("doc_id")
+                        + 1
+                        + D.md5_long(
+                            F.concat(F.lit(f"t:{j}:"), F.col("doc_id").cast("string"))
+                        )
+                        % 25
+                    )
+                    % n
+                    for j in (0, 1, 2, 4, 5)
+                ]
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    und = er.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    counts = [und.agg(F.count("*").cast("long").alias("n_edges")).select(
+        F.lit(0).cast("int").alias("round"), "n_edges"
+    )]
+    cur = und
+    for t in range(1, _TRUSS_ROUNDS + 1):
+        sym = cur.select(F.col("a").alias("s"), F.col("b").alias("d_")).unionAll(
+            cur.select(F.col("b").alias("s"), F.col("a").alias("d_"))
+        )
+        s1 = sym.select(F.col("s").alias("a"), F.col("d_").alias("cn"))
+        s2 = sym.select(F.col("s").alias("b"), F.col("d_").alias("cn"))
+        sup = (
+            cur.join(s1, "a")
+            .join(s2, ["b", "cn"])
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("sup"))
+        )
+        cur = sup.filter(F.col("sup") >= _TRUSS_K - 2).select("a", "b")
+        counts.append(
+            cur.agg(F.count("*").cast("long").alias("n_edges")).select(
+                F.lit(t).cast("int").alias("round"), "n_edges"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+_CHORO_CLASSES = 5
+
+
+@register(
+    "choropleth_classes_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+), stats AS (
+  SELECT cast(min(v) as bigint) AS vmin, cast(max(v) as bigint) AS vmax,
+         cast(count(*) as bigint) AS n, cast(sum(v) // count(*) as bigint) AS m1
+  FROM grid
+), m2s AS (SELECT cast(sum(v) // count(*) as bigint) AS m2 FROM grid, stats WHERE v > m1),
+m3s AS (SELECT cast(sum(v) // count(*) as bigint) AS m3 FROM grid, m2s WHERE v > m2),
+classed AS (
+  SELECT 'equal_interval' AS scheme,
+         cast(least({_CHORO_CLASSES - 1},
+                    (v - stats.vmin) * {_CHORO_CLASSES} // (stats.vmax - stats.vmin + 1))
+              as int) AS cls, v
+  FROM grid, stats
+  UNION ALL
+  SELECT 'quantile',
+         cast((rn - 1) * {_CHORO_CLASSES} // n as int), v
+  FROM (SELECT v, row_number() OVER (ORDER BY v, cx, cy) AS rn,
+               count(*) OVER () AS n FROM grid)
+  UNION ALL
+  SELECT 'head_tail',
+         cast(CASE WHEN v <= stats.m1 THEN 0
+                   WHEN v <= m2s.m2 THEN 1
+                   WHEN v <= m3s.m3 THEN 2
+                   ELSE 3 END as int), v
+  FROM grid, stats, m2s, m3s
+)
+SELECT scheme, cls, cast(count(*) as bigint) AS n_cells,
+       cast(min(v) as bigint) AS v_min, cast(max(v) as bigint) AS v_max
+FROM classed GROUP BY scheme, cls
+""",
+)
+def choropleth_classes_cells(spark, sf_dir):
+    """Choropleth class breaks under the three standard cartographic
+    schemes, compared in one table (the map-styling decision every
+    density tile layer makes): equal-interval (legible legend, bad for
+    skew), quantile (balanced class mass, deterministic (v, cx, cy)
+    rank law), and Jiang's head/tail breaks (the scheme FOR heavy-
+    tailed web data — split above the floor-integer mean, twice
+    unrolled). All breaks are exact integer arithmetic on the cell
+    histogram; conditional means are 1-row anchors. Per (scheme,
+    class): cell count and value span — the legend itself."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    stats = grid.agg(
+        F.min("v").cast("long").alias("vmin"),
+        F.max("v").cast("long").alias("vmax"),
+        F.count("*").cast("long").alias("n"),
+        F.expr("sum(v) div count(*)").cast("long").alias("m1"),
+    )
+    g1 = grid.crossJoin(F.broadcast(stats))
+    m2 = g1.filter(F.col("v") > F.col("m1")).agg(
+        F.expr("sum(v) div count(*)").cast("long").alias("m2")
+    )
+    m3 = (
+        g1.crossJoin(F.broadcast(m2))
+        .filter(F.col("v") > F.col("m2"))
+        .agg(F.expr("sum(v) div count(*)").cast("long").alias("m3"))
+    )
+    eq = g1.select(
+        F.lit("equal_interval").alias("scheme"),
+        F.least(
+            F.lit(_CHORO_CLASSES - 1).cast("long"),
+            F.expr(f"((v - vmin) * {_CHORO_CLASSES}) div (vmax - vmin + 1)"),
+        )
+        .cast("int")
+        .alias("cls"),
+        "v",
+    )
+    wq = Window.orderBy("v", "cx", "cy")
+    qt = (
+        grid.withColumn("rn", F.row_number().over(wq).cast("long"))
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            F.lit("quantile").alias("scheme"),
+            F.expr(f"((rn - 1) * {_CHORO_CLASSES}) div n").cast("int").alias("cls"),
+            "v",
+        )
+    )
+    ht = (
+        g1.crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(m3))
+        .select(
+            F.lit("head_tail").alias("scheme"),
+            F.when(F.col("v") <= F.col("m1"), 0)
+            .when(F.col("v") <= F.col("m2"), 1)
+            .when(F.col("v") <= F.col("m3"), 2)
+            .otherwise(3)
+            .cast("int")
+            .alias("cls"),
+            "v",
+        )
+    )
+    return (
+        eq.unionAll(qt)
+        .unionAll(ht)
+        .groupBy("scheme", "cls")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.min("v").cast("long").alias("v_min"),
+            F.max("v").cast("long").alias("v_max"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

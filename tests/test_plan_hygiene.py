@@ -108,6 +108,7 @@ CROSS_OK = {
     "eigen_centrality_links",  # 1-row max-norm broadcast per unrolled round (x3)
     "poisson_bootstrap_ci",  # 32-rep fan-out + two 1-row rank anchors (permutation sibling)
     "bh_fdr_cells",  # 1-row total + 1-row k* summary broadcasts into the cell table
+    "choropleth_classes_cells",  # 1-row stats/mean anchors broadcast into the cell table (x3 schemes)
 }
 
 
