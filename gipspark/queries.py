@@ -24087,6 +24087,393 @@ def choropleth_classes_cells(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-4 batch 20: densest-subgraph peeling, Rocchio classifier,
+# marching squares, top-N+other rollup
+# ---------------------------------------------------------------------------
+
+
+_PEEL_ROUNDS = 3
+
+
+def _peel_sql() -> str:
+    head = f"""
+WITH edges_raw AS (
+  SELECT doc_id AS src,
+         (doc_id + 1 + {_TRI_DST} % 25) % (SELECT count(*) FROM documents) AS dst
+  FROM documents, (VALUES (0),(1),(2),(4),(5)) AS t(j)
+), und0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src <> dst
+)"""
+    body = []
+    for t in range(1, _PEEL_ROUNDS + 1):
+        p = t - 1
+        body.append(
+            f""", deg{p} AS MATERIALIZED (
+  SELECT id, cast(count(*) as bigint) AS deg
+  FROM (SELECT a AS id FROM und{p} UNION ALL SELECT b FROM und{p})
+  GROUP BY id
+), st{p} AS (
+  SELECT cast(count(*) as bigint) AS n_nodes, cast(sum(deg) // 2 as bigint) AS n_edges
+  FROM deg{p}
+), keep{t} AS (
+  SELECT deg{p}.id FROM deg{p}, st{p} WHERE deg{p}.deg * st{p}.n_nodes >= 2 * st{p}.n_edges
+), und{t} AS MATERIALIZED (
+  SELECT e.a, e.b FROM und{p} e
+  JOIN keep{t} ka ON ka.id = e.a JOIN keep{t} kb ON kb.id = e.b
+)"""
+        )
+    final_deg = f""", deg{_PEEL_ROUNDS} AS (
+  SELECT id, cast(count(*) as bigint) AS deg
+  FROM (SELECT a AS id FROM und{_PEEL_ROUNDS} UNION ALL SELECT b FROM und{_PEEL_ROUNDS})
+  GROUP BY id
+), st{_PEEL_ROUNDS} AS (
+  SELECT cast(count(*) as bigint) AS n_nodes, cast(sum(deg) // 2 as bigint) AS n_edges
+  FROM deg{_PEEL_ROUNDS}
+)"""
+    counts = " UNION ALL ".join(
+        f"""SELECT {t} AS round, n_nodes, n_edges,
+       cast(CASE WHEN n_nodes > 0 THEN n_edges * 1000000 // n_nodes ELSE 0 END as bigint)
+         AS density_q FROM st{t}"""
+        for t in range(_PEEL_ROUNDS + 1)
+    )
+    return head + "".join(body) + final_deg + "\n" + counts
+
+
+@register("densest_peel_links", _peel_sql())
+def densest_peel_links(spark, sf_dir):
+    """Densest-subgraph peeling (the parallel batch variant of
+    Charikar's 2-approximation — each round removes every node whose
+    degree is strictly below the CURRENT average, which is the
+    provably O(log n)-round distributed formulation, here unrolled 3
+    rounds): per round, the surviving (nodes, edges, density = E/N in
+    1e6 ticks) — a rising density curve certifies the peel is closing
+    in on the dense core (the link-farm / community-nucleus finder;
+    the k-core keeps a degree FLOOR, the peel chases the density
+    MAXIMUM). Each round is one degree agg + one semi-join pair; the
+    avg-degree test is cross-multiplied (deg·N ≥ 2E), no division."""
+    n = table_rows(sf_dir, "documents")
+    d = load(spark, sf_dir, "documents")
+    er = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.col("doc_id")
+                        + 1
+                        + D.md5_long(
+                            F.concat(F.lit(f"t:{j}:"), F.col("doc_id").cast("string"))
+                        )
+                        % 25
+                    )
+                    % n
+                    for j in (0, 1, 2, 4, 5)
+                ]
+            )
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    # each round's survivor set feeds four downstream consumers (degree agg,
+    # density row, two semi-joins) — localCheckpoint cuts the nested lineage
+    # so round t executes once, not once per consumer (multi_source_hops rule)
+    cur = (
+        er.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for t in range(_PEEL_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("a").alias("id"))
+            .unionAll(cur.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        st = deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.expr("sum(deg) div 2").cast("long").alias("n_edges"),
+        )
+        outs.append(
+            st.select(
+                F.lit(t).cast("int").alias("round"),
+                "n_nodes",
+                "n_edges",
+                F.expr(
+                    "CASE WHEN n_nodes > 0 THEN (n_edges * 1000000) div n_nodes ELSE 0 END"
+                )
+                .cast("long")
+                .alias("density_q"),
+            )
+        )
+        if t < _PEEL_ROUNDS:
+            keep = (
+                deg.crossJoin(F.broadcast(st))
+                .filter(F.col("deg") * F.col("n_nodes") >= 2 * F.col("n_edges"))
+                .select("id")
+            )
+            cur = (
+                cur.join(keep.select(F.col("id").alias("a")), "a")
+                .join(keep.select(F.col("id").alias("b")), "b")
+                .localCheckpoint(eager=True)
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+_ROC_DIMS = 64
+_ROC_SCALE = 1024
+
+
+def _rocchio_sql() -> str:
+    dims = range(1, _ROC_DIMS + 1)
+    qcols = ", ".join(
+        f"cast(round(embedding[{j}]::double * {_ROC_SCALE}) as bigint) AS q{j}" for j in dims
+    )
+    ccols = ", ".join(f"cast(sum(q{j}) // count(*) as bigint) AS c{j}" for j in dims)
+    dist = " + ".join(f"(t.q{j} - c.c{j}) * (t.q{j} - c.c{j})" for j in dims)
+    return f"""
+WITH q AS (SELECT vec_id, label, {qcols} FROM embeddings),
+cent AS (
+  SELECT label AS clabel, {ccols} FROM q WHERE vec_id % 5 <> 0 GROUP BY label
+), scored AS (
+  SELECT t.vec_id, t.label, c.clabel,
+         row_number() OVER (PARTITION BY t.vec_id ORDER BY {dist}, c.clabel) AS rn
+  FROM q t, cent c WHERE t.vec_id % 5 = 0
+)
+SELECT label, clabel AS pred, cast(count(*) as bigint) AS n
+FROM scored WHERE rn = 1 GROUP BY label, clabel
+"""
+
+
+@register("rocchio_classify_embeddings", _rocchio_sql())
+def rocchio_classify_embeddings(spark, sf_dir):
+    """Rocchio nearest-centroid classification — the embarrassingly
+    cheap baseline every embedding classifier must beat, and the one
+    that actually distributes at 100 TB (kNN ships the corpus;
+    Rocchio ships K centroids): per-label integer centroids (floor
+    mean on the 1024-tick lattice) fold from the 80% train split in
+    ONE aggregate, the 20% test split scores against the bounded
+    K-centroid broadcast (argmin of the exact integer squared
+    distance, ties → smallest label), and the confusion matrix is
+    the output. The train/test split is the deterministic vec_id
+    hash — the ab_welch/split convention."""
+    dims = range(1, _ROC_DIMS + 1)
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        *[
+            F.round(F.col("embedding").getItem(j - 1).cast("double") * _ROC_SCALE)
+            .cast("long")
+            .alias(f"q{j}")
+            for j in dims
+        ],
+    )
+    cent = (
+        q.filter(F.col("vec_id") % 5 != 0)
+        .groupBy(F.col("label").alias("clabel"))
+        .agg(
+            *[
+                F.expr(f"sum(q{j}) div count(*)").cast("long").alias(f"c{j}")
+                for j in dims
+            ]
+        )
+    )
+    test = q.filter(F.col("vec_id") % 5 == 0)
+    dist = sum(
+        (
+            (F.col(f"q{j}") - F.col(f"c{j}")) * (F.col(f"q{j}") - F.col(f"c{j}"))
+            for j in dims
+        ),
+        F.lit(0).cast("long"),
+    )
+    scored = test.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", dist.alias("dist")
+    )
+    wv = Window.partitionBy("vec_id").orderBy("dist", "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("pred"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+# marching-squares cases: number of contour segments per 2x2 case
+# (cases 5 and 10 are the two-segment saddles; 0 and 15 are interior)
+_MS_SEGS = {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 1, 7: 1, 8: 1, 9: 1, 10: 2, 11: 1, 12: 1, 13: 1, 14: 1, 15: 0}
+_MS_SEGS_SQL = "CASE ms_case " + " ".join(
+    f"WHEN {k} THEN {v}" for k, v in sorted(_MS_SEGS.items())
+) + " END"
+
+
+@register(
+    "marching_squares_cells",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 2.5) as int) AS cx,
+         cast(floor((90.0 - lat) / 2.5) as int) AS cy,
+         cast(count(*) as bigint) AS v
+  FROM pts GROUP BY cx, cy
+), fg AS (SELECT cx, cy FROM grid WHERE v >= {_LSM_DENSE_MIN}),
+anchors AS (
+  SELECT DISTINCT cx - dx AS ax, cy - dy AS ay
+  FROM fg, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS o(dx, dy)
+), cases AS (
+  SELECT a.ax, a.ay,
+         (CASE WHEN b00.cx IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN b10.cx IS NOT NULL THEN 2 ELSE 0 END
+          + CASE WHEN b01.cx IS NOT NULL THEN 4 ELSE 0 END
+          + CASE WHEN b11.cx IS NOT NULL THEN 8 ELSE 0 END) AS ms_case
+  FROM anchors a
+  LEFT JOIN fg b00 ON b00.cx = a.ax AND b00.cy = a.ay
+  LEFT JOIN fg b10 ON b10.cx = a.ax + 1 AND b10.cy = a.ay
+  LEFT JOIN fg b01 ON b01.cx = a.ax AND b01.cy = a.ay + 1
+  LEFT JOIN fg b11 ON b11.cx = a.ax + 1 AND b11.cy = a.ay + 1
+)
+SELECT cast(ms_case as int) AS ms_case, cast(count(*) as bigint) AS n_blocks,
+       cast({_MS_SEGS_SQL} as bigint) AS segs_per_block,
+       cast(count(*) * {_MS_SEGS_SQL} as bigint) AS total_segs
+FROM cases WHERE ms_case > 0 GROUP BY ms_case
+""",
+)
+def marching_squares_cells(spark, sf_dir):
+    """Marching-squares case census over the dense-cell mask — the
+    raster→vector contouring kernel (every isoline/boundary renderer
+    classifies 2×2 blocks into the 16 cases; saddles 5 and 10 carry
+    two contour segments): candidate blocks come from exploding each
+    foreground cell into the 4 blocks containing it (so empty sky is
+    never enumerated — the sparse-raster discipline), corner bits from
+    four left hash-joins against the mask, and the output is the case
+    histogram with the exact total contour-segment count — the
+    vectorization workload estimate. One point agg + one bounded
+    4-way explode + 4 equi-joins."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 2.5).cast("int").alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 2.5).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    fg = grid.filter(F.col("v") >= _LSM_DENSE_MIN).select("cx", "cy")
+    offs = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (1, 1)], "dx int, dy int")
+    anchors = (
+        fg.crossJoin(F.broadcast(offs))
+        .select((F.col("cx") - F.col("dx")).alias("ax"), (F.col("cy") - F.col("dy")).alias("ay"))
+        .distinct()
+    )
+    cur = anchors
+    for name, dx, dy, bit in (("b00", 0, 0, 1), ("b10", 1, 0, 2), ("b01", 0, 1, 4), ("b11", 1, 1, 8)):
+        corner = fg.select(
+            (F.col("cx") - dx).alias("ax"), (F.col("cy") - dy).alias("ay"), F.lit(bit).alias(name)
+        )
+        cur = cur.join(corner, ["ax", "ay"], "left")
+    cases = cur.select(
+        (
+            F.coalesce(F.col("b00"), F.lit(0))
+            + F.coalesce(F.col("b10"), F.lit(0))
+            + F.coalesce(F.col("b01"), F.lit(0))
+            + F.coalesce(F.col("b11"), F.lit(0))
+        ).alias("ms_case")
+    ).filter(F.col("ms_case") > 0)
+    segs = F.expr(_MS_SEGS_SQL)
+    return (
+        cases.groupBy(F.col("ms_case").cast("int").alias("ms_case"))
+        .agg(F.count("*").cast("long").alias("n_blocks"))
+        .select(
+            "ms_case",
+            "n_blocks",
+            segs.cast("long").alias("segs_per_block"),
+            (F.col("n_blocks") * segs).cast("long").alias("total_segs"),
+        )
+    )
+
+
+_TOPN_KEEP = 3
+
+
+@register(
+    "topn_other_rollup",
+    f"""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         cast(sum(cast(round(o.o_totalprice * 100) as bigint)) as bigint) AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY region, nation
+), ranked AS (
+  SELECT region, nation, rev_cents,
+         row_number() OVER (PARTITION BY region ORDER BY rev_cents DESC, nation) AS rn,
+         cast(sum(rev_cents) OVER (PARTITION BY region) as bigint) AS region_total
+  FROM rev
+)
+SELECT region,
+       CASE WHEN rn <= {_TOPN_KEEP} THEN nation ELSE 'OTHER' END AS nation_or_other,
+       cast(sum(rev_cents) as bigint) AS rev_cents,
+       cast(sum(rev_cents) * 1000000 // any_value(region_total) as bigint) AS share_q
+FROM ranked
+GROUP BY region, nation_or_other
+""",
+)
+def topn_other_rollup(spark, sf_dir):
+    """Top-N-plus-OTHER rollup — the reporting idiom every dashboard
+    and legend needs (unbounded group-by cardinality is unrenderable;
+    the long tail folds into one OTHER bucket whose share is still
+    exact): revenue per (region, nation) in exact cents, a per-region
+    rank keeps the top 3 names, everything else relabels OTHER and
+    re-aggregates, shares against the window-carried region total in
+    1e6 ticks. One star join, one partitioned window, one re-agg —
+    and the tail fold means output cardinality is REGIONS×4 no matter
+    how many nations exist (the bounded-legend contract)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(na, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    ranked = rev.select(
+        "region",
+        "nation",
+        "rev_cents",
+        F.row_number()
+        .over(wr.orderBy(F.col("rev_cents").desc(), F.col("nation").asc()))
+        .alias("rn"),
+        F.sum("rev_cents").over(wr).cast("long").alias("region_total"),
+    )
+    return (
+        ranked.withColumn(
+            "nation_or_other",
+            F.when(F.col("rn") <= _TOPN_KEEP, F.col("nation")).otherwise(F.lit("OTHER")),
+        )
+        .groupBy("region", "nation_or_other")
+        .agg(
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+            F.expr("(sum(rev_cents) * 1000000) div any_value(region_total)")
+            .cast("long")
+            .alias("share_q"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

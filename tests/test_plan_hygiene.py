@@ -109,6 +109,9 @@ CROSS_OK = {
     "poisson_bootstrap_ci",  # 32-rep fan-out + two 1-row rank anchors (permutation sibling)
     "bh_fdr_cells",  # 1-row total + 1-row k* summary broadcasts into the cell table
     "choropleth_classes_cells",  # 1-row stats/mean anchors broadcast into the cell table (x3 schemes)
+    "densest_peel_links",  # 1-row (N,E) density anchor broadcast per peel round
+    "rocchio_classify_embeddings",  # bounded K-centroid dim broadcast into the test split
+    "marching_squares_cells",  # 4-row corner-offset literal broadcast into the fg mask
 }
 
 
