@@ -24474,6 +24474,363 @@ def topn_other_rollup(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-4 batch 21: Gale-Shapley matching, LOF-lite outliers,
+# Shapley values, empirical-Bayes shrinkage
+# ---------------------------------------------------------------------------
+
+
+_GS_PREFS = 4
+_GS_ROUNDS = 4
+_GS_HAV = HAVERSINE_SQL.format(lat1="q_lat", lon1="q_lon", lat2="p_lat", lon2="p_lon")
+
+
+def _gs_sql() -> str:
+    head = f"""
+WITH q AS (
+  SELECT c_custkey AS c,
+         {C.DERIVED_LAT_SQL.format(k='c_custkey')} AS q_lat,
+         {C.DERIVED_LON_SQL.format(k='c_custkey')} AS q_lon
+  FROM customer
+), p AS (
+  SELECT s_suppkey AS s,
+         {C.DERIVED_LAT_SQL.format(k='s_suppkey * 211 + 7')} AS p_lat,
+         {C.DERIVED_LON_SQL.format(k='s_suppkey * 211 + 7')} AS p_lon
+  FROM supplier
+), pref AS MATERIALIZED (
+  SELECT c, s, dist, rnk FROM (
+    SELECT q.c, p.s, {_GS_HAV} AS dist,
+           row_number() OVER (PARTITION BY q.c ORDER BY {_GS_HAV}, p.s) AS rnk
+    FROM q, p
+  ) WHERE rnk <= {_GS_PREFS}
+), nr0 AS MATERIALIZED (SELECT c, 1 AS nr FROM q),
+held0 AS MATERIALIZED (SELECT c, s, dist FROM pref WHERE 1 = 0)"""
+    body = []
+    for t in range(1, _GS_ROUNDS + 1):
+        p = t - 1
+        body.append(
+            f""", prop{t} AS MATERIALIZED (
+  SELECT pref.c, pref.s, pref.dist
+  FROM pref JOIN nr{p} ON nr{p}.c = pref.c AND pref.rnk = nr{p}.nr
+  WHERE nr{p}.nr <= {_GS_PREFS} AND pref.c NOT IN (SELECT c FROM held{p})
+), cand{t} AS (
+  SELECT c, s, dist FROM prop{t} UNION ALL SELECT c, s, dist FROM held{p}
+), held{t} AS MATERIALIZED (
+  SELECT c, s, dist FROM (
+    SELECT c, s, dist, row_number() OVER (PARTITION BY s ORDER BY dist, c) AS w
+    FROM cand{t}
+  ) WHERE w = 1
+), nr{t} AS MATERIALIZED (
+  SELECT nr{p}.c, nr{p}.nr + (CASE WHEN prop{t}.c IS NOT NULL THEN 1 ELSE 0 END) AS nr
+  FROM nr{p} LEFT JOIN prop{t} ON prop{t}.c = nr{p}.c
+)"""
+        )
+    tail = f"""
+SELECT s AS s_suppkey, c AS c_custkey,
+       cast(round(dist, 0) as bigint) AS dist_m0
+FROM held{_GS_ROUNDS}"""
+    return head + "".join(body) + tail
+
+
+@register("gale_shapley_match", _gs_sql())
+def gale_shapley_match(spark, sf_dir):
+    """Gale-Shapley deferred acceptance between customers (proposers,
+    preferring near suppliers) and unit-capacity suppliers (preferring
+    near customers) — THE stable-matching algorithm (no customer-
+    supplier pair would both rather defect), the principled
+    counterpart to the greedy capacity matching: preference lists are
+    the exact top-4 kNN (bounded — the list length is the contract,
+    like truncated DA in school-choice practice), and four unrolled
+    proposal rounds each do [unheld customers propose at their next
+    rank, each supplier keeps the (dist, id)-best of held + new]. Per
+    round: one rank join, one per-supplier window, one left join for
+    the pointer bump — all hash shuffles on c or s, localCheckpoint
+    cutting the 4-round lineage. Four waves is the bounded-round
+    contract (the eigen/IPF/truss discipline): every unheld customer
+    proposes each wave and list depth is 4, so only displacement
+    chains longer than four waves stay open — they report as unheld,
+    exactly as truncated DA does in school-choice practice."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("q_id"),
+        C.derived_lat(F.col("c_custkey")).alias("q_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("q_lon"),
+    )
+    pk = F.col("s_suppkey") * 211 + 7
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("p_id"),
+        C.derived_lat(pk).alias("p_lat"),
+        C.derived_lon(pk).alias("p_lon"),
+    )
+    pref = (
+        knn_join(cust, sup, k=_GS_PREFS, n_points_hint=table_rows(sf_dir, "supplier"))
+        .select(
+            F.col("q_id").alias("c"),
+            F.col("p_id").alias("s"),
+            F.col("dist_m").alias("dist"),
+            F.col("rank").alias("rnk"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nr = pref.select("c").distinct().withColumn("nr", F.lit(1))
+    held = pref.select("c", "s", "dist").filter(F.lit(False))
+    for _t in range(_GS_ROUNDS):
+        prop = (
+            pref.join(nr, ["c"])
+            .filter((F.col("rnk") == F.col("nr")) & (F.col("nr") <= _GS_PREFS))
+            .join(held.select("c"), "c", "left_anti")
+            .select("c", "s", "dist")
+            .localCheckpoint(eager=True)
+        )
+        cand = prop.unionAll(held.select("c", "s", "dist"))
+        ww = Window.partitionBy("s").orderBy("dist", "c")
+        held = (
+            cand.withColumn("w", F.row_number().over(ww))
+            .filter(F.col("w") == 1)
+            .select("c", "s", "dist")
+            .localCheckpoint(eager=True)
+        )
+        nr = (
+            nr.join(prop.select("c").withColumn("bump", F.lit(1)), "c", "left")
+            .select("c", (F.col("nr") + F.coalesce(F.col("bump"), F.lit(0))).alias("nr"))
+            .localCheckpoint(eager=True)
+        )
+    return held.select(
+        F.col("s").alias("s_suppkey"),
+        F.col("c").alias("c_custkey"),
+        F.round("dist", 0).cast("long").alias("dist_m0"),
+    )
+
+
+_LOF_TOPK = 20
+_LOF_HAV = HAVERSINE_SQL.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")
+
+
+@register(
+    "lof_lite_customers",
+    f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         {C.DERIVED_LAT_SQL.format(k='c_custkey')} AS lat,
+         {C.DERIVED_LON_SQL.format(k='c_custkey')} AS lon
+  FROM customer
+), nn AS MATERIALIZED (
+  SELECT id, nn_id, d1_m FROM (
+    SELECT a.id, b.id AS nn_id,
+           cast(round({_LOF_HAV}, 0) as bigint) AS d1_m,
+           row_number() OVER (PARTITION BY a.id ORDER BY {_LOF_HAV}, b.id) AS rn
+    FROM pts a JOIN pts b ON b.id <> a.id
+  ) WHERE rn = 1
+)
+SELECT x.id, x.nn_id, x.d1_m, y.d1_m AS nn_d1_m,
+       cast(x.d1_m * 1000000 // greatest(1, y.d1_m) as bigint) AS lof_q
+FROM nn x JOIN nn y ON y.id = x.nn_id
+ORDER BY lof_q DESC, x.id LIMIT {_LOF_TOPK}
+""",
+)
+def lof_lite_customers(spark, sf_dir):
+    """LOF-lite spatial outlier score: each point's 1-NN distance over
+    its own nearest neighbor's 1-NN distance — the density-RATIO
+    outlier signal (a point far from everything in an otherwise tight
+    region scores high; a point in uniformly sparse space does NOT,
+    which is exactly what a plain distance threshold gets wrong). The
+    forward 1-NN is the exact cell-prefiltered knn_join (self-join
+    flavor: k=2 then drop the identity row — the oracle brute-forces
+    the |C|² distances); the neighbor's own d1 is ONE id join of the
+    nn table with itself; ratio in whole-meter 1e6 ticks. Top-20 by
+    (score, id)."""
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("q_id"),
+        C.derived_lat(F.col("c_custkey")).alias("q_lat"),
+        C.derived_lon(F.col("c_custkey")).alias("q_lon"),
+    )
+    tgt = pts.select(
+        F.col("q_id").alias("p_id"),
+        F.col("q_lat").alias("p_lat"),
+        F.col("q_lon").alias("p_lon"),
+    )
+    knn = knn_join(pts, tgt, k=2, n_points_hint=table_rows(sf_dir, "customer"))
+    w1 = Window.partitionBy("q_id").orderBy("rank")
+    nn = (
+        knn.filter(F.col("p_id") != F.col("q_id"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("q_id").alias("id"),
+            F.col("p_id").alias("nn_id"),
+            F.round("dist_m", 0).cast("long").alias("d1_m"),
+        )
+    )
+    nbr = nn.select(F.col("id").alias("nn_id"), F.col("d1_m").alias("nn_d1_m"))
+    return (
+        nn.join(nbr, "nn_id")
+        .select(
+            "id",
+            "nn_id",
+            "d1_m",
+            "nn_d1_m",
+            F.expr("(d1_m * 1000000) div greatest(1, nn_d1_m)").cast("long").alias("lof_q"),
+        )
+        .orderBy(F.col("lof_q").desc(), F.col("id"))
+        .limit(_LOF_TOPK)
+    )
+
+
+# s!*(5-s)! for s = 0..5 — the Shapley ordering weights over 6 players
+_SHAP_W = {0: 120, 1: 24, 2: 12, 3: 12, 4: 24, 5: 120}
+_SHAP_W_SQL = "CASE bit_count(ws.c) " + " ".join(
+    f"WHEN {k} THEN {v}" for k, v in sorted(_SHAP_W.items())
+) + " END"
+
+
+@register(
+    "shapley_power_sources",
+    f"""
+WITH w AS (
+  SELECT source, cast(sum(n_chars) // 1000 as bigint) AS wt
+  FROM documents GROUP BY source
+), top AS (
+  SELECT source, wt, cast(row_number() OVER (ORDER BY wt DESC, source) as int) AS r
+  FROM w QUALIFY r <= {_BZF_PLAYERS}
+), q AS (SELECT cast(sum(wt) // 2 + 1 as bigint) AS quota FROM top),
+co AS (SELECT unnest(generate_series(0, {2 ** _BZF_PLAYERS - 1})) AS c),
+ws AS (
+  SELECT co.c, cast(coalesce(sum(CASE WHEN (co.c >> (t.r - 1)) & 1 = 1 THEN t.wt END), 0)
+                    as bigint) AS wsum
+  FROM co, top t GROUP BY co.c
+), sw AS (
+  SELECT t.source, t.wt,
+         cast(coalesce(sum(CASE WHEN (ws.c >> (t.r - 1)) & 1 = 0
+                            AND ws.wsum < q.quota AND ws.wsum + t.wt >= q.quota
+                           THEN {_SHAP_W_SQL} END), 0) as bigint) AS shapley_num
+  FROM top t, ws, q GROUP BY t.source, t.wt
+)
+SELECT source, wt, shapley_num,
+       cast(shapley_num * 1000000 // 720 as bigint) AS shapley_q
+FROM sw
+""",
+)
+def shapley_power_sources(spark, sf_dir):
+    """Shapley-Shubik power of the top-6 byte-weighted sources — the
+    ORDERING-weighted power index beside Banzhaf (Banzhaf counts
+    swings uniformly over coalitions; Shapley weights each swing by
+    the |S|!·(n−|S|−1)!/n! orderings in which the player arrives
+    exactly pivotal, which is the fair-division axiomatization): the
+    same 64-coalition literal grid, swings weighted by the frozen
+    s!(5−s)! table on bit_count(coalition), exact integer numerators
+    over the common 6! = 720 denominator, 1e6 ticks. By construction
+    Σ shapley_num = 720 across players — the self-audit identity."""
+    d = load(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(F.expr("sum(n_chars) div 1000").cast("long").alias("wt"))
+    top = (
+        w.withColumn("r", F.row_number().over(Window.orderBy(F.col("wt").desc(), "source")))
+        .filter(F.col("r") <= _BZF_PLAYERS)
+        .select("source", "wt", F.col("r").cast("int").alias("r"))
+    )
+    q = top.agg(F.expr("sum(wt) div 2 + 1").cast("long").alias("quota"))
+    co = spark.range(2**_BZF_PLAYERS).select(F.col("id").cast("int").alias("c"))
+    ws = (
+        co.crossJoin(F.broadcast(top))
+        .groupBy("c")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.expr("(c >> (r - 1)) & 1 = 1"), F.col("wt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("wsum")
+        )
+    )
+    wexpr = "CASE bit_count(c) " + " ".join(
+        f"WHEN {k} THEN {v}" for k, v in sorted(_SHAP_W.items())
+    ) + " END"
+    sw = (
+        top.crossJoin(ws)
+        .crossJoin(F.broadcast(q))
+        .groupBy("source", "wt")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("(c >> (r - 1)) & 1 = 0")
+                        & (F.col("wsum") < F.col("quota"))
+                        & (F.col("wsum") + F.col("wt") >= F.col("quota")),
+                        F.expr(wexpr),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("shapley_num")
+        )
+    )
+    return sw.select(
+        "source",
+        "wt",
+        "shapley_num",
+        F.expr("(shapley_num * 1000000) div 720").cast("long").alias("shapley_q"),
+    )
+
+
+_EB_PSEUDO = 20
+
+
+@register(
+    "eb_shrunk_rates_cells",
+    f"""
+WITH pts AS (
+  SELECT event_type, {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / 10.0) as int) AS cx,
+         cast(floor((90.0 - lat) / 10.0) as int) AS cy,
+         cast(count(*) as bigint) AS n,
+         cast(count(CASE WHEN event_type = 'click' THEN 1 END) as bigint) AS clicks
+  FROM pts GROUP BY cx, cy
+), g AS (
+  SELECT cast(sum(clicks) * 1000000 // sum(n) as bigint) AS global_q FROM grid
+)
+SELECT cx, cy, n, clicks,
+       cast(clicks * 1000000 // n as bigint) AS raw_q,
+       cast((clicks * 1000000 + {_EB_PSEUDO} * g.global_q) // (n + {_EB_PSEUDO}) as bigint)
+         AS shrunk_q
+FROM grid, g
+""",
+)
+def eb_shrunk_rates_cells(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-cell click rates toward the
+    global rate with 20 pseudo-counts — the small-sample leaderboard
+    fix (a 2-event cell with 2 clicks is NOT a 100%-click hotspot;
+    shrinkage pulls it to the prior exactly as much as its evidence
+    is thin, the beta-binomial posterior mean with a moment-matched
+    prior): shrunk = (clicks·1e6 + m·global) // (n + m), all exact
+    integer ticks, the global prior a 1-row anchor. Complements
+    wilson_host_ranking (bounds) with the point-estimate repair. One
+    point agg + one 1-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            "event_type",
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / 10.0).cast("int").alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / 10.0).cast("int").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count(F.when(F.col("event_type") == "click", True)).cast("long").alias("clicks"),
+        )
+    )
+    g = grid.agg(F.expr("(sum(clicks) * 1000000) div sum(n)").cast("long").alias("global_q"))
+    return grid.crossJoin(F.broadcast(g)).select(
+        "cx",
+        "cy",
+        "n",
+        "clicks",
+        F.expr("(clicks * 1000000) div n").cast("long").alias("raw_q"),
+        F.expr(f"(clicks * 1000000 + {_EB_PSEUDO} * global_q) div (n + {_EB_PSEUDO})")
+        .cast("long")
+        .alias("shrunk_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -112,6 +112,10 @@ CROSS_OK = {
     "densest_peel_links",  # 1-row (N,E) density anchor broadcast per peel round
     "rocchio_classify_embeddings",  # bounded K-centroid dim broadcast into the test split
     "marching_squares_cells",  # 4-row corner-offset literal broadcast into the fg mask
+    "gale_shapley_match",  # knn straggler fallback branch (pref lists via knn_join)
+    "lof_lite_customers",  # knn straggler fallback branch (self 1-NN via knn_join)
+    "shapley_power_sources",  # 64-coalition x 6-player literal power-set grid (banzhaf sibling)
+    "eb_shrunk_rates_cells",  # 1-row global-prior broadcast into the cell table
 }
 
 
