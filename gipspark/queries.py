@@ -24831,6 +24831,347 @@ def eb_shrunk_rates_cells(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 session-4 batch 22: bounce/exit stats, DAU/WAU stickiness,
+# radiation model, Hill diversity
+# ---------------------------------------------------------------------------
+
+
+_SESS_GAP_S = 1800
+
+
+@register(
+    "bounce_exit_stats",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         epoch_us(ts) // 1000000 AS es,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_es
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN prev_es IS NULL OR es - prev_es > {_SESS_GAP_S} THEN 1 ELSE 0 END AS new_s
+  FROM ev
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+), per AS (
+  SELECT user_id, sid, cast(count(*) as bigint) AS n,
+         first(event_type ORDER BY ts, event_id) AS landing,
+         last(event_type ORDER BY ts, event_id) AS exit_type
+  FROM sess GROUP BY user_id, sid
+), lt AS (
+  SELECT landing, cast(count(*) as bigint) AS n_landing FROM per GROUP BY landing
+)
+SELECT per.landing, per.exit_type,
+       cast(count(*) as bigint) AS n_sessions,
+       cast(count(CASE WHEN per.n = 1 THEN 1 END) as bigint) AS n_bounces,
+       cast(count(*) * 1000000 // any_value(lt.n_landing) as bigint) AS share_q
+FROM per JOIN lt ON lt.landing = per.landing
+GROUP BY per.landing, per.exit_type
+""",
+)
+def bounce_exit_stats(spark, sf_dir):
+    """Bounce-rate and exit-page analytics over 30-minute-gap sessions
+    — the web-analytics bread and butter (which landing event types
+    fail to engage, and where sessions end): sessionization is the
+    flag-cumsum trick (one lag + one running sum on the SAME user_id
+    window shuffle — the merge_intervals machinery, no self-join),
+    per-session landing/exit from order-aware first/last aggregates,
+    and the (landing, exit) transition table carries session counts,
+    single-event bounces, and exact landing-conditional shares. One
+    shuffle on user_id + one dim-scale agg pair."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag(es).over(w).isNull() | (es - F.lag(es).over(w) > _SESS_GAP_S), 1
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("min_by(event_type, struct(ts, event_id))").alias("landing"),
+        F.expr("max_by(event_type, struct(ts, event_id))").alias("exit_type"),
+    )
+    lt = per.groupBy("landing").agg(F.count("*").cast("long").alias("n_landing"))
+    return (
+        per.join(lt, "landing")
+        .groupBy("landing", "exit_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.count(F.when(F.col("n") == 1, True)).cast("long").alias("n_bounces"),
+            F.expr("(count(*) * 1000000) div any_value(n_landing)")
+            .cast("long")
+            .alias("share_q"),
+        )
+    )
+
+
+_WAU_DAYS = 7
+
+
+@register(
+    "dau_wau_sticky",
+    f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS d FROM events
+), days AS (SELECT DISTINCT d FROM ud),
+dau AS (SELECT d, cast(count(*) as bigint) AS dau FROM ud GROUP BY d),
+wau AS (
+  SELECT days.d, cast(count(DISTINCT ud.user_id) as bigint) AS wau
+  FROM days JOIN ud ON ud.d BETWEEN days.d - {_WAU_DAYS - 1} AND days.d
+  GROUP BY days.d
+)
+SELECT dau.d, dau.dau, wau.wau,
+       cast(dau.dau * 1000000 // wau.wau as bigint) AS sticky_q
+FROM dau JOIN wau ON wau.d = dau.d
+""",
+)
+def dau_wau_sticky(spark, sf_dir):
+    """DAU/WAU stickiness per day — the growth-accounting engagement
+    ratio (what share of the weekly actives shows up on a given day;
+    1e6 = every weekly user daily, ~143k = once-a-week visitors):
+    the user-day table folds once, DAU is a trivial agg, and the
+    trailing-7-day distinct count comes from a bounded band join of
+    the day spine against user-days (fan-out ≤ 7 rows per user-day —
+    the windowed-distinct that frame windows cannot express, shaped
+    as an equi-ish band join instead of a 7× self-union). Exact 1e6
+    ratio."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    spine = days.select(F.col("d").alias("sd"))
+    wau = (
+        spine.join(
+            ud,
+            (F.col("d") >= F.col("sd") - (_WAU_DAYS - 1)) & (F.col("d") <= F.col("sd")),
+        )
+        .groupBy(F.col("sd").alias("d"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d",
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) div wau").cast("long").alias("sticky_q"),
+        )
+    )
+
+
+_RAD_CELL_DEG = 30.0
+_RAD_HAV = HAVERSINE_SQL.format(lat1="a.clat", lon1="a.clon", lat2="b.clat", lon2="b.clon")
+_RAD_HAV_K = HAVERSINE_SQL.format(lat1="a.clat", lon1="a.clon", lat2="k.clat", lon2="k.clon")
+
+
+@register(
+    "radiation_model_flows",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon FROM events
+), grid AS (
+  SELECT cast(floor((lon + 180.0) / {_RAD_CELL_DEG}) as int) AS cx,
+         cast(floor((90.0 - lat) / {_RAD_CELL_DEG}) as int) AS cy,
+         cast(count(*) as bigint) AS m
+  FROM pts GROUP BY cx, cy
+), cells AS MATERIALIZED (
+  SELECT cx, cy, m,
+         (-180.0 + {_RAD_CELL_DEG} / 2.0 + {_RAD_CELL_DEG} * cx) AS clon,
+         (90.0 - {_RAD_CELL_DEG} * cy - {_RAD_CELL_DEG} / 2.0) AS clat,
+         cast(cx * 1000 + cy as bigint) AS cid
+  FROM grid
+), pair AS MATERIALIZED (
+  SELECT a.cid AS o_cid, b.cid AS d_cid, a.m AS mi, b.m AS nj,
+         cast(round({_RAD_HAV}, 0) as bigint) AS dij_m
+  FROM cells a JOIN cells b ON b.cid <> a.cid
+), sij AS (
+  SELECT p.o_cid, p.d_cid,
+         cast(coalesce(sum(CASE WHEN cast(round({_RAD_HAV_K}, 0) as bigint) < p.dij_m
+                                 AND k.cid <> p.o_cid AND k.cid <> p.d_cid
+                                THEN k.m END), 0) as bigint) AS s
+  FROM pair p
+  JOIN cells a ON a.cid = p.o_cid
+  CROSS JOIN cells k
+  GROUP BY p.o_cid, p.d_cid
+)
+SELECT p.o_cid, p.d_cid, p.mi, p.nj, sij.s,
+       cast(cast(p.mi as hugeint) * p.mi * p.nj * 1000000
+            // (cast(p.mi + sij.s as hugeint) * (p.mi + p.nj + sij.s)) as bigint) AS t_q
+FROM pair p JOIN sij ON sij.o_cid = p.o_cid AND sij.d_cid = p.d_cid
+""",
+)
+def radiation_model_flows(spark, sf_dir):
+    """Radiation model of inter-cell flows (Simini et al. — the
+    parameter-free rival to the fitted gravity model, driven by the
+    INTERVENING OPPORTUNITIES s_ij: the population inside the circle
+    of radius d_ij around the origin): T_ij = T_i·m_i·n_j /
+    ((m_i+s_ij)(m_i+n_j+s_ij)) with T_i = m_i, computed in 128-bit
+    exact ticks. The matrix is the bounded 30° cell dim, so the
+    pair×cell circle-sum kernel is dims³ — never events² (points fold
+    to cell masses first, the od/gravity discipline); distances are
+    whole-meter center-to-center haversine with a strict-inequality
+    circle law. Complements gravity_model_flows: same marginals, no
+    exponent to fit."""
+    ev = load(spark, sf_dir, "events")
+    grid = (
+        ev.select(
+            F.floor((C.derived_lon(F.col("event_id")) + 180.0) / _RAD_CELL_DEG)
+            .cast("int")
+            .alias("cx"),
+            F.floor((90.0 - C.derived_lat(F.col("event_id"))) / _RAD_CELL_DEG)
+            .cast("int")
+            .alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    cells = grid.select(
+        (F.col("cx") * 1000 + F.col("cy")).cast("long").alias("cid"),
+        "m",
+        (F.lit(90.0) - _RAD_CELL_DEG * F.col("cy") - _RAD_CELL_DEG / 2.0).alias("clat"),
+        (F.lit(-180.0) + _RAD_CELL_DEG / 2.0 + _RAD_CELL_DEG * F.col("cx")).alias("clon"),
+    ).localCheckpoint(eager=True)
+    from gipspark.geo.haversine import haversine_col
+
+    a = cells.select(
+        F.col("cid").alias("o_cid"),
+        F.col("m").alias("mi"),
+        F.col("clat").alias("alat"),
+        F.col("clon").alias("alon"),
+    )
+    b = cells.select(
+        F.col("cid").alias("d_cid"),
+        F.col("m").alias("nj"),
+        F.col("clat").alias("blat"),
+        F.col("clon").alias("blon"),
+    )
+    pair = a.join(b, F.col("d_cid") != F.col("o_cid")).select(
+        "o_cid",
+        "d_cid",
+        "mi",
+        "nj",
+        "alat",
+        "alon",
+        F.round(haversine_col(F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon")), 0)
+        .cast("long")
+        .alias("dij_m"),
+    )
+    k = cells.select(
+        F.col("cid").alias("k_cid"),
+        F.col("m").alias("km"),
+        F.col("clat").alias("klat"),
+        F.col("clon").alias("klon"),
+    )
+    sij = (
+        pair.crossJoin(k)
+        .groupBy("o_cid", "d_cid")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (
+                            F.round(
+                                haversine_col(
+                                    F.col("alat"), F.col("alon"), F.col("klat"), F.col("klon")
+                                ),
+                                0,
+                            ).cast("long")
+                            < F.col("dij_m")
+                        )
+                        & (F.col("k_cid") != F.col("o_cid"))
+                        & (F.col("k_cid") != F.col("d_cid")),
+                        F.col("km"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    return (
+        pair.select("o_cid", "d_cid", "mi", "nj", "dij_m")
+        .join(sij, ["o_cid", "d_cid"])
+        .select(
+            "o_cid",
+            "d_cid",
+            "mi",
+            "nj",
+            "s",
+            F.expr(
+                "(cast(mi as decimal(38,0)) * mi * nj * 1000000)"
+                " div (cast(mi + s as decimal(38,0)) * (mi + nj + s))"
+            )
+            .cast("long")
+            .alias("t_q"),
+        )
+    )
+
+
+@register(
+    "hill_diversity_sources",
+    f"""
+WITH tf AS (
+  SELECT source, w, cast(count(*) as bigint) AS f
+  FROM (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents) t
+  GROUP BY source, w
+)
+SELECT source,
+       cast(count(*) as bigint) AS d0_richness,
+       cast(sum(f) as bigint) AS n_tokens,
+       cast((cast(sum(f) as hugeint) * sum(f) * 1000000) // sum(cast(f as hugeint) * f)
+            as bigint) AS d2_effective_q
+FROM tf GROUP BY source
+""",
+)
+def hill_diversity_sources(spark, sf_dir):
+    """Hill diversity numbers of each source's vocabulary at the two
+    log-free orders — q=0 (richness: distinct terms) and q=2 (inverse
+    Simpson: (Σf)²/Σf², the EFFECTIVE vocabulary size — how many
+    equally-common terms would give the same collision probability):
+    the ecology-standard diversity profile applied to corpus mixing,
+    the per-source companion to vocab_topk_share (concentration) and
+    lexical_stats (TTR). Shannon (q=1) is deliberately absent — it
+    needs a log, and the module's exactness contract wins; q=0 and
+    q=2 bracket it. Exact 128-bit integer ratio in 1e6 ticks; one
+    token-explode agg + one per-source fold."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    return tf.groupBy("source").agg(
+        F.count("*").cast("long").alias("d0_richness"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.expr(
+            "(cast(sum(f) as decimal(38,0)) * sum(f) * 1000000)"
+            " div sum(cast(f as decimal(38,0)) * f)"
+        )
+        .cast("long")
+        .alias("d2_effective_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -116,6 +116,8 @@ CROSS_OK = {
     "lof_lite_customers",  # knn straggler fallback branch (self 1-NN via knn_join)
     "shapley_power_sources",  # 64-coalition x 6-player literal power-set grid (banzhaf sibling)
     "eb_shrunk_rates_cells",  # 1-row global-prior broadcast into the cell table
+    "radiation_model_flows",  # bounded cell-dim^3 circle-sum kernel (gravity/od sibling)
+    "dau_wau_sticky",  # calendar-bounded trailing-window band join (<=7x fan-out)
 }
 
 
