@@ -118,6 +118,8 @@ CROSS_OK = {
     "eb_shrunk_rates_cells",  # 1-row global-prior broadcast into the cell table
     "radiation_model_flows",  # bounded cell-dim^3 circle-sum kernel (gravity/od sibling)
     "dau_wau_sticky",  # calendar-bounded trailing-window band join (<=7x fan-out)
+    "bowtie_structure_links",  # 1-row node-total broadcast into the class census
+    "maxmin_fair_alloc",  # 1-row (rem, active) anchor broadcast per fill round
 }
 
 
