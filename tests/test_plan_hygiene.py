@@ -120,6 +120,8 @@ CROSS_OK = {
     "dau_wau_sticky",  # calendar-bounded trailing-window band join (<=7x fan-out)
     "bowtie_structure_links",  # 1-row node-total broadcast into the class census
     "maxmin_fair_alloc",  # 1-row (rem, active) anchor broadcast per fill round
+    "feature_hash_contract",  # 1-row term-count anchor cross-combined into the census
+    "diff_in_diff_users",  # 1-row day-zero anchor broadcast (cuped sibling)
 }
 
 
