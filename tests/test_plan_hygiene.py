@@ -122,6 +122,8 @@ CROSS_OK = {
     "maxmin_fair_alloc",  # 1-row (rem, active) anchor broadcast per fill round
     "feature_hash_contract",  # 1-row term-count anchor cross-combined into the census
     "diff_in_diff_users",  # 1-row day-zero anchor broadcast (cuped sibling)
+    "polylabel_fixture_polys",  # constant literal candidate-grid x edge dims (query-text geometry)
+    "value_at_risk_daily",  # two 1-row (n, k) tail anchors into the day-dim ranking
 }
 
 
