@@ -102,6 +102,17 @@ BENCH_QUERIES = [
     "pack_sequences_docs",
     "capture_recapture_dups",
     "boilerplate_ratio_hosts",
+    # round-4 session-4 additions: deletion-neighborhood + simhash-search
+    # blocking, unrolled iterative ops (Sinkhorn, power iteration, peel,
+    # deferred acceptance), reverse-kNN, forward-fill attribution
+    "symspell_match_docs",
+    "simhash_hamming_pairs",
+    "ipf_od_balance",
+    "power_iteration_embeddings",
+    "gale_shapley_match",
+    "densest_peel_links",
+    "multitouch_attribution_users",
+    "rknn_influence_suppliers",
 ]
 
 
