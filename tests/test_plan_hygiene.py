@@ -124,6 +124,11 @@ CROSS_OK = {
     "diff_in_diff_users",  # 1-row day-zero anchor broadcast (cuped sibling)
     "polylabel_fixture_polys",  # constant literal candidate-grid x edge dims (query-text geometry)
     "value_at_risk_daily",  # two 1-row (n, k) tail anchors into the day-dim ranking
+    "cliffs_delta_sources",  # source-dim x source-dim (a<b) pair spine — bounded k^2 dims
+    "condorcet_terms",  # source-dim x top-K candidate ballot spine (burrows sibling)
+    "kruskal_wallis_chars",  # 1-row tie-sum anchor broadcast into the 1-row H stats
+    "wilcoxon_signed_users",  # 1-row tie-sum anchor broadcast into the 1-row W stats
+    "kaplan_meier_gaps",  # 1-row corpus-end anchor broadcast (nelson_aalen sibling)
 }
 
 
