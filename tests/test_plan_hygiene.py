@@ -129,6 +129,7 @@ CROSS_OK = {
     "kruskal_wallis_chars",  # 1-row tie-sum anchor broadcast into the 1-row H stats
     "wilcoxon_signed_users",  # 1-row tie-sum anchor broadcast into the 1-row W stats
     "kaplan_meier_gaps",  # 1-row corpus-end anchor broadcast (nelson_aalen sibling)
+    "markov_attribution_channels",  # 1-row base-absorption anchor x per-removal 1-row runs
 }
 
 
