@@ -130,6 +130,8 @@ CROSS_OK = {
     "wilcoxon_signed_users",  # 1-row tie-sum anchor broadcast into the 1-row W stats
     "kaplan_meier_gaps",  # 1-row corpus-end anchor broadcast (nelson_aalen sibling)
     "markov_attribution_channels",  # 1-row base-absorption anchor x per-removal 1-row runs
+    "roc_auc_docs",  # 1-row (n_pos, n_neg, u2) anchor broadcast into the 10 decile rows
+    "wasserstein_sources",  # source-dim x global value spine + 1-row total (ks_drift sibling)
 }
 
 
