@@ -132,6 +132,8 @@ CROSS_OK = {
     "markov_attribution_channels",  # 1-row base-absorption anchor x per-removal 1-row runs
     "roc_auc_docs",  # 1-row (n_pos, n_neg, u2) anchor broadcast into the 10 decile rows
     "wasserstein_sources",  # source-dim x global value spine + 1-row total (ks_drift sibling)
+    "pip_buffer_join_customers",  # 5-row literal polygon bbox(+D) prefilter (polylabel sibling)
+    "conformal_interval_contract",  # 1-row coefficient/quantile anchors broadcast into the scorer
 }
 
 
