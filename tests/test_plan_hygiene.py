@@ -134,6 +134,9 @@ CROSS_OK = {
     "wasserstein_sources",  # source-dim x global value spine + 1-row total (ks_drift sibling)
     "pip_buffer_join_customers",  # 5-row literal polygon bbox(+D) prefilter (polylabel sibling)
     "conformal_interval_contract",  # 1-row coefficient/quantile anchors broadcast into the scorer
+    "good_turing_counts",  # two 1-row (total, N1) anchors broadcast into the <=6-row table
+    "t_closeness_audit",  # group-dim x sensitive-bucket spine + 1-row total/span anchors
+    "bpe_merge_training",  # 1-row best-merge rule broadcast into the word table per round
 }
 
 
