@@ -137,6 +137,10 @@ CROSS_OK = {
     "good_turing_counts",  # two 1-row (total, N1) anchors broadcast into the <=6-row table
     "t_closeness_audit",  # group-dim x sensitive-bucket spine + 1-row total/span anchors
     "bpe_merge_training",  # 1-row best-merge rule broadcast into the word table per round
+    "neyman_allocation_sources",  # 1-row weight-total anchor broadcast into the source dim
+    "drawdown_revenue_daily",  # 1-row mean/extreme anchors cross-combined into the stat row
+    "acf_pacf_daily",  # 1-row moment + 6-row lag-dim anchors (acf_cells/lagged_xcorr sibling)
+    "rescaled_range_daily",  # 3-row scale-dim fan-out over the day series (lagged_xcorr sibling)
 }
 
 
