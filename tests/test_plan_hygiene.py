@@ -141,6 +141,8 @@ CROSS_OK = {
     "drawdown_revenue_daily",  # 1-row mean/extreme anchors cross-combined into the stat row
     "acf_pacf_daily",  # 1-row moment + 6-row lag-dim anchors (acf_cells/lagged_xcorr sibling)
     "rescaled_range_daily",  # 3-row scale-dim fan-out over the day series (lagged_xcorr sibling)
+    "lsh_pr_contract",  # three 1-row count anchors cross-combined into the single stat row
+    "dunn_posthoc_sources",  # source-dim x source-dim (a<b) pair spine (cliffs sibling)
 }
 
 
