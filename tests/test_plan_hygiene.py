@@ -143,6 +143,9 @@ CROSS_OK = {
     "rescaled_range_daily",  # 3-row scale-dim fan-out over the day series (lagged_xcorr sibling)
     "lsh_pr_contract",  # three 1-row count anchors cross-combined into the single stat row
     "dunn_posthoc_sources",  # source-dim x source-dim (a<b) pair spine (cliffs sibling)
+    "knee_detection_terms",  # 1-row endpoint anchor broadcast into the ranked curve
+    "energy_distance_types",  # three 1-row pair-sum anchors cross-combined into the stat row
+    "voptimal_histogram_orders",  # bounded value-grid DP: j<i joins on the ~55-row prefix dim
 }
 
 
