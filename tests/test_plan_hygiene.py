@@ -146,6 +146,8 @@ CROSS_OK = {
     "knee_detection_terms",  # 1-row endpoint anchor broadcast into the ranked curve
     "energy_distance_types",  # three 1-row pair-sum anchors cross-combined into the stat row
     "voptimal_histogram_orders",  # bounded value-grid DP: j<i joins on the ~55-row prefix dim
+    "influence_topk_docs",  # 1-row coefficient/SSE anchors broadcast into the scorer (conformal sibling)
+    "records_test_daily",  # 1-row harmonic-expectation anchor into the 1-row stat
 }
 
 
