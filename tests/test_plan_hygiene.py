@@ -148,6 +148,7 @@ CROSS_OK = {
     "voptimal_histogram_orders",  # bounded value-grid DP: j<i joins on the ~55-row prefix dim
     "influence_topk_docs",  # 1-row coefficient/SSE anchors broadcast into the scorer (conformal sibling)
     "records_test_daily",  # 1-row harmonic-expectation anchor into the 1-row stat
+    "packing_gap_contract",  # alpha-dim x size-histogram sweep + 1-row bound anchors
 }
 
 
