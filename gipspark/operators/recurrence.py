@@ -72,6 +72,52 @@ def holt_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def burst2_kernel(flat_cost: int, switch_cost: int):
+    """Two-state burst Viterbi (Kleinberg-style, integer costs) with
+    path statistics carried FORWARD so no backtracking is needed:
+    state 0 (normal) pays `flat_cost` per gap, state 1 (burst) pays
+    the gap itself, switching pays `switch_cost`. Each state carries
+    the optimal (cost, n_bursts, burst_minutes) ending there; ties
+    prefer STAYING in the current state (deterministic, mirrored by
+    the oracle's <=). Start: state 0 free; state 1 starts one switch
+    deep with its burst already counted."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("k")
+        gaps = [int(g) for g in pdf["g"]]
+        c0, b0, t0 = 0, 0, 0
+        c1, b1, t1 = switch_cost, 1, 0
+        for g in gaps:
+            n0 = (
+                (c0 + flat_cost, b0, t0)
+                if c0 <= c1 + switch_cost
+                else (c1 + switch_cost + flat_cost, b1, t1)
+            )
+            n1 = (
+                (c1 + g, b1, t1 + g)
+                if c1 <= c0 + switch_cost
+                else (c0 + switch_cost + g, b0 + 1, t0 + g)
+            )
+            (c0, b0, t0), (c1, b1, t1) = n0, n1
+        if c0 <= c1:
+            cost, nb, tb = c0, b0, t0
+        else:
+            cost, nb, tb = c1, b1, t1
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_gaps": len(gaps),
+                    "total_cost": cost,
+                    "n_bursts": nb,
+                    "burst_minutes": tb,
+                }
+            ]
+        )
+
+    return kernel
+
+
 def km_kernel(horizons: list[int]):
     """Kaplan-Meier product-limit estimator in integer ticks: process
     distinct duration minutes ascending; at each step the survival

@@ -149,6 +149,8 @@ CROSS_OK = {
     "influence_topk_docs",  # 1-row coefficient/SSE anchors broadcast into the scorer (conformal sibling)
     "records_test_daily",  # 1-row harmonic-expectation anchor into the 1-row stat
     "packing_gap_contract",  # alpha-dim x size-histogram sweep + 1-row bound anchors
+    "hampel_filter_daily",  # calendar-bounded +/-3-day band self-joins (<=7x, dau_wau sibling)
+    "lsh_band_sweep",  # 1-row truth/cand count anchors per band setting (lsh_pr sibling)
 }
 
 
