@@ -151,6 +151,9 @@ CROSS_OK = {
     "packing_gap_contract",  # alpha-dim x size-histogram sweep + 1-row bound anchors
     "hampel_filter_daily",  # calendar-bounded +/-3-day band self-joins (<=7x, dau_wau sibling)
     "lsh_band_sweep",  # 1-row truth/cand count anchors per band setting (lsh_pr sibling)
+    "attack_tolerance_links",  # 5-row literal neighbor dim fan-out (triangle/pagerank sibling)
+    "hll_trailing_contract",  # calendar-bounded <=7x day-band sketch join (dau_wau sibling)
+    "overlap_duration_join",  # 5-row literal campaign-window dim broadcast over sessions
 }
 
 
