@@ -154,6 +154,7 @@ CROSS_OK = {
     "attack_tolerance_links",  # 5-row literal neighbor dim fan-out (triangle/pagerank sibling)
     "hll_trailing_contract",  # calendar-bounded <=7x day-band sketch join (dau_wau sibling)
     "overlap_duration_join",  # 5-row literal campaign-window dim broadcast over sessions
+    "kendalls_w_terms",  # source-dim x top-K ballot spine + 1-row anchors (condorcet sibling)
 }
 
 
