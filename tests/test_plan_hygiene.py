@@ -155,6 +155,9 @@ CROSS_OK = {
     "hll_trailing_contract",  # calendar-bounded <=7x day-band sketch join (dau_wau sibling)
     "overlap_duration_join",  # 5-row literal campaign-window dim broadcast over sessions
     "kendalls_w_terms",  # source-dim x top-K ballot spine + 1-row anchors (condorcet sibling)
+    "gallagher_index_sources",  # source-dim x 60-divisor grid + 1-row total (dhondt sibling)
+    "lorenz_curve_deciles",  # 1-row grand-total anchor broadcast into the 10 decile rows
+    "simpsons_paradox_audit",  # 1-row global-association anchor x the 5-stratum dim
 }
 
 
