@@ -113,6 +113,13 @@ BENCH_QUERIES = [
     "densest_peel_links",
     "multitouch_attribution_users",
     "rknn_influence_suppliers",
+    # round-4 session-3 representatives
+    "voptimal_histogram_orders",
+    "lsh_pr_contract",
+    "markov_attribution_channels",
+    "holt_trend_cells",
+    "cost_distance_cells",
+    "pq_codebook_contract",
 ]
 
 
