@@ -158,6 +158,8 @@ CROSS_OK = {
     "gallagher_index_sources",  # source-dim x 60-divisor grid + 1-row total (dhondt sibling)
     "lorenz_curve_deciles",  # 1-row grand-total anchor broadcast into the 10 decile rows
     "simpsons_paradox_audit",  # 1-row global-association anchor x the 5-stratum dim
+    "hoover_index_sources",  # 1-row grand-total anchor broadcast into the 20 source rows
+    "ewma_smooth_daily",  # calendar-bounded trailing 8-day band self-join (hampel sibling)
 }
 
 
