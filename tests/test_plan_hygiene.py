@@ -160,6 +160,16 @@ CROSS_OK = {
     "simpsons_paradox_audit",  # 1-row global-association anchor x the 5-stratum dim
     "hoover_index_sources",  # 1-row grand-total anchor broadcast into the 20 source rows
     "ewma_smooth_daily",  # calendar-bounded trailing 8-day band self-join (hampel sibling)
+    "cvm_drift_sources",  # source-dim x global-value-histogram spine + 1-row total anchor
+    "durbin_watson_daily",  # 1-row OLS-coefficient anchor broadcast into the day series
+    "friedman_dow_orders",  # 1-row k/n anchors into the 7 weekday rank sums
+    "general_g_tiles",  # 4-row literal rook-offset dim fan-out + 1-row moment anchor
+    "jonckheere_sources",  # per-group value-histogram inequality join, dim x dim bounded
+    "mood_scale_sources",  # 1-row pooled-rank total anchor into the 20 source rows
+    "mrr_first_relevant_sources",  # 1-row corpus-MRR anchor into the per-shard rows
+    "pr_auc_docs",  # 1-row positives-total anchor + 1-row AP reduce over the PR curve
+    "spatial_markov_cells",  # literal rook-offset + 1-row median anchors (general_g sibling)
+    "tri_tpi_cells",  # 8-row literal queen-offset dim fan-out into the cell lattice
 }
 
 
