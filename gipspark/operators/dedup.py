@@ -492,3 +492,95 @@ def containment_pairs(
         .filter(F.col("containment") >= tau)
         .select("doc_a", "doc_b", "sz_a", "common", "containment")
     )
+
+
+def prefix_filter_jaccard(
+    df: DataFrame,
+    tau_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All-pairs set-similarity join with PPJoin-style prefix filtering.
+
+    Finds every pair with shingle-set Jaccard ≥ tau_pct/100 WITHOUT the
+    full inverted-index pair explosion: shingles are globally ordered by
+    (document frequency asc, shingle asc) — rarest first — and a pair can
+    reach the threshold only if the two docs share a shingle inside each
+    other's PREFIX of length |s| − ⌈τ|s|⌉ + 1 (pigeonhole on the overlap
+    bound ⌈τ/(1+τ)·(|a|+|b|)⌉ relaxed to the per-set form). Candidate
+    generation therefore joins only the prefix postings — for high τ the
+    prefix is a small head of rare shingles, so the candidate count
+    collapses versus the full postings join (the PPJoin trick, Xiao et
+    al. 2008). A length filter (τ|a| ≤ |b| ≤ |a|/τ) prunes further.
+    Verification is exact and JVM-side: array_intersect on the two
+    distinct shingle arrays, then the rational Jaccard test — integer
+    cross-multiplied (100·common ≥ τ_pct·union) so the FILTER is exact
+    and engine-independent; the reported jaccard double is one exact
+    IEEE division. tau_pct is an integer percentage to keep the
+    threshold arithmetic integer-exact.
+
+    100-TB shape: one shingle-df agg (shuffle ∝ corpus shingles), one
+    prefix-postings self-join (shuffle ∝ prefix postings², bounded by
+    rare-shingle df), one id-keyed join back for verification — never
+    |D|² and never a full postings self-join.
+    """
+    tau = tau_pct / 100.0
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    inv = base.select("id", "sz", F.explode("sh").alias("s"))
+    dfreq = inv.groupBy("s").agg(F.count("*").alias("df"))
+    # prefix length p = sz − ⌈τ·sz⌉ + 1 (integer: ⌈τ·sz⌉ = (τ_pct·sz + 99) div 100)
+    pref = (
+        inv.join(dfreq, "s")
+        .groupBy("id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+        .select(
+            "id",
+            "sz",
+            F.explode(
+                F.slice(
+                    F.col("ordered").getField("s"),
+                    1,
+                    F.greatest(
+                        F.lit(1),
+                        (
+                            F.col("sz")
+                            - F.expr(f"cast((sz * {tau_pct} + 99) div 100 as int)")
+                            + F.lit(1)
+                        ),
+                    ),
+                )
+            ).alias("s"),
+        )
+    )
+    a = pref.select(F.col("id").alias("id_a"), F.col("sz").alias("sza"), "s")
+    b = pref.select(F.col("id").alias("id_b"), F.col("sz").alias("szb"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("szb") * 100 >= F.col("sza") * tau_pct)
+            & (F.col("sza") * 100 >= F.col("szb") * tau_pct)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    av = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sza"))
+    bv = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("szb"))
+    verified = (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("uni", (F.col("sza") + F.col("szb") - F.col("common")).cast("long"))
+        .filter(F.col("common") * 100 >= F.col("uni") * tau_pct)
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.col("common"),
+        F.col("sza").cast("long").alias("sza"),
+        F.col("szb").cast("long").alias("szb"),
+        (F.col("common").cast("double") / F.col("uni").cast("double")).alias("jaccard"),
+    )
