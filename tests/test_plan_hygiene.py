@@ -170,6 +170,7 @@ CROSS_OK = {
     "pr_auc_docs",  # 1-row positives-total anchor + 1-row AP reduce over the PR curve
     "spatial_markov_cells",  # literal rook-offset + 1-row median anchors (general_g sibling)
     "tri_tpi_cells",  # 8-row literal queen-offset dim fan-out into the cell lattice
+    "tvd_token_drift_sources",  # 1-row corpus-total anchor into the (source, token) spine
 }
 
 
