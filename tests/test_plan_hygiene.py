@@ -171,6 +171,8 @@ CROSS_OK = {
     "spatial_markov_cells",  # literal rook-offset + 1-row median anchors (general_g sibling)
     "tri_tpi_cells",  # 8-row literal queen-offset dim fan-out into the cell lattice
     "tvd_token_drift_sources",  # 1-row corpus-total anchor into the (source, token) spine
+    "term_dispersion_sources",  # 1-row part-count anchor into the top-20 term rows
+    "rand_index_clusterings",  # three 1-row pair-count folds cross-combined (bbox_union sibling)
 }
 
 
