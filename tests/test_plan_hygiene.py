@@ -173,6 +173,7 @@ CROSS_OK = {
     "tvd_token_drift_sources",  # 1-row corpus-total anchor into the (source, token) spine
     "term_dispersion_sources",  # 1-row part-count anchor into the top-20 term rows
     "rand_index_clusterings",  # three 1-row pair-count folds cross-combined (bbox_union sibling)
+    "anisotropy_ratio_cells",  # two 1-row directional folds cross-combined (bbox_union sibling)
 }
 
 
