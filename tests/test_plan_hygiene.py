@@ -174,6 +174,7 @@ CROSS_OK = {
     "term_dispersion_sources",  # 1-row part-count anchor into the top-20 term rows
     "rand_index_clusterings",  # three 1-row pair-count folds cross-combined (bbox_union sibling)
     "anisotropy_ratio_cells",  # two 1-row directional folds cross-combined (bbox_union sibling)
+    "ffl_motif_links",  # three 1-row motif-count folds cross-combined (four_clique sibling)
 }
 
 
