@@ -175,6 +175,8 @@ CROSS_OK = {
     "rand_index_clusterings",  # three 1-row pair-count folds cross-combined (bbox_union sibling)
     "anisotropy_ratio_cells",  # two 1-row directional folds cross-combined (bbox_union sibling)
     "ffl_motif_links",  # three 1-row motif-count folds cross-combined (four_clique sibling)
+    "block_validity_embeddings",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
+    "ring_profile_events",  # 1-row argmax-center anchor broadcast into the bounded cell table
 }
 
 
