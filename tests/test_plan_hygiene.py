@@ -177,6 +177,7 @@ CROSS_OK = {
     "ffl_motif_links",  # three 1-row motif-count folds cross-combined (four_clique sibling)
     "block_validity_embeddings",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
     "ring_profile_events",  # 1-row argmax-center anchor broadcast into the bounded cell table
+    "int8_recall_embeddings",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
 }
 
 
