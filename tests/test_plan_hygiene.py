@@ -178,6 +178,8 @@ CROSS_OK = {
     "block_validity_embeddings",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
     "ring_profile_events",  # 1-row argmax-center anchor broadcast into the bounded cell table
     "int8_recall_embeddings",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
+    "quadrant_segments_users",  # 1-row dual-median anchor broadcast into the user dim
+    "props_numeral_benford",  # 1-row numeral-total anchor into the 9-digit table (benford sibling)
 }
 
 
