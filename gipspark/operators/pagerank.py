@@ -61,3 +61,52 @@ def pagerank_int(
             )
         )
     return ranks
+
+
+def trustrank_int(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_seeds: int,
+    seed_col: str = "is_seed",
+    iters: int = 3,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Integer-exact TrustRank (Gyongyi et al.): PageRank with the
+    teleport vector concentrated on a trusted seed set instead of
+    uniform. ``nodes(id, is_seed)`` carries the deterministic seed flag;
+    total trust mass ``scale`` starts (and teleports back) only on the
+    ``n_seeds`` seeds, so spam pages far from the seeds accumulate
+    little trust no matter how much raw link mass they collect.
+
+    Same BIGINT tick discipline as :func:`pagerank_int` — floor
+    division on non-negative ints, associative sums — so the unrolled
+    DuckDB oracle hashes bit-identically. Same per-round scale shape:
+    one contrib shuffle + one node join; the seed flag rides the node
+    frame, never the driver.
+    """
+    seed_tick = scale // n_seeds
+    base = (15 * seed_tick) // 100
+    seed = F.when(F.col(seed_col) == 1, F.lit(1)).otherwise(F.lit(0))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select(
+        "id", seed_col, (seed * F.lit(seed_tick)).cast("long").alias("trust")
+    )
+    for _ in range(iters):
+        contribs = (
+            edges.join(
+                ranks.select(F.col("id").alias("src"), "trust"), "src"
+            )
+            .join(deg, "src")
+            .select("dst", F.expr("trust div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(contribs.withColumnRenamed("dst", "id"), "id", "left").select(
+            "id",
+            seed_col,
+            F.expr(
+                f"cast(case when {seed_col} = 1 then {base}L else 0L end"
+                " + (85L * coalesce(in_sum, 0L)) div 100L as bigint)"
+            ).alias("trust"),
+        )
+    return ranks.select("id", "trust")

@@ -180,6 +180,9 @@ CROSS_OK = {
     "int8_recall_embeddings",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
     "quadrant_segments_users",  # 1-row dual-median anchor broadcast into the user dim
     "props_numeral_benford",  # 1-row numeral-total anchor into the 9-digit table (benford sibling)
+    "temporal_colocation_types",  # 1-row minute-total anchor into the 10 type-pair rows
+    "friendship_paradox_links",  # two 1-row moment folds cross-combined (reciprocity sibling)
+    "isotonic_daily",  # day-dim i<=k<=j band self-joins, O(days^2) rows (ewma sibling)
 }
 
 
