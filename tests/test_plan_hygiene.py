@@ -183,6 +183,7 @@ CROSS_OK = {
     "temporal_colocation_types",  # 1-row minute-total anchor into the 10 type-pair rows
     "friendship_paradox_links",  # two 1-row moment folds cross-combined (reciprocity sibling)
     "isotonic_daily",  # day-dim i<=k<=j band self-joins, O(days^2) rows (ewma sibling)
+    "cem_att_users",  # 1-row day-zero anchor broadcast (cuped sibling)
 }
 
 
