@@ -184,6 +184,8 @@ CROSS_OK = {
     "friendship_paradox_links",  # two 1-row moment folds cross-combined (reciprocity sibling)
     "isotonic_daily",  # day-dim i<=k<=j band self-joins, O(days^2) rows (ewma sibling)
     "cem_att_users",  # 1-row day-zero anchor broadcast (cuped sibling)
+    "shapley_attribution_channels",  # 8-row mask dim x <=8-row coalition counts (banzhaf sibling)
+    "anonymization_ladder_audit",  # 6-row width-dim fan-out + 1-row total (k_anonymity sibling)
 }
 
 
