@@ -186,6 +186,9 @@ CROSS_OK = {
     "cem_att_users",  # 1-row day-zero anchor broadcast (cuped sibling)
     "shapley_attribution_channels",  # 8-row mask dim x <=8-row coalition counts (banzhaf sibling)
     "anonymization_ladder_audit",  # 6-row width-dim fan-out + 1-row total (k_anonymity sibling)
+    "reserve_price_sweep_parts",  # 5-row literal reserve-dim fan-out over the part dim
+    "error_burn_rate_windows",  # hour-dim trailing band self-joins + 1-row base anchor (ewma sibling)
+    "ipf_raking_lang_source",  # 1-row margin-target anchor per sweep into the <=100-row table
 }
 
 
