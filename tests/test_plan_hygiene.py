@@ -189,6 +189,9 @@ CROSS_OK = {
     "reserve_price_sweep_parts",  # 5-row literal reserve-dim fan-out over the part dim
     "error_burn_rate_windows",  # hour-dim trailing band self-joins + 1-row base anchor (ewma sibling)
     "ipf_raking_lang_source",  # 1-row margin-target anchor per sweep into the <=100-row table
+    "jl_projection_contract",  # 20 probe pairs via offset equi-join; folds only (contract op)
+    "waterfill_crawl_hosts",  # 1-row budget/waterline anchors into the 20-host dim
+    "prefix_dim_recall_embeddings",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
 }
 
 
