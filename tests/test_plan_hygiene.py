@@ -192,6 +192,7 @@ CROSS_OK = {
     "jl_projection_contract",  # 20 probe pairs via offset equi-join; folds only (contract op)
     "waterfill_crawl_hosts",  # 1-row budget/waterline anchors into the 20-host dim
     "prefix_dim_recall_embeddings",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
+    "euler_number_cells",  # 4-row quad-offset dim fan-out + 1-row cell-count anchor (tri_tpi sibling)
 }
 
 
