@@ -193,6 +193,8 @@ CROSS_OK = {
     "waterfill_crawl_hosts",  # 1-row budget/waterline anchors into the 20-host dim
     "prefix_dim_recall_embeddings",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
     "euler_number_cells",  # 4-row quad-offset dim fan-out + 1-row cell-count anchor (tri_tpi sibling)
+    "substitute_parts_pairs",  # 30x30 top-part literal pair spine + 1-row order-count anchor
+    "point_quarter_customers",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
 }
 
 
