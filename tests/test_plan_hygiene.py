@@ -195,6 +195,8 @@ CROSS_OK = {
     "euler_number_cells",  # 4-row quad-offset dim fan-out + 1-row cell-count anchor (tri_tpi sibling)
     "substitute_parts_pairs",  # 30x30 top-part literal pair spine + 1-row order-count anchor
     "point_quarter_customers",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
+    "shard_balance_audit",  # 1-row key/morton-max anchor broadcast into the strategy sweep
+    "facility_outage_impact",  # 10-row facility broadcast x customers + 1-row busiest anchor
 }
 
 
