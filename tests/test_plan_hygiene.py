@@ -197,6 +197,8 @@ CROSS_OK = {
     "point_quarter_customers",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
     "shard_balance_audit",  # 1-row key/morton-max anchor broadcast into the strategy sweep
     "facility_outage_impact",  # 10-row facility broadcast x customers + 1-row busiest anchor
+    "behavior_drift_users",  # 1-row span-midpoint anchor broadcast (cuped sibling)
+    "hotspot_persistence_cells",  # 3-row horizon dim fan-out over the per-week hot dim
 }
 
 
