@@ -199,6 +199,8 @@ CROSS_OK = {
     "facility_outage_impact",  # 10-row facility broadcast x customers + 1-row busiest anchor
     "behavior_drift_users",  # 1-row span-midpoint anchor broadcast (cuped sibling)
     "hotspot_persistence_cells",  # 3-row horizon dim fan-out over the per-week hot dim
+    "densest_subgraph_links",  # 1-row mean-degree threshold anchor per peel round
+    "conversion_window_sweep",  # 4-row window dim x per-user latency + 1-row viewer anchor
 }
 
 
