@@ -201,6 +201,9 @@ CROSS_OK = {
     "hotspot_persistence_cells",  # 3-row horizon dim fan-out over the per-week hot dim
     "densest_subgraph_links",  # 1-row mean-degree threshold anchor per peel round
     "conversion_window_sweep",  # 4-row window dim x per-user latency + 1-row viewer anchor
+    "hilbert_stride_sample",  # 1-row occupied-cell anchor into the 2-method sample audit
+    "partition_layout_audit",  # 1-row table-total anchor into the 3-scheme partition dim
+    "session_gap_sweep",  # 4-row threshold dim x gap rows + 1-row base anchor
 }
 
 
