@@ -204,6 +204,8 @@ CROSS_OK = {
     "hilbert_stride_sample",  # 1-row occupied-cell anchor into the 2-method sample audit
     "partition_layout_audit",  # 1-row table-total anchor into the 3-scheme partition dim
     "session_gap_sweep",  # 4-row threshold dim x gap rows + 1-row base anchor
+    "rolling_ols_daily",  # calendar-bounded trailing 14-day band self-join (ewma sibling)
+    "qq_table_langs",  # 9-row decile dim broadcast into the rank spine (percentile sibling)
 }
 
 
