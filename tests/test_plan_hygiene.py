@@ -206,6 +206,8 @@ CROSS_OK = {
     "session_gap_sweep",  # 4-row threshold dim x gap rows + 1-row base anchor
     "rolling_ols_daily",  # calendar-bounded trailing 14-day band self-join (ewma sibling)
     "qq_table_langs",  # 9-row decile dim broadcast into the rank spine (percentile sibling)
+    "loso_token_influence_sources",  # 1-row corpus-total anchor into the 20 source rows
+    "idw_loocv_probes",  # 20-row held-out broadcast x radius-gated scan (idw sibling)
 }
 
 
