@@ -208,6 +208,9 @@ CROSS_OK = {
     "qq_table_langs",  # 9-row decile dim broadcast into the rank spine (percentile sibling)
     "loso_token_influence_sources",  # 1-row corpus-total anchor into the 20 source rows
     "idw_loocv_probes",  # 20-row held-out broadcast x radius-gated scan (idw sibling)
+    "filter_parity_audit",  # 1-row corpus pass-rate anchor into the 5 lang rows
+    "dedup_weighted_stats",  # 1-row fold only (no joins; listed for the global window)
+    "sn_scale_daily",  # day-dim pairwise-gap self-join + 1-row count anchor (isotonic sibling)
 }
 
 
