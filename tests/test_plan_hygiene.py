@@ -211,6 +211,7 @@ CROSS_OK = {
     "filter_parity_audit",  # 1-row corpus pass-rate anchor into the 5 lang rows
     "dedup_weighted_stats",  # 1-row fold only (no joins; listed for the global window)
     "sn_scale_daily",  # day-dim pairwise-gap self-join + 1-row count anchor (isotonic sibling)
+    "dim_variance_embeddings",  # 1-row mean-variance anchor into the 64 dim rows
 }
 
 
