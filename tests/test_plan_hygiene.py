@@ -188,7 +188,6 @@ CROSS_OK = {
     "anonymization_ladder_audit",  # 6-row width-dim fan-out + 1-row total (k_anonymity sibling)
     "reserve_price_sweep_parts",  # 5-row literal reserve-dim fan-out over the part dim
     "error_burn_rate_windows",  # hour-dim trailing band self-joins + 1-row base anchor (ewma sibling)
-    "ipf_raking_lang_source",  # 1-row margin-target anchor per sweep into the <=100-row table
     "jl_projection_contract",  # 20 probe pairs via offset equi-join; folds only (contract op)
     "waterfill_crawl_hosts",  # 1-row budget/waterline anchors into the 20-host dim
     "prefix_dim_recall_embeddings",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
@@ -199,7 +198,6 @@ CROSS_OK = {
     "facility_outage_impact",  # 10-row facility broadcast x customers + 1-row busiest anchor
     "behavior_drift_users",  # 1-row span-midpoint anchor broadcast (cuped sibling)
     "hotspot_persistence_cells",  # 3-row horizon dim fan-out over the per-week hot dim
-    "densest_subgraph_links",  # 1-row mean-degree threshold anchor per peel round
     "conversion_window_sweep",  # 4-row window dim x per-user latency + 1-row viewer anchor
     "hilbert_stride_sample",  # 1-row occupied-cell anchor into the 2-method sample audit
     "partition_layout_audit",  # 1-row table-total anchor into the 3-scheme partition dim
