@@ -210,6 +210,9 @@ CROSS_OK = {
     "dedup_weighted_stats",  # 1-row fold only (no joins; listed for the global window)
     "sn_scale_daily",  # day-dim pairwise-gap self-join + 1-row count anchor (isotonic sibling)
     "dim_variance_embeddings",  # 1-row mean-variance anchor into the 64 dim rows
+    "corpus_growth_recall",  # 20-row probe broadcast x corpus, twice (cosine_topk sibling)
+    "variance_ratio_daily",  # 3-row lag dim x day band joins + 1-row base-variance anchor
+    "cross_gfunction_suppliers",  # bounded supplier-dim broadcast + 5-row radius sweep (huff sibling)
 }
 
 
