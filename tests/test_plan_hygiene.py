@@ -213,6 +213,8 @@ CROSS_OK = {
     "corpus_growth_recall",  # 20-row probe broadcast x corpus, twice (cosine_topk sibling)
     "variance_ratio_daily",  # 3-row lag dim x day band joins + 1-row base-variance anchor
     "cross_gfunction_suppliers",  # bounded supplier-dim broadcast + 5-row radius sweep (huff sibling)
+    "spatial_join_card_estimate",  # 5-row bbox literal dim broadcast over points (pip family)
+    "turning_points_daily",  # day-dim calendar equi-joins only; listed for the 1-row fold shape
 }
 
 
