@@ -215,6 +215,7 @@ CROSS_OK = {
     "cross_gfunction_suppliers",  # bounded supplier-dim broadcast + 5-row radius sweep (huff sibling)
     "spatial_join_card_estimate",  # 5-row bbox literal dim broadcast over points (pip family)
     "turning_points_daily",  # day-dim calendar equi-joins only; listed for the 1-row fold shape
+    "anomaly_ensemble_daily",  # trailing band self-join + 1-row median anchor (ewma sibling)
 }
 
 
