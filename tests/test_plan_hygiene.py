@@ -216,6 +216,8 @@ CROSS_OK = {
     "spatial_join_card_estimate",  # 5-row bbox literal dim broadcast over points (pip family)
     "turning_points_daily",  # day-dim calendar equi-joins only; listed for the 1-row fold shape
     "anomaly_ensemble_daily",  # trailing band self-join + 1-row median anchor (ewma sibling)
+    "pseudonym_linkage_audit",  # 1-row span-midpoint anchor + 1-row population anchor
+    "nation_consistency_audit",  # 25-row nation-center broadcast x customers (facility sibling)
 }
 
 
