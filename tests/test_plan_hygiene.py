@@ -220,6 +220,10 @@ CROSS_OK = {
     "nation_consistency_audit",  # 25-row nation-center broadcast x customers (facility sibling)
 }
 
+CROSS_OK |= {
+    "edge_percolation_links",  # component-label rounds on the bounded band-graph dim
+}
+
 
 def _plan(spark, name: str) -> str:
     fn, _ = REGISTRY[name]
