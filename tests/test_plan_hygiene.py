@@ -222,6 +222,8 @@ CROSS_OK = {
 
 CROSS_OK |= {
     "edge_percolation_links",  # component-label rounds on the bounded band-graph dim
+    "suppression_loss_audit",  # 3-row k dim + 1-row total anchor (k_anonymity sibling)
+    "knn_tie_fragility",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
 }
 
 
