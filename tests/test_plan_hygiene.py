@@ -224,6 +224,9 @@ CROSS_OK |= {
     "edge_percolation_links",  # component-label rounds on the bounded band-graph dim
     "suppression_loss_audit",  # 3-row k dim + 1-row total anchor (k_anonymity sibling)
     "knn_tie_fragility",  # 20-row probe broadcast x corpus (cosine_topk_bruteforce sibling)
+    "zone_map_skipping_audit",  # 3-row literal predicate dim broadcast x zone maps
+    "ols_influence_daily",  # 1-row OLS-moment anchor broadcast into the day series
+    "hyperanf_links",  # 3-row hop dim broadcast over the exact-BFS witness side
 }
 
 
