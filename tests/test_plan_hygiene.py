@@ -227,6 +227,9 @@ CROSS_OK |= {
     "zone_map_skipping_audit",  # 3-row literal predicate dim broadcast x zone maps
     "ols_influence_daily",  # 1-row OLS-moment anchor broadcast into the day series
     "hyperanf_links",  # 3-row hop dim broadcast over the exact-BFS witness side
+    "spatial_zonemap_audit",  # 3-row literal bbox dim broadcast x file zone maps
+    "st_prism_cells_users",  # 288-row literal cell-dim broadcast x fix pairs
+    "l_diversity_audit",  # 3-row literal l-threshold dim x QI classes
 }
 
 
