@@ -230,6 +230,9 @@ CROSS_OK |= {
     "spatial_zonemap_audit",  # 3-row literal bbox dim broadcast x file zone maps
     "st_prism_cells_users",  # 288-row literal cell-dim broadcast x fix pairs
     "l_diversity_audit",  # 3-row literal l-threshold dim x QI classes
+    "tile_cache_working_set",  # 3-row k-dim + 1-row total anchor broadcasts
+    "rtree_quality_audit",  # page-metadata self-join (pages^2, never points^2)
+    "solar_daylength_cells",  # 12-row literal band dim x distinct days
 }
 
 
