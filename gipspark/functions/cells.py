@@ -200,5 +200,12 @@ def derived_lon(key: Column) -> Column:
     ) - F.lit(180.0)
 
 
-DERIVED_LAT_SQL = f"((cast({{k}} as bigint) * {LAT_MUL}) % {LAT_MOD})::double / 1000.0 - 60.0"
-DERIVED_LON_SQL = f"((cast({{k}} as bigint) * {LON_MUL}) % {LON_MOD})::double / 1000.0 - 180.0"
+# Self-parenthesized: these templates get embedded inside larger
+# expressions (e.g. "(90.0 - {lat})"), where an unwrapped trailing
+# "- 60.0" would silently rebind under SQL precedence.
+DERIVED_LAT_SQL = (
+    f"(((cast({{k}} as bigint) * {LAT_MUL}) % {LAT_MOD})::double / 1000.0 - 60.0)"
+)
+DERIVED_LON_SQL = (
+    f"(((cast({{k}} as bigint) * {LON_MUL}) % {LON_MOD})::double / 1000.0 - 180.0)"
+)

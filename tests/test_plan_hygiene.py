@@ -233,6 +233,9 @@ CROSS_OK |= {
     "tile_cache_working_set",  # 3-row k-dim + 1-row total anchor broadcasts
     "rtree_quality_audit",  # page-metadata self-join (pages^2, never points^2)
     "solar_daylength_cells",  # 12-row literal band dim x distinct days
+    "mobility_motifs_users",  # 1-row census-total anchor broadcast
+    "dasymetric_disaggregate_zones",  # 25-row nation-center broadcast x cells
+    "price_endings_parts",  # 1-row total anchor into the 100-ending table
 }
 
 
