@@ -236,6 +236,8 @@ CROSS_OK |= {
     "mobility_motifs_users",  # 1-row census-total anchor broadcast
     "dasymetric_disaggregate_zones",  # 25-row nation-center broadcast x cells
     "price_endings_parts",  # 1-row total anchor into the 100-ending table
+    "fca_accessibility_customers",  # bounded supplier-dim broadcast x customers (facility sibling)
+    "hypsometric_curve_cells",  # 11-row literal decile dim x ranked cell table
 }
 
 
