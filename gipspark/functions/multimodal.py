@@ -180,6 +180,65 @@ RESIZE_SCHEMA = StructType(
 )
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType()),
+        StructField("popcount", IntegerType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Average hash (aHash) perceptual fingerprint: decode →
+    box-downsample to grid×grid → threshold each cell against the
+    thumbnail mean → pack the grid² bits row-major MSB-first into one
+    signed int64 (two's complement for bit 63). The standard cheap
+    perceptual near-dup key (pHash's little sibling): small Hamming
+    distance ≈ visually-similar image, so exact-match on the hash (or
+    banded hamming join, the simhash machinery) dedups re-encoded
+    copies that byte-level md5 cannot. Same batched mapInPandas shape
+    as image_features — decode per row (the codec seam), hash math
+    vectorized across the (n, h, w) stack; narrow, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            frames = []
+            for w, h, ids, stack in _group_images(b):
+                ys = np.linspace(0, h, grid + 1).astype(int)
+                xs = np.linspace(0, w, grid + 1).astype(int)
+                f = stack.astype(np.float64)
+                sums = np.add.reduceat(np.add.reduceat(f, ys[:-1], axis=1), xs[:-1], axis=2)
+                rc = np.maximum(np.diff(ys), 1)
+                cc = np.maximum(np.diff(xs), 1)
+                thumbs = sums / (rc[:, None] * cc[None, :])
+                means = thumbs.mean(axis=(1, 2), keepdims=True)
+                bits = (thumbs > means).reshape(len(ids), grid * grid)
+                weights = np.left_shift(
+                    np.uint64(1), np.arange(grid * grid - 1, -1, -1, dtype=np.uint64)
+                )
+                with np.errstate(over="ignore"):
+                    hashes = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": ids,
+                            "ahash": hashes.astype(np.int64),
+                            "popcount": bits.sum(axis=1).astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {
+                    "media_id": pd.Series(dtype=np.int64),
+                    "ahash": pd.Series(dtype=np.int64),
+                    "popcount": pd.Series(dtype=np.int32),
+                }
+            )
+
+    return media.mapInPandas(run, AHASH_SCHEMA)
+
+
 def image_resize(media: DataFrame, target: int = 8) -> DataFrame:
     """Decode → box-downsample to target×target → re-serialize bytes."""
 

@@ -238,6 +238,7 @@ CROSS_OK |= {
     "price_endings_parts",  # 1-row total anchor into the 100-ending table
     "fca_accessibility_customers",  # bounded supplier-dim broadcast x customers (facility sibling)
     "hypsometric_curve_cells",  # 11-row literal decile dim x ranked cell table
+    "reach_frequency_curve_users",  # 5-row cap dim + 1-row total anchor broadcasts
 }
 
 
