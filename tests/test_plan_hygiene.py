@@ -239,6 +239,8 @@ CROSS_OK |= {
     "fca_accessibility_customers",  # bounded supplier-dim broadcast x customers (facility sibling)
     "hypsometric_curve_cells",  # 11-row literal decile dim x ranked cell table
     "reach_frequency_curve_users",  # 5-row cap dim + 1-row total anchor broadcasts
+    "group_kfold_assign",  # 1-row corpus-total anchor broadcast
+    "fixed_effects_slope_users",  # two 1-row moment folds cross-combined
 }
 
 
