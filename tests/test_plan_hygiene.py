@@ -241,6 +241,8 @@ CROSS_OK |= {
     "reach_frequency_curve_users",  # 5-row cap dim + 1-row total anchor broadcasts
     "group_kfold_assign",  # 1-row corpus-total anchor broadcast
     "fixed_effects_slope_users",  # two 1-row moment folds cross-combined
+    "order_aging_buckets",  # 4-row literal snapshot dim x open orders
+    "block_bootstrap_cells",  # 32-row rep dim x cell blocks (bounded fan-out)
 }
 
 
