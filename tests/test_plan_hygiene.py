@@ -243,6 +243,8 @@ CROSS_OK |= {
     "fixed_effects_slope_users",  # two 1-row moment folds cross-combined
     "order_aging_buckets",  # 4-row literal snapshot dim x open orders
     "block_bootstrap_cells",  # 32-row rep dim x cell blocks (bounded fan-out)
+    "grid_resolution_sweep",  # 4-row literal size dim x point table
+    "spatial_cloaking_levels",  # 4-row literal level dim x fixes (pyramid fan-out)
 }
 
 
