@@ -120,6 +120,15 @@ BENCH_QUERIES = [
     "holt_trend_cells",
     "cost_distance_cells",
     "pq_codebook_contract",
+    # round-4 session-6 representatives: register-propagation sketch,
+    # ordered-fold recursion, 3-layout file skipping, temporal BFS,
+    # reused-pair-list 2SFCA, array-HOF canonicalization
+    "hyperanf_links",
+    "kalman_smooth_daily",
+    "spatial_zonemap_audit",
+    "temporal_reachability_users",
+    "fca_accessibility_customers",
+    "mobility_motifs_users",
 ]
 
 

@@ -130,3 +130,43 @@ def test_image_resize_matches_scalar_reference(spark):
                     ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
                 ].mean()
         assert got[r.media_id] == thumb.tobytes()
+
+
+def test_image_ahash_matches_scalar_reference(spark):
+    media = M.synthetic_media_df(spark, 12)
+    grid = 8
+    got = {
+        r.media_id: (r.ahash, r.popcount)
+        for r in M.image_ahash(media, grid=grid).collect()
+    }
+    # scalar reference: per-image box-downsample -> mean threshold ->
+    # row-major MSB-first bit pack (two's-complement int64)
+    for r in media.collect():
+        if r.kind != "image":
+            continue
+        w, h = int(r.meta["width"]), int(r.meta["height"])
+        img = M._fake_decode_image(bytes(r.payload), w, h).astype(np.float64)
+        ys = np.linspace(0, h, grid + 1).astype(int)
+        xs = np.linspace(0, w, grid + 1).astype(int)
+        thumb = np.zeros((grid, grid))
+        for i in range(grid):
+            for j in range(grid):
+                thumb[i, j] = img[
+                    ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)
+                ].mean()
+        bits = (thumb > thumb.mean()).ravel()
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        expect = np.uint64(val).astype(np.int64)
+        assert got[r.media_id] == (expect, int(bits.sum()))
+
+
+def test_image_ahash_partitioning_invariant(spark):
+    media = M.synthetic_media_df(spark, 30)
+    a = {r.media_id: r.ahash for r in M.image_ahash(media).collect()}
+    b = {
+        r.media_id: r.ahash
+        for r in M.image_ahash(media.repartition(7)).collect()
+    }
+    assert a == b
