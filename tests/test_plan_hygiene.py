@@ -245,6 +245,9 @@ CROSS_OK |= {
     "block_bootstrap_cells",  # 32-row rep dim x cell blocks (bounded fan-out)
     "grid_resolution_sweep",  # 4-row literal size dim x point table
     "spatial_cloaking_levels",  # 4-row literal level dim x fixes (pyramid fan-out)
+    "topsis_suppliers",  # two 1-row anchor broadcasts (norms, ideal points)
+    "shift_share_nations",  # 1-row national-total anchor broadcast
+    "rollup_additivity_audit",  # two 1-row grand-total folds cross-combined
 }
 
 
