@@ -248,6 +248,9 @@ CROSS_OK |= {
     "topsis_suppliers",  # two 1-row anchor broadcasts (norms, ideal points)
     "shift_share_nations",  # 1-row national-total anchor broadcast
     "rollup_additivity_audit",  # two 1-row grand-total folds cross-combined
+    "rhumb_vs_greatcircle_routes",  # 25-center dim self-join (a<b pair spine)
+    "newsvendor_quantile_parts",  # 3-row ratio dim x ranked demand weeks
+    "fleiss_kappa_langid",  # three 1-row stat folds cross-combined
 }
 
 
