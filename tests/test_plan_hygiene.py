@@ -251,6 +251,8 @@ CROSS_OK |= {
     "rhumb_vs_greatcircle_routes",  # 25-center dim self-join (a<b pair spine)
     "newsvendor_quantile_parts",  # 3-row ratio dim x ranked demand weeks
     "fleiss_kappa_langid",  # three 1-row stat folds cross-combined
+    "tile_seam_audit_cells",  # grid-capped cell lattice self-join (<=1728 rows)
+    "jump_size_spectrum_users",  # 1-row total anchor broadcast
 }
 
 
