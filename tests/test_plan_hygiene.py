@@ -253,6 +253,8 @@ CROSS_OK |= {
     "fleiss_kappa_langid",  # three 1-row stat folds cross-combined
     "tile_seam_audit_cells",  # grid-capped cell lattice self-join (<=1728 rows)
     "jump_size_spectrum_users",  # 1-row total anchor broadcast
+    "bbit_minhash_contract",  # 32-row hash-index dim x bounded probe tokens
+    "lbp_texture_cells",  # 8-row literal offset dim x occupied cells (focal)
 }
 
 
