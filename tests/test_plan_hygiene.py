@@ -255,6 +255,7 @@ CROSS_OK |= {
     "jump_size_spectrum_users",  # 1-row total anchor broadcast
     "bbit_minhash_contract",  # 32-row hash-index dim x bounded probe tokens
     "lbp_texture_cells",  # 8-row literal offset dim x occupied cells (focal)
+    "stochastic_dominance_types",  # 1-row (na, nb) anchor broadcast into the CDF spine
 }
 
 
