@@ -256,6 +256,10 @@ CROSS_OK |= {
     "bbit_minhash_contract",  # 32-row hash-index dim x bounded probe tokens
     "lbp_texture_cells",  # 8-row literal offset dim x occupied cells (focal)
     "stochastic_dominance_types",  # 1-row (na, nb) anchor broadcast into the CDF spine
+    "dtw_banded_traj_pairs",  # 6-user trajectory-dim self-join (pair spine)
+    "unicity_mobility_users",  # 3-row m-dim broadcast x per-user picks
+    "german_tank_orders",  # two 1-row aggregates cross-combined
+    "quantile_regression_daily",  # 21-row slope grid x bounded day series
 }
 
 
