@@ -260,6 +260,8 @@ CROSS_OK |= {
     "unicity_mobility_users",  # 3-row m-dim broadcast x per-user picks
     "german_tank_orders",  # two 1-row aggregates cross-combined
     "quantile_regression_daily",  # 21-row slope grid x bounded day series
+    "winding_vs_evenodd_pip",  # 10-edge literal pentagram dim x points
+    "rational_approx_rates",  # 1-row corpus-total scalar in the share spine
 }
 
 
