@@ -262,6 +262,8 @@ CROSS_OK |= {
     "quantile_regression_daily",  # 21-row slope grid x bounded day series
     "winding_vs_evenodd_pip",  # 10-edge literal pentagram dim x points
     "rational_approx_rates",  # 1-row corpus-total scalar in the share spine
+    "coordinate_precision_audit",  # 3-row literal decimal dim x points
+    "equalized_odds_audit",  # 1-row extrema anchor broadcast into lang rows
 }
 
 
