@@ -264,6 +264,8 @@ CROSS_OK |= {
     "rational_approx_rates",  # 1-row corpus-total scalar in the share spine
     "coordinate_precision_audit",  # 3-row literal decimal dim x points
     "equalized_odds_audit",  # 1-row extrema anchor broadcast into lang rows
+    "birthday_collision_contract",  # 3-row bucket dim + 1-row total anchor
+    "median_of_medians_contract",  # two 1-row median anchors broadcast
 }
 
 
