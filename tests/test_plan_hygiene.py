@@ -266,6 +266,9 @@ CROSS_OK |= {
     "equalized_odds_audit",  # 1-row extrema anchor broadcast into lang rows
     "birthday_collision_contract",  # 3-row bucket dim + 1-row total anchor
     "median_of_medians_contract",  # two 1-row median anchors broadcast
+    "radix_quantile_contract",  # histogram/target anchors broadcast x value scan
+    "prefix_trie_stats_urls",  # 3-row literal depth dim x url strings
+    "bipartite_check_links",  # parity-frontier rounds + 1-row conflict anchor
 }
 
 
