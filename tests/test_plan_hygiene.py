@@ -269,6 +269,8 @@ CROSS_OK |= {
     "radix_quantile_contract",  # histogram/target anchors broadcast x value scan
     "prefix_trie_stats_urls",  # 3-row literal depth dim x url strings
     "bipartite_check_links",  # parity-frontier rounds + 1-row conflict anchor
+    "id_gap_ranges_orders",  # 1-row gap census anchor cross-combined
+    "day_boundary_sensitivity",  # 3-row literal offset dim x events
 }
 
 
