@@ -271,6 +271,7 @@ CROSS_OK |= {
     "bipartite_check_links",  # parity-frontier rounds + 1-row conflict anchor
     "id_gap_ranges_orders",  # 1-row gap census anchor cross-combined
     "day_boundary_sensitivity",  # 3-row literal offset dim x events
+    "cadence_break_alerts",  # 1-row corpus-end anchor broadcast
 }
 
 
