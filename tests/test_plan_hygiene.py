@@ -272,6 +272,7 @@ CROSS_OK |= {
     "id_gap_ranges_orders",  # 1-row gap census anchor cross-combined
     "day_boundary_sensitivity",  # 3-row literal offset dim x events
     "cadence_break_alerts",  # 1-row corpus-end anchor broadcast
+    "cell_freshness_census",  # 1-row corpus-end anchor broadcast
 }
 
 
