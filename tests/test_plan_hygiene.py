@@ -273,6 +273,7 @@ CROSS_OK |= {
     "day_boundary_sensitivity",  # 3-row literal offset dim x events
     "cadence_break_alerts",  # 1-row corpus-end anchor broadcast
     "cell_freshness_census",  # 1-row corpus-end anchor broadcast
+    "pagerank_damping_sweep",  # per-round 1-row combine on the bounded node dim
 }
 
 
