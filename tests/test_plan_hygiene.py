@@ -274,6 +274,7 @@ CROSS_OK |= {
     "cadence_break_alerts",  # 1-row corpus-end anchor broadcast
     "cell_freshness_census",  # 1-row corpus-end anchor broadcast
     "pagerank_damping_sweep",  # per-round 1-row combine on the bounded node dim
+    "quantile_method_contract",  # 9-row decile dim + 1-row n anchor broadcasts
 }
 
 
