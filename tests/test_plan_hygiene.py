@@ -275,6 +275,8 @@ CROSS_OK |= {
     "cell_freshness_census",  # 1-row corpus-end anchor broadcast
     "pagerank_damping_sweep",  # per-round 1-row combine on the bounded node dim
     "quantile_method_contract",  # 9-row decile dim + 1-row n anchor broadcasts
+    "rec_coverage_audit",  # 1-row catalog-size anchor broadcast
+    "ratio_aggregation_contract",  # 1-row median anchor broadcast
 }
 
 
