@@ -7,8 +7,8 @@
   tile assignment → per-(tile, poly) counts.
 - ``queries()`` / ``oracle_sql()``: the full operator registry lives in
   gipspark/queries.py — one entry per SURVEY.md §2 operator, DuckDB
-  oracle SQL for every SQL-expressible one (756 queries at round-4
-  close: 742 oracle-checked + 14 rows-only — ANN-approx, geo
+  oracle SQL for every SQL-expressible one (760 queries at round-4
+  close: 746 oracle-checked + 14 rows-only — ANN-approx, geo
   golden-vector, codec mapInPandas, RDP simplify, hull, Fréchet,
   Viterbi; parity verified by tools/check_oracle.py, artifact
   CORRECTNESS_local_r4.json).

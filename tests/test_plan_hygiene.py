@@ -277,6 +277,7 @@ CROSS_OK |= {
     "quantile_method_contract",  # 9-row decile dim + 1-row n anchor broadcasts
     "rec_coverage_audit",  # 1-row catalog-size anchor broadcast
     "ratio_aggregation_contract",  # 1-row median anchor broadcast
+    "edge_hygiene_census",  # three 1-row census folds cross-combined
 }
 
 
