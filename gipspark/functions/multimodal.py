@@ -40,6 +40,17 @@ from pyspark.sql.types import (
 
 FAKE_CODECS = os.environ.get("GIPSPARK_FAKE_CODECS", "1") != "0"
 
+# Real-codec branch, shipped conditionally (VERDICT r4 next-round #6):
+# if a future environment has Pillow, setting GIPSPARK_FAKE_CODECS=0
+# routes image decode through it — the path below is already written
+# and its tests activate automatically (pytest skips them while PIL is
+# absent). Audio/video decode still needs ffmpeg-class codecs and keeps
+# the NotImplementedError seam.
+try:  # pragma: no cover - exercised only where Pillow exists
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -74,6 +85,28 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return (px & np.uint64(0xFF)).astype(np.uint8).reshape(height, width)
 
 
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """The image-decode dispatch (the codec seam): fake codec by
+    default; with ``GIPSPARK_FAKE_CODECS=0`` routes through Pillow when
+    it is importable, else raises at the seam. The real branch decodes
+    to 8-bit grayscale and REQUIRES the decoded dims to match the meta
+    columns (meta is the schema authority the Spark-side grouping
+    stacks by) — a mismatch is a data error, not something to silently
+    resample away."""
+    if not FAKE_CODECS and _PILImage is not None:
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload)).convert("L")
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.shape != (height, width):
+            raise ValueError(
+                f"decoded image is {arr.shape[1]}x{arr.shape[0]} but meta "
+                f"says {width}x{height} — fix the meta columns upstream"
+            )
+        return arr
+    return _fake_decode_image(payload, width, height)
+
+
 def _fake_decode_audio(payload: bytes, n_samples: int) -> np.ndarray:
     if not FAKE_CODECS:
         raise NotImplementedError("real audio codec not available in this environment")
@@ -106,7 +139,7 @@ def _group_images(b: pd.DataFrame):
         h = int(r.meta["height"]) if r.meta["height"] else 32
         ids, imgs = groups.setdefault((w, h), ([], []))
         ids.append(r.media_id)
-        imgs.append(_fake_decode_image(r.payload, w, h))
+        imgs.append(_decode_image(r.payload, w, h))
     for (w, h), (ids, imgs) in groups.items():
         yield w, h, np.asarray(ids, dtype=np.int64), np.stack(imgs)
 
@@ -200,6 +233,13 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     copies that byte-level md5 cannot. Same batched mapInPandas shape
     as image_features — decode per row (the codec seam), hash math
     vectorized across the (n, h, w) stack; narrow, no shuffle."""
+    if grid * grid > 64:
+        raise ValueError(
+            f"image_ahash grid={grid}: grid*grid must be <= 64 — the "
+            "hash packs one bit per cell into a single int64; a larger "
+            "grid would shift past the word (undefined for uint64 "
+            "shifts >= 64) and silently produce garbage"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -21,6 +21,7 @@ point.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -202,6 +203,142 @@ def lsh_cosine_topk(
         .filter(F.col(q_id) != F.col(c_id))
         .select(q_id, q_vec, c_id, c_vec)
         .distinct()
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id).asc())
+    return (
+        cand.withColumn("sim", cosine_sim(F.col(q_vec), F.col(c_vec)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "sim", "rank")
+    )
+
+
+def _pq_codebooks(
+    corpus: DataFrame,
+    c_vec: str,
+    c_id: str,
+    n_subs: int,
+    n_codes: int,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 29,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks on a bounded, deterministic
+    driver-side sample of L2-NORMALIZED vectors (the _kmeans_centroids
+    reservoir discipline: smallest xxhash64(id) rows, invariant to
+    partitioning). Returns (n_subs, n_codes, subdim)."""
+    rows = (
+        corpus.select(c_vec, F.xxhash64(F.col(c_id)).alias("__h"))
+        .orderBy("__h")
+        .select(c_vec)
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    assert dim % n_subs == 0, f"dim {dim} not divisible into {n_subs} subspaces"
+    sd = dim // n_subs
+    rng = np.random.default_rng(seed)
+    books = np.zeros((n_subs, n_codes, sd))
+    for s in range(n_subs):
+        Xs = X[:, s * sd : (s + 1) * sd]
+        C = Xs[rng.choice(len(Xs), size=min(n_codes, len(Xs)), replace=False)]
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(C)):
+                m = assign == j
+                if m.any():
+                    C[j] = Xs[m].mean(axis=0)
+        books[s, : len(C)] = C
+    return books
+
+
+def pq_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_subs: int = 4,
+    n_codes: int = 8,
+    refine: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou, Douze & Schmid,
+    TPAMI'11 — public algorithm): per-subspace codebooks compress every
+    L2-normalized corpus vector to ``n_subs`` small codes; a query
+    scores candidates by asymmetric distance computation (ADC) — its
+    per-(subspace, code) dot-product lookup table is computed ONCE per
+    query as an array column, so each pair costs ``n_subs`` lookups
+    instead of a full-dim dot; the top ``refine``·k ADC candidates are
+    reranked by EXACT cosine and the final k emitted with the same
+    schema/tie-break as cosine_topk.
+
+    Scale shape: the codebooks are a broadcast-sized constant (bounded
+    driver-side sample, like IVF's coarse quantizer) shipped inside two
+    Arrow-vectorized pandas UDF closures — encode and LUT each run ONE
+    NumPy pass per Arrow batch (an n_subs·n_codes-wide unrolled
+    expression tree was ~25× slower: Catalyst analysis cost plus
+    interpreted higher-order functions per row); the ADC pair score
+    stays JVM-side (n_subs lookups). The scan is per-query O(N) but at
+    ~n_subs bytes of state per candidate — PQ is the COMPRESSION layer;
+    for sublinear candidate generation compose with ivf_cosine_topk's
+    lists (IVF-PQ), which this operator's encoded output joins against
+    unchanged. Recall is contract-asserted (ann_recall_contract), not
+    assumed."""
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    B = _pq_codebooks(corpus, c_vec, c_id, n_subs, n_codes)
+    sd = B.shape[2]
+    # per-(subspace, code) squared norms for the argmin identity
+    # |x−c|² minimized == (x·c − |c|²/2) maximized
+    c_half_sq = (B**2).sum(axis=2) / 2.0  # (n_subs, n_codes)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def pq_encode(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(X), n_subs), dtype=np.int32)
+        for s in range(n_subs):
+            scores = X[:, s * sd : (s + 1) * sd] @ B[s].T - c_half_sq[s]
+            codes[:, s] = scores.argmax(axis=1)
+        return pd.Series(list(codes))
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def pq_lut(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        luts = np.empty((len(X), n_subs * n_codes))
+        for s in range(n_subs):
+            luts[:, s * n_codes : (s + 1) * n_codes] = (
+                X[:, s * sd : (s + 1) * sd] @ B[s].T
+            )
+        return pd.Series(list(luts))
+
+    enc = corpus.select(c_id, c_vec, pq_encode(F.col(c_vec)).alias("__codes"))
+    q_l = queries.select(q_id, q_vec, pq_lut(F.col(q_vec)).alias("__lut"))
+
+    adc = sum(
+        (
+            F.element_at(
+                F.col("__lut"),
+                F.lit(s * n_codes) + F.element_at("__codes", s + 1) + F.lit(1),
+            )
+            for s in range(n_subs)
+        ),
+        F.lit(0.0),
+    )
+    w_adc = Window.partitionBy(q_id).orderBy(F.col("__adc").desc(), F.col(c_id).asc())
+    cand = (
+        F.broadcast(q_l)
+        .crossJoin(enc)
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("__adc", adc)
+        .withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= refine * k)
     )
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id).asc())
     return (

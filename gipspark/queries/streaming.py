@@ -1,0 +1,193 @@
+"""Registry family: streaming (split from the single-file registry; query names and behavior unchanged)."""
+
+from __future__ import annotations
+
+from gipspark.queries._base import (  # noqa: F401
+    DEC,
+    F,
+    Window,
+    load,
+    register,
+)
+
+
+
+@register(
+    "tumbling_window_counts",
+    """
+SELECT cast(floor(epoch(ts) / 300) * 300 as bigint) AS win_start_s, event_type,
+       count(*) AS n
+FROM events GROUP BY win_start_s, event_type
+""",
+)
+def tumbling_window_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            (F.unix_timestamp(F.col("win.start"))).cast("bigint").alias("win_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+
+@register(
+    "sliding_window_counts",
+    # 10-minute windows sliding by 5: every event lands in exactly the
+    # two windows starting at floor(t/300)*300 and that minus 300
+    """
+SELECT ws AS win_start_s, event_type, count(*) AS n FROM (
+  SELECT unnest([cast(floor(epoch(ts) / 300) * 300 as bigint),
+                 cast(floor(epoch(ts) / 300) * 300 - 300 as bigint)]) AS ws,
+         event_type
+  FROM events)
+GROUP BY ws, event_type
+""",
+)
+def sliding_window_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).cast("bigint").alias("win_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+
+@register(
+    "session_window_batch",
+    # session = maximal run of per-user events with gaps < 30 min;
+    # lag/cumsum derivation mirrors F.session_window's merge semantics
+    """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g)
+SELECT user_id, epoch_us(min(ts)) AS sess_start_us, count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+FROM s GROUP BY user_id, sess
+""",
+)
+def session_window_batch(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sess.start").cast("timestamp")).alias("sess_start_us"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+
+@register(
+    "stream_join_attribution",
+    """
+WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id FROM events
+      WHERE event_type = 'purchase')
+SELECT p.purchase_id, c.click_id, p.user_id,
+       cast((epoch_us(p.purchase_ts) - epoch_us(c.click_ts)) // 1000000 as bigint) AS gap_s
+FROM p JOIN c ON p.user_id = c.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 24 HOUR
+""",
+)
+def stream_join_attribution(spark, sf_dir):
+    """Batch-mode execution of the stream-stream attribution join's
+    logical plan (streaming/events.stream_stream_attribution runs the
+    identical condition incrementally with watermark-bounded state;
+    exact stream==batch equality is pytested with time-ordered
+    arrival). gap_s uses integer microsecond arithmetic so both
+    engines floor identically."""
+    from gipspark.streaming.events import stream_stream_attribution
+
+    ev = load(spark, sf_dir, "events")
+    out = stream_stream_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        # NTZ ts → timestamp is exact here: session tz is pinned UTC
+        # (gipspark/session.py) so the reinterpretation is offset-free
+        F.expr(
+            "cast((unix_micros(cast(purchase_ts as timestamp))"
+            " - unix_micros(cast(click_ts as timestamp))) div 1000000 as bigint)"
+        ).alias("gap_s"),
+    )
+
+
+
+@register(
+    "sliding_rate_window_events",
+    """
+WITH es AS (
+  SELECT event_id, user_id,
+         cast(epoch_us(ts) // 1000000 as bigint) AS sec,
+         cast(value as decimal(18,2)) AS v
+  FROM events
+)
+SELECT event_id, user_id, sec,
+       cast(count(*) OVER (PARTITION BY user_id ORDER BY sec
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as bigint) AS n_trailing_1h,
+       cast(sum(v) OVER (PARTITION BY user_id ORDER BY sec
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as double) AS v_trailing_1h
+FROM es ORDER BY event_id
+""",
+)
+def sliding_rate_window_events(spark, sf_dir):
+    """Per-event trailing-hour rate via a time-RANGE window frame —
+    "how many events (and how much value) did this user produce in the
+    3600 s ending now", the per-event feature behind rate limiting and
+    velocity rules. A RANGE frame is semantically different from the
+    ROW frames of trailing_window_features: it is defined by the SECOND
+    axis, includes ALL peers at equal timestamps regardless of row
+    order (which is what makes it deterministic under ties), and
+    shrinks/stretches with event density. Seconds are exact integers
+    (epoch_us // 10⁶) and the value sum decimal(18,2) — no float
+    reduction. Scale shape: one user-partitioned range-frame window —
+    shuffle ∝ events once, Spark plans a single WindowExec with a
+    sliding frame, no self-join materialization of the band."""
+    e = load(spark, sf_dir, "events")
+    es = e.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "cast(unix_micros(cast(ts as timestamp)) div 1000000 as bigint)"
+        ).alias("sec"),
+        F.col("value").cast(DEC).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return es.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.count("*").over(w).cast("long").alias("n_trailing_1h"),
+        F.sum("v").over(w).cast("double").alias("v_trailing_1h"),
+    ).orderBy("event_id")
+

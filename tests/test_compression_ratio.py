@@ -14,12 +14,15 @@ def test_matches_direct_zlib_and_orders_repetition(spark):
     }
     df = spark.createDataFrame([(k, v) for k, v in texts.items()], "doc_id long, text string")
 
-    import gipspark.queries as Q
+    import sys
+
+    fn = REGISTRY["compression_ratio_docs"][0]
+    Q = sys.modules[fn.__module__]  # the family module whose globals the fn reads
 
     orig_load = Q.load
     Q.load = lambda s, sf, name: df  # route the registry fn at this frame
     try:
-        out = {r.doc_id: r for r in REGISTRY["compression_ratio_docs"][0](spark, "ignored").collect()}
+        out = {r.doc_id: r for r in fn(spark, "ignored").collect()}
     finally:
         Q.load = orig_load
 

@@ -5,6 +5,7 @@ module docstring); these tests pin the *Spark-side* contract a real
 codec would inherit unchanged."""
 
 import numpy as np
+import pytest
 
 from gipspark.functions import multimodal as M
 
@@ -76,6 +77,77 @@ def test_stub_seam_raises_without_fake_codecs(monkeypatch):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_decode_dispatch_without_pil_raises(monkeypatch):
+    """With fakes off and Pillow absent, the DISPATCH raises at the
+    seam too (the real branch must never be silently skipped)."""
+    monkeypatch.setattr(M, "FAKE_CODECS", False)
+    monkeypatch.setattr(M, "_PILImage", None)
+    try:
+        M._decode_image(b"x", 4, 4)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+@pytest.mark.skipif(M._PILImage is None, reason="Pillow not installed")
+def test_real_pil_decode_roundtrip(monkeypatch):
+    """Real-codec branch (activates automatically when Pillow exists,
+    VERDICT r4 next-round #6): a PNG-encoded known grayscale array must
+    decode back bit-exact, and a meta-dims mismatch must raise."""
+    import io
+
+    monkeypatch.setattr(M, "FAKE_CODECS", False)
+    arr = (np.arange(24 * 32, dtype=np.uint64) * 37 % 251).astype(np.uint8).reshape(24, 32)
+    buf = io.BytesIO()
+    M._PILImage.fromarray(arr, mode="L").save(buf, format="PNG")
+    payload = buf.getvalue()
+    got = M._decode_image(payload, 32, 24)
+    assert got.dtype == np.uint8 and got.shape == (24, 32)
+    assert np.array_equal(got, arr)
+    try:
+        M._decode_image(payload, 16, 16)
+        raise AssertionError("expected ValueError on meta mismatch")
+    except ValueError:
+        pass
+
+
+@pytest.mark.skipif(M._PILImage is None, reason="Pillow not installed")
+def test_real_pil_group_images_stacks_decoded_arrays(monkeypatch):
+    """The decode+stack plumbing is codec-agnostic: with real PNG
+    payloads and fakes off, _group_images (the exact code path every
+    image op's mapInPandas kernel runs per Arrow batch) yields the
+    PIL-decoded arrays stacked by shape group. Tested on the pandas
+    batch directly — a driver-side monkeypatch cannot reach forked
+    Python workers, so the Spark roundtrip is covered by the fake-codec
+    tests and the kernel by this one."""
+    import io
+
+    import pandas as pd
+
+    monkeypatch.setattr(M, "FAKE_CODECS", False)
+    arrs, rows = [], []
+    for i in range(6):
+        w, h = (32, 24) if i % 2 == 0 else (16, 16)
+        arr = ((np.arange(h * w, dtype=np.uint64) * (i + 3)) % 256).astype(np.uint8).reshape(h, w)
+        buf = io.BytesIO()
+        M._PILImage.fromarray(arr, mode="L").save(buf, format="PNG")
+        arrs.append(arr)
+        rows.append(
+            {"media_id": i, "kind": "image", "payload": buf.getvalue(),
+             "meta": {"width": w, "height": h, "sample_rate": None, "n_frames": None}}
+        )
+    batch = pd.DataFrame(rows)
+    got = {}
+    for w, h, ids, stack in M._group_images(batch):
+        for mid, img in zip(ids, stack):
+            got[int(mid)] = (w, h, img)
+    assert set(got) == set(range(6))
+    for i, arr in enumerate(arrs):
+        w, h, img = got[i]
+        assert (h, w) == arr.shape
+        assert np.array_equal(img, arr)
 
 
 def _scalar_image_reference(media_rows, bins=16):
