@@ -89,3 +89,24 @@ def bpe_oracle_init(tok_expr: str) -> str:
 
 def bpe_count_col(tok: Column) -> Column:
     return bpe_token_count(tok)
+
+
+def bpe_token_count_at(n_merges: int):
+    """UDF factory: token count under the FIRST ``n_merges`` merges only
+    (prefixes of a learned merge table are themselves valid learned
+    tables — training is sequential). Powers the vocab-size curve."""
+    merges = MERGES[:n_merges]
+
+    @F.pandas_udf(LongType())
+    def count_at(tokens: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def count(w: str) -> int:
+            c = memo.get(w)
+            if c is None:
+                c = memo[w] = len(bpe_apply(w, merges))
+            return c
+
+        return tokens.map(count).astype("int64")
+
+    return count_at

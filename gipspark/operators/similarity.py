@@ -347,3 +347,110 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "sim", "rank")
     )
+
+
+def ivfpq_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 12,
+    n_subs: int = 8,
+    n_codes: int = 32,
+    refine: int = 32,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed approximate top-k — the actual 10^12-row shape
+    (Jégou et al. TPAMI'11 §IV): the IVF coarse quantizer prunes the
+    candidate set to the query's ``n_probe`` inverted lists
+    (sublinear: shuffle volume = probed-list occupancy, never the
+    corpus), and WITHIN those lists candidates are scored by the PQ
+    ADC lookup (n_subs adds per pair over n_subs-byte codes instead of
+    a full-dim dot) before the exact-cosine refine of the top
+    ``refine``·k. Pure PQ scans everything cheaply; pure IVF scores
+    survivors expensively; the composition is what FAISS ships as
+    IVFPQ and is the configuration a 100 TB embedding table would run.
+    Codebooks and centroids are bounded driver-side samples; encode and
+    LUT are the same Arrow-vectorized kernels as pq_cosine_topk.
+    Recall is gated by ann_recall_contract's floor alongside the other
+    approximate families."""
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    C = _kmeans_centroids(corpus, c_vec, n_centroids, c_id=c_id)
+    B = _pq_codebooks(corpus, c_vec, c_id, n_subs, n_codes)
+    sd = B.shape[2]
+    c_half_sq = (B**2).sum(axis=2) / 2.0
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def ivf_lists_and_codes(vecs: pd.Series) -> pd.Series:
+        """[nearest_list, code_0..code_{n_subs-1}] in one Arrow pass."""
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(X), 1 + n_subs), dtype=np.int32)
+        out[:, 0] = (X @ C.T).argmax(axis=1)
+        for s in range(n_subs):
+            out[:, 1 + s] = (
+                X[:, s * sd : (s + 1) * sd] @ B[s].T - c_half_sq[s]
+            ).argmax(axis=1)
+        return pd.Series(list(out))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def q_probe_lists(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ C.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def q_lut(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        luts = np.empty((len(X), n_subs * n_codes))
+        for s in range(n_subs):
+            luts[:, s * n_codes : (s + 1) * n_codes] = (
+                X[:, s * sd : (s + 1) * sd] @ B[s].T
+            )
+        return pd.Series(list(luts))
+
+    enc = corpus.select(
+        c_id, c_vec, ivf_lists_and_codes(F.col(c_vec)).alias("__lc")
+    ).select(
+        c_id,
+        c_vec,
+        F.element_at("__lc", 1).alias("__list"),
+        F.slice("__lc", 2, n_subs).alias("__codes"),
+    )
+    q_l = queries.select(
+        q_id,
+        q_vec,
+        q_lut(F.col(q_vec)).alias("__lut"),
+        F.explode(q_probe_lists(F.col(q_vec))).alias("__list"),
+    )
+    adc = sum(
+        (
+            F.element_at(
+                F.col("__lut"),
+                F.lit(s * n_codes) + F.element_at("__codes", s + 1) + F.lit(1),
+            )
+            for s in range(n_subs)
+        ),
+        F.lit(0.0),
+    )
+    w_adc = Window.partitionBy(q_id).orderBy(F.col("__adc").desc(), F.col(c_id).asc())
+    cand = (
+        q_l.join(enc, on="__list")
+        .filter(F.col(q_id) != F.col(c_id))
+        .withColumn("__adc", adc)
+        .withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= refine * k)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(c_id).asc())
+    return (
+        cand.withColumn("sim", cosine_sim(F.col(q_vec), F.col(c_vec)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "sim", "rank")
+    )

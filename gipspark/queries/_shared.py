@@ -126,7 +126,7 @@ SELECT m.method, k.k,
             ELSE (SELECT brute_pairs FROM b5) END AS brute_pairs,
        cast({_ANN_FLOOR_PCT} as bigint) AS floor_pct,
        TRUE AS floor_met
-FROM (VALUES ('ivf'), ('lsh'), ('pq')) AS m(method)
+FROM (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')) AS m(method)
 CROSS JOIN (VALUES (cast(3 as bigint)), (cast(5 as bigint))) AS k(k)
 ORDER BY method, k
 """

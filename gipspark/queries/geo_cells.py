@@ -7495,3 +7495,81 @@ def quantile_method_contract(spark, sf_dir):
         F.abs(F.col("v_nearest") - F.col("v_lo")).cast("long").alias("method_gap_cents"),
     ).orderBy("decile")
 
+
+
+def _rle_raster_oracle_sql() -> str:
+    """Embed the deterministic raster BANDS (floor(value), integer) as a
+    VALUES table — both sides derive from the same pure generator
+    (fixtures.raster_tile_pdf), the _zonal_raster_oracle_sql pattern —
+    then count scanline runs with a lag window."""
+    import math
+
+    from gipspark.sources.fixtures import raster_tile_pdf
+
+    rows = []
+    for t in _RASTER_TILES:
+        pdf = raster_tile_pdf(t, _RASTER_PX)
+        for ix, iy, val in zip(pdf["ix"], pdf["iy"], pdf["value"]):
+            rows.append(f"('{t}',{int(ix)},{int(iy)},{math.floor(val)})")
+    px_values = "(VALUES " + ",".join(rows) + ") AS t(tile_id, ix, iy, band)"
+    return f"""
+WITH px AS (SELECT * FROM {px_values}),
+runs AS (
+  SELECT tile_id,
+         CASE WHEN lag(band) OVER w IS NULL OR band != lag(band) OVER w
+              THEN 1 ELSE 0 END AS run_start
+  FROM px
+  WINDOW w AS (PARTITION BY tile_id, iy ORDER BY ix)
+)
+SELECT tile_id,
+       cast(count(*) as bigint) AS n_px,
+       cast(sum(run_start) as bigint) AS n_runs,
+       cast(2 * sum(run_start) as bigint) AS rle_bytes,
+       cast(count(*) as bigint) AS raw_bytes,
+       cast(2 * sum(run_start) * 1000000 // count(*) as bigint) AS ratio_micro
+FROM runs GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+@register("rle_raster_audit", _rle_raster_oracle_sql())
+def rle_raster_audit(spark, sf_dir):
+    """Scanline run-length-encoding audit for raster tiles (r5): price
+    each tile's banded pixels (band = floor(value), one byte) under
+    per-row RLE — runs restart at every scanline, (band, length) pairs
+    at 2 bytes per run — against 1-byte-per-pixel raw. The raster twin
+    of encoding_advisor_lineitem: smooth fields RLE 3-10×, noisy
+    tiles approach 2 bytes/px WORSE than raw, and this census is how a
+    tile pipeline decides per-tile between RLE, bit-packing, and raw
+    (the GeoTIFF/COG predictor choice). Exact: integer bands, one lag
+    window partitioned by (tile, scanline) — run boundaries never cross
+    rows, so partitioning is also the correctness contract — and one
+    hash agg per tile. Scale shape: narrow over the raster table,
+    shuffle on (tile_id, iy) only."""
+    from gipspark.sources.fixtures import raster_cells_df
+
+    px = raster_cells_df(spark, _RASTER_TILES, _RASTER_PX).select(
+        "tile_id", "ix", "iy", F.floor("value").cast("long").alias("band")
+    )
+    w = Window.partitionBy("tile_id", "iy").orderBy("ix")
+    runs = px.select(
+        "tile_id",
+        F.when(
+            F.lag("band").over(w).isNull() | (F.col("band") != F.lag("band").over(w)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("run_start"),
+    )
+    return (
+        runs.groupBy("tile_id")
+        .agg(
+            F.count("*").cast("long").alias("n_px"),
+            F.sum("run_start").cast("long").alias("n_runs"),
+            (2 * F.sum("run_start")).cast("long").alias("rle_bytes"),
+            F.count("*").cast("long").alias("raw_bytes"),
+            F.expr(
+                "cast((2 * sum(run_start) * 1000000) div count(*) as bigint)"
+            ).alias("ratio_micro"),
+        )
+        .orderBy("tile_id")
+    )

@@ -1656,3 +1656,82 @@ def spatial_cloaking_levels(spark, sf_dir):
         .orderBy("finest_safe_level")
     )
 
+
+
+@register(
+    "bbox_wkt_nations",
+    f"""
+WITH pts AS (
+  SELECT c_nationkey,
+         cast(floor({_LON.format(k='c_custkey')} * 1000000) as bigint) AS xm,
+         cast(floor({_LAT.format(k='c_custkey')} * 1000000) as bigint) AS ym
+  FROM customer
+), env AS (
+  SELECT c_nationkey, min(xm) AS x0, min(ym) AS y0, max(xm) AS x1, max(ym) AS y1,
+         cast(count(*) as bigint) AS n_pts
+  FROM pts GROUP BY c_nationkey
+), f AS (
+  SELECT *,
+    CASE WHEN x0 < 0 THEN '-' ELSE '' END || cast(abs(x0) // 1000000 as varchar) || '.' || lpad(cast(abs(x0) % 1000000 as varchar), 6, '0') AS sx0,
+    CASE WHEN y0 < 0 THEN '-' ELSE '' END || cast(abs(y0) // 1000000 as varchar) || '.' || lpad(cast(abs(y0) % 1000000 as varchar), 6, '0') AS sy0,
+    CASE WHEN x1 < 0 THEN '-' ELSE '' END || cast(abs(x1) // 1000000 as varchar) || '.' || lpad(cast(abs(x1) % 1000000 as varchar), 6, '0') AS sx1,
+    CASE WHEN y1 < 0 THEN '-' ELSE '' END || cast(abs(y1) // 1000000 as varchar) || '.' || lpad(cast(abs(y1) % 1000000 as varchar), 6, '0') AS sy1
+  FROM env
+)
+SELECT cast(c_nationkey as bigint) AS nationkey, n_pts,
+       'POLYGON((' || sx0 || ' ' || sy0 || ',' || sx1 || ' ' || sy0 || ','
+                   || sx1 || ' ' || sy1 || ',' || sx0 || ' ' || sy1 || ','
+                   || sx0 || ' ' || sy0 || '))' AS wkt
+FROM f ORDER BY nationkey
+""",
+)
+def bbox_wkt_nations(spark, sf_dir):
+    """WKT envelope writer (r5): per-nation bounding box of the derived
+    customer points emitted as an OGC ``POLYGON`` string — the interop
+    surface every GIS consumer (PostGIS, GDAL, Shapely, BigQuery GEO)
+    reads. The serialization itself is the thing under test, so the
+    WKT STRING is an output column and the driver's value hash proves
+    BYTE parity: coordinates go through integer micro-degrees
+    (floor(deg·1e6)) and are formatted by pure integer div/mod +
+    lpad — never %f, whose half-even-vs-half-up tie handling differs
+    between Java's Formatter and C printf. Ring follows the WKT
+    closed-ring convention (first vertex repeated), CCW from the
+    lower-left. Scale shape: one hash agg (envelope) per nation + a
+    string projection — dim-bounded output."""
+    pts = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(C.derived_lon(F.col("c_custkey")) * 1000000).cast("long").alias("xm"),
+        F.floor(C.derived_lat(F.col("c_custkey")) * 1000000).cast("long").alias("ym"),
+    )
+    env = pts.groupBy("c_nationkey").agg(
+        F.min("xm").alias("x0"),
+        F.min("ym").alias("y0"),
+        F.max("xm").alias("x1"),
+        F.max("ym").alias("y1"),
+        F.count("*").cast("long").alias("n_pts"),
+    )
+
+    def fmt(name: str):
+        # pure integer formatting: sign + div + '.' + zero-padded mod
+        return F.concat(
+            F.when(F.col(name) < 0, F.lit("-")).otherwise(F.lit("")),
+            F.expr(f"cast(abs({name}) div 1000000 as string)"),
+            F.lit("."),
+            F.lpad(F.expr(f"cast(abs({name}) % 1000000 as string)"), 6, "0"),
+        )
+
+    sx0, sy0, sx1, sy1 = (fmt(c) for c in ("x0", "y0", "x1", "y1"))
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        sx0, F.lit(" "), sy0, F.lit(","),
+        sx1, F.lit(" "), sy0, F.lit(","),
+        sx1, F.lit(" "), sy1, F.lit(","),
+        sx0, F.lit(" "), sy1, F.lit(","),
+        sx0, F.lit(" "), sy0,
+        F.lit("))"),
+    )
+    return env.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "n_pts",
+        wkt.alias("wkt"),
+    ).orderBy("nationkey")

@@ -7066,3 +7066,82 @@ def doc_hygiene_census(spark, sf_dir):
         .orderBy("source")
     )
 
+
+
+def _bpe_curve_oracle_sql() -> str:
+    from gipspark.functions.bpe import bpe_oracle_init
+    from gipspark.functions.bpe_merges import MERGES
+
+    def chain_at(r: int) -> str:
+        def wrap(t: str) -> str:
+            return f"chr(2)||'{t}'||chr(3)"
+
+        expr = bpe_oracle_init("tok")
+        for a, b in MERGES[:r]:
+            expr = f"replace({expr}, {wrap(a)}||{wrap(b)}, {wrap(a + b)})"
+        return expr
+
+    checkpoints = sorted({0, len(MERGES) // 4, len(MERGES) // 2, len(MERGES)})
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS n_merges,
+       cast(sum(length({chain_at(r)}) - length(replace({chain_at(r)}, chr(2), ''))) as bigint)
+         AS total_tokens,
+       cast(sum(length(tok)) as bigint) AS total_chars
+FROM toks"""
+        for r in checkpoints
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, $${BPE_PATTERN}$$)) AS tok
+  FROM documents WHERE doc_id < 300
+)
+SELECT n_merges, total_tokens, total_chars,
+       cast(total_tokens * 1000 // total_chars as bigint) AS tokens_per_kchar
+FROM ({arms}) ORDER BY n_merges
+"""
+
+
+@register("bpe_vocab_curve", _bpe_curve_oracle_sql())
+def bpe_vocab_curve(spark, sf_dir):
+    """BPE vocab-size curve (r5, the sibling of bpe_merge_token_counts):
+    corpus token count under PREFIXES of the committed merge table
+    (0 / quarter / half / full merges — prefixes of a learned table are
+    themselves valid learned tables because training is sequential).
+    This is the compression-vs-vocab trade every tokenizer choice walks:
+    tokens-per-kilochar falls as merges accumulate and the knee says
+    where extra vocab stops paying. Bit-exact both sides — the oracle
+    replays each truncated chain with the same wrapped-encoding replace
+    trick. Scale shape: one explode + one Arrow UDF pass per
+    checkpoint arm + a 4-row union of scalar aggregates; memoized per
+    batch over unique pre-tokens."""
+    from gipspark.functions.bpe import bpe_token_count_at
+    from gipspark.functions.bpe_merges import MERGES
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+        ).alias("tok")
+    )
+    checkpoints = sorted({0, len(MERGES) // 4, len(MERGES) // 2, len(MERGES)})
+    arms = []
+    for r in checkpoints:
+        cnt = bpe_token_count_at(r)
+        arms.append(
+            toks.agg(
+                F.lit(r).cast("long").alias("n_merges"),
+                F.sum(cnt(F.col("tok"))).cast("long").alias("total_tokens"),
+                F.sum(F.length("tok")).cast("long").alias("total_chars"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.select(
+        "n_merges",
+        "total_tokens",
+        "total_chars",
+        F.expr("cast((total_tokens * 1000) div total_chars as bigint)").alias(
+            "tokens_per_kchar"
+        ),
+    ).orderBy("n_merges")

@@ -1134,3 +1134,93 @@ def unicity_mobility_users(spark, sf_dir):
         .orderBy("n_points")
     )
 
+
+
+@register(
+    "polyline_varint_users",
+    f"""
+WITH fixes AS (
+  SELECT user_id,
+         cast(floor({_LAT.format(k='event_id')} * 100000) as bigint) AS qlat,
+         cast(floor({_LON.format(k='event_id')} * 100000) as bigint) AS qlon,
+         ts, event_id
+  FROM events
+), deltas AS (
+  SELECT user_id,
+         coalesce(qlat - lag(qlat) OVER w, qlat) AS dlat,
+         coalesce(qlon - lag(qlon) OVER w, qlon) AS dlon
+  FROM fixes
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), zz AS (
+  SELECT user_id,
+         CASE WHEN dlat >= 0 THEN 2 * dlat ELSE -2 * dlat - 1 END AS zlat,
+         CASE WHEN dlon >= 0 THEN 2 * dlon ELSE -2 * dlon - 1 END AS zlon
+  FROM deltas
+), sized AS (
+  SELECT user_id,
+         (length(bin(zlat)) + 4) // 5 + (length(bin(zlon)) + 4) // 5 AS b
+  FROM zz
+)
+SELECT user_id,
+       cast(count(*) as bigint) AS n_points,
+       cast(16 * count(*) as bigint) AS raw_bytes,
+       cast(sum(b) as bigint) AS poly_bytes,
+       cast(sum(b) * 1000000 // (16 * count(*)) as bigint) AS ratio_micro
+FROM sized GROUP BY user_id ORDER BY user_id
+""",
+)
+def polyline_varint_users(spark, sf_dir):
+    """Encoded-polyline storage pricing (r5): per-user trajectory cost
+    under the Google Encoded Polyline scheme's integer core — fixes
+    quantized to 1e-5° (floor quantization, identical both engines),
+    per-axis deltas with the first fix absolute, zigzag mapping
+    (v≥0 → 2v, v<0 → −2v−1), and varint length in 5-bit groups,
+    ceil(bitlen/5) bytes per value — against the 16-byte raw float64
+    pair. The compression pricing every tile-server / mobility-export
+    pipeline does before choosing a wire format; deltas after
+    quantization are small, so typical fixes cost 2-4 bytes not 16.
+    Libm-free: bit length via length(bin(z)) — Spark's bin() and
+    DuckDB's bin() agree digit-for-digit on non-negative int64 (zigzag
+    output is non-negative by construction). Scale shape: one
+    user-partitioned lag window + one hash agg — shuffle on user_id
+    only."""
+    ev = load(spark, sf_dir, "events")
+    fixes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(C.derived_lat(F.col("event_id")) * 100000).cast("long").alias("qlat"),
+        F.floor(C.derived_lon(F.col("event_id")) * 100000).cast("long").alias("qlon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = fixes.select(
+        "user_id",
+        F.coalesce(F.col("qlat") - F.lag("qlat").over(w), F.col("qlat")).alias("dlat"),
+        F.coalesce(F.col("qlon") - F.lag("qlon").over(w), F.col("qlon")).alias("dlon"),
+    )
+
+    def zigzag(c):
+        return F.when(c >= 0, 2 * c).otherwise(-2 * c - 1)
+
+    def vbytes(z):
+        return (F.length(F.bin(z)) + F.lit(4)).cast("long") / F.lit(5)
+
+    sized = deltas.select(
+        "user_id",
+        (
+            F.floor(vbytes(zigzag(F.col("dlat"))))
+            + F.floor(vbytes(zigzag(F.col("dlon"))))
+        ).cast("long").alias("b"),
+    )
+    return (
+        sized.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            (16 * F.count("*")).cast("long").alias("raw_bytes"),
+            F.sum("b").cast("long").alias("poly_bytes"),
+            F.expr("cast((sum(b) * 1000000) div (16 * count(*)) as bigint)").alias(
+                "ratio_micro"
+            ),
+        )
+        .orderBy("user_id")
+    )
