@@ -308,3 +308,60 @@ def test_ivf_invariant_to_partitioning(spark):
         ).collect()
     )
     assert a == b
+
+
+def _clustered_vectors(spark, seed=9, n_centers=16, per=12, noise=0.05):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_centers, 64))
+    rows = []
+    vid = 0
+    for c in range(n_centers):
+        for _ in range(per):
+            v = centers[c] + rng.standard_normal(64) * noise
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id % 12 = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return q, df
+
+
+def test_pq_recall_on_clustered_vectors(spark):
+    from gipspark.operators.similarity import pq_cosine_topk
+
+    q, df = _clustered_vectors(spark)
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(q, df, k=5).collect()}
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in pq_cosine_topk(q, df, k=5, n_subs=8, n_codes=32, refine=24).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_ivfpq_recall_on_clustered_vectors(spark):
+    from gipspark.operators.similarity import ivfpq_cosine_topk
+
+    q, df = _clustered_vectors(spark)
+    exact = {(r.q_id, r.vec_id) for r in cosine_topk(q, df, k=5).collect()}
+    approx = {
+        (r.q_id, r.vec_id) for r in ivfpq_cosine_topk(q, df, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_pq_invariant_to_partitioning(spark):
+    from gipspark.operators.similarity import pq_cosine_topk
+
+    q, df = _clustered_vectors(spark, seed=11)
+    a = sorted(
+        (r.q_id, r.vec_id, r.rank)
+        for r in pq_cosine_topk(q, df, k=3).collect()
+    )
+    b = sorted(
+        (r.q_id, r.vec_id, r.rank)
+        for r in pq_cosine_topk(q.repartition(7), df.repartition(5), k=3).collect()
+    )
+    assert a == b
