@@ -2461,11 +2461,11 @@ WITH daily AS (
   FROM events GROUP BY d
 ), framed AS (
   SELECT d, y, tie_key,
-         sum(y) OVER (ORDER BY tie_key
+         sum(y) OVER (ORDER BY tie_key, d
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rows_sum,
          sum(y) OVER (ORDER BY tie_key
                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS range_sum,
-         count(*) OVER (ORDER BY tie_key
+         count(*) OVER (ORDER BY tie_key, d
                         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS rows_win,
          count(*) OVER (ORDER BY tie_key
                         RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS range_win
@@ -2492,18 +2492,26 @@ def frame_semantics_contract(spark, sf_dir):
     counts divergent rows and the worst peer-lookahead — nonzero BY
     DESIGN here, identical in both engines, zero only when the
     ordering key is unique (which is exactly the review rule:
-    cumulative frames demand a total order). One agg + four windows
-    on the bounded day table."""
+    cumulative frames demand a total order). The ROWS frames
+    themselves order by (tie_key, d) — the pinned tie-break the rule
+    demands — because a ROWS frame over the bare tied key is
+    shuffle-order-NONDETERMINISTIC, which is the very bug under
+    measurement (it cost this query a value-hash flake in the round-5
+    sweep before the pin); the RANGE frames stay on the bare key,
+    whose peer semantics make them deterministic. One agg + four
+    windows on the bounded day table."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.expr("unix_timestamp(ts) div 86400").alias("d")).agg(
         F.count("*").cast("long").alias("y"),
         (F.count("*") % 3).cast("long").alias("tie_key"),
     )
-    w_rows = Window.orderBy("tie_key").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rows = Window.orderBy("tie_key", "d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     w_range = Window.orderBy("tie_key").rangeBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    w_rows_b = Window.orderBy("tie_key").rowsBetween(-1, 1)
+    w_rows_b = Window.orderBy("tie_key", "d").rowsBetween(-1, 1)
     w_range_b = Window.orderBy("tie_key").rangeBetween(-1, 1)
     framed = daily.select(
         "d",

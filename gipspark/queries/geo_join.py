@@ -1735,3 +1735,100 @@ def bbox_wkt_nations(spark, sf_dir):
         "n_pts",
         wkt.alias("wkt"),
     ).orderBy("nationkey")
+
+
+_BOWTIE = [(-60.0, -30.0), (60.0, 30.0), (60.0, -30.0), (-60.0, 30.0), (-60.0, -30.0)]
+
+
+def _bowtie_edges_sql() -> str:
+    rows = ",".join(
+        f"({x1!r},{y1!r},{x2!r},{y2!r})"
+        for (x1, y1), (x2, y2) in zip(_BOWTIE[:-1], _BOWTIE[1:])
+    )
+    return f"(VALUES {rows}) AS e(x1, y1, x2, y2)"
+
+
+@register(
+    "fill_rule_contract",
+    f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), cr AS (
+  SELECT p.c_custkey,
+         count(*) AS n_cross,
+         sum(CASE WHEN e.y2 > e.y1 THEN 1 ELSE -1 END) AS winding
+  FROM pts p CROSS JOIN {_bowtie_edges_sql()}
+  WHERE ((e.y1 > p.lat) != (e.y2 > p.lat))
+    AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+  GROUP BY p.c_custkey
+), cls AS (
+  SELECT p.c_custkey,
+         coalesce(cr.n_cross, 0) % 2 = 1 AS eo_in,
+         coalesce(cr.winding, 0) != 0 AS nz_in
+  FROM pts p LEFT JOIN cr ON cr.c_custkey = p.c_custkey
+)
+SELECT cast(count(*) FILTER (WHERE eo_in AND nz_in) as bigint) AS n_both,
+       cast(count(*) FILTER (WHERE eo_in AND NOT nz_in) as bigint) AS n_eo_only,
+       cast(count(*) FILTER (WHERE nz_in AND NOT eo_in) as bigint) AS n_nz_only,
+       cast(count(*) FILTER (WHERE NOT eo_in AND NOT nz_in) as bigint) AS n_neither
+FROM cls
+""",
+)
+def fill_rule_contract(spark, sf_dir):
+    """Fill-rule semantics contract (r5): even-odd vs nonzero-winding
+    point-in-polygon classification of the customer points against a
+    SELF-INTERSECTING bowtie quad — the polygon family where the
+    SVG/GL fill rules can genuinely disagree, and the census records
+    the exact agreement/disagreement sets (n_both / n_eo_only /
+    n_nz_only / n_neither). Every serious geometry engine pins this
+    down because data lakes receive unclean polygons: GEOS
+    ST_Contains rejects self-intersections outright, rasterizers
+    silently pick a rule, and a pipeline that mixes rules
+    double-counts or drops the overlap region. Crossing rule and xcross arithmetic are textually
+    the house ray-cast (geo/pip.py) in BOTH engines; winding adds only
+    the integer up/down sign. Scale shape: one broadcast 4-edge
+    cross + hash agg — the pip_join cover-prefilter shape without the
+    cover (4 edges)."""
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    edges = spark.createDataFrame(
+        [
+            (x1, y1, x2, y2)
+            for (x1, y1), (x2, y2) in zip(_BOWTIE[:-1], _BOWTIE[1:])
+        ],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    hit = (
+        (F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat"))
+    ) & (
+        F.col("lon")
+        < (F.col("x2") - F.col("x1"))
+        * (F.col("lat") - F.col("y1"))
+        / (F.col("y2") - F.col("y1"))
+        + F.col("x1")
+    )
+    cr = (
+        pts.crossJoin(F.broadcast(edges))
+        .filter(hit)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_cross"),
+            F.sum(
+                F.when(F.col("y2") > F.col("y1"), F.lit(1)).otherwise(F.lit(-1))
+            ).alias("winding"),
+        )
+    )
+    cls = pts.join(cr, "c_custkey", "left").select(
+        (F.coalesce(F.col("n_cross"), F.lit(0)) % 2 == 1).alias("eo_in"),
+        (F.coalesce(F.col("winding"), F.lit(0)) != 0).alias("nz_in"),
+    )
+    return cls.agg(
+        F.count_if(F.col("eo_in") & F.col("nz_in")).cast("long").alias("n_both"),
+        F.count_if(F.col("eo_in") & ~F.col("nz_in")).cast("long").alias("n_eo_only"),
+        F.count_if(F.col("nz_in") & ~F.col("eo_in")).cast("long").alias("n_nz_only"),
+        F.count_if(~F.col("eo_in") & ~F.col("nz_in")).cast("long").alias("n_neither"),
+    )

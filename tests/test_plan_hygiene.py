@@ -58,6 +58,7 @@ CROSS_OK = {
     "modularity_by_source",  # 1-row edge-total broadcast into the source spine (chisq sibling)
     "ann_recall_contract",  # 1-row brute-denominator broadcast into per-method hit rows
     "pq_cosine_topk",  # bounded query-set broadcast ADC scan (cosine_topk_bruteforce sibling)
+    "fill_rule_contract",  # 4-edge literal bowtie broadcast cross (pip oracle sibling)
     "q15_top_supplier",  # 1-row max-revenue scalar broadcast back over the quarter agg
     "q11_important_stock",  # 1-row regional-total broadcast into the per-part values
     "q22_dormant_customers",  # 1-row positive-balance moment broadcast into customers
