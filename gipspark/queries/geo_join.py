@@ -1832,3 +1832,97 @@ def fill_rule_contract(spark, sf_dir):
         F.count_if(F.col("nz_in") & ~F.col("eo_in")).cast("long").alias("n_nz_only"),
         F.count_if(~F.col("eo_in") & ~F.col("nz_in")).cast("long").alias("n_neither"),
     )
+
+
+@register(
+    "pip_degenerate_contract",
+    f"""
+WITH e AS (
+  -- ::DOUBLE: DuckDB binds bare VALUES literals as DECIMAL, whose
+  -- EXACT midpoint halving diverges from IEEE double on boundary
+  -- probes (the same trap the zonal oracle documents)
+  SELECT poly_id, x1::DOUBLE AS x1, y1::DOUBLE AS y1,
+         x2::DOUBLE AS x2, y2::DOUBLE AS y2
+  FROM {_edges_values_sql()}
+),
+probes AS (
+  SELECT poly_id, x1 AS px, y1 AS py, 'vertex' AS kind FROM e
+  UNION ALL
+  SELECT poly_id, (x1 + x2) / 2, (y1 + y2) / 2, 'edge_mid' FROM e
+), cr AS (
+  SELECT p.poly_id, p.px, p.py, p.kind,
+         (SELECT count(*) FROM e
+          WHERE e.poly_id = p.poly_id
+            AND ((e.y1 > p.py) != (e.y2 > p.py))
+            AND (p.px < (e.x2 - e.x1) * (p.py - e.y1) / (e.y2 - e.y1) + e.x1)
+         ) AS n_cross
+  FROM probes p
+)
+SELECT poly_id, kind,
+       cast(count(*) as bigint) AS n_probes,
+       cast(count(*) FILTER (WHERE n_cross % 2 = 1) as bigint) AS n_inside
+FROM cr GROUP BY poly_id, kind ORDER BY poly_id, kind
+""",
+)
+def pip_degenerate_contract(spark, sf_dir):
+    """Ray-cast degenerate-input contract (r5): classify every polygon
+    VERTEX and every EDGE MIDPOINT of the oracle polygon set against
+    its own polygon under the house crossing rule — the boundary
+    points where naive PIP implementations go undefined (double-count
+    a vertex the ray passes through, divide by zero on horizontal
+    edges). The house rule's half-open comparison ((y1 > p) != (y2 >
+    p)) counts each vertex's incident edges at most once and skips
+    horizontal edges entirely (y1 > p equals y2 > p), so boundary
+    points get a DETERMINISTIC in/out answer that both engines
+    reproduce bit-exactly — which is the actual production requirement
+    (a point on a shared border of two admin polygons must land in
+    exactly one, not zero or two; the census records where boundary
+    probes land). Scale shape: bounded probe set (2 probes per edge of
+    the fixture polygons) — a contract, not a data-scale query."""
+    import itertools
+
+    from gipspark.queries._base import ORACLE_POLYGONS
+
+    rows = []
+    for p in ORACLE_POLYGONS:
+        for ring in p["rings"]:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                rows.append((len(rows), p["poly_id"], float(x1), float(y1), "vertex"))
+                rows.append(
+                    (len(rows), p["poly_id"], (x1 + x2) / 2, (y1 + y2) / 2, "edge_mid")
+                )
+    probes = spark.createDataFrame(
+        rows, "probe_id long, poly_id long, px double, py double, kind string"
+    )
+    edges = spark.createDataFrame(
+        [
+            (p["poly_id"], float(x1), float(y1), float(x2), float(y2))
+            for p in ORACLE_POLYGONS
+            for ring in p["rings"]
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:])
+        ],
+        "poly_id long, x1 double, y1 double, x2 double, y2 double",
+    )
+    hit = (
+        (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    ) & (
+        F.col("px")
+        < (F.col("x2") - F.col("x1"))
+        * (F.col("py") - F.col("y1"))
+        / (F.col("y2") - F.col("y1"))
+        + F.col("x1")
+    )
+    cr = (
+        probes.join(F.broadcast(edges), "poly_id")
+        .withColumn("c", F.when(hit, 1).otherwise(0))
+        .groupBy("probe_id", "poly_id", "kind")
+        .agg(F.sum("c").alias("n_cross"))
+    )
+    return (
+        cr.groupBy("poly_id", "kind")
+        .agg(
+            F.count("*").cast("long").alias("n_probes"),
+            F.count_if(F.col("n_cross") % 2 == 1).cast("long").alias("n_inside"),
+        )
+        .orderBy("poly_id", "kind")
+    )

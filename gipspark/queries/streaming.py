@@ -9,6 +9,7 @@ from gipspark.queries._base import (  # noqa: F401
     load,
     register,
 )
+from gipspark.queries._shared import BPE_PATTERN  # noqa: F401
 
 
 
@@ -191,3 +192,59 @@ def sliding_rate_window_events(spark, sf_dir):
         F.sum("v").over(w).cast("double").alias("v_trailing_1h"),
     ).orderBy("event_id")
 
+
+
+@register(
+    "windowed_bpe_token_rate",
+    f"""
+WITH d AS (
+  SELECT doc_id, text,
+         timestamp '2024-01-01 00:00:00' + to_seconds(doc_id * 13) AS ts
+  FROM documents
+), toks AS (
+  SELECT ts, unnest(regexp_extract_all(text, $${BPE_PATTERN}$$)) AS tok FROM d
+), enc AS (
+  SELECT ts, {{chain}} AS enc FROM toks
+)
+SELECT to_timestamp((cast(epoch(ts) as bigint) // 300) * 300) AS win_start,
+       cast(count(*) as bigint) AS n_pretokens,
+       cast(sum(length(enc) - length(replace(enc, chr(2), ''))) as bigint)
+         AS n_bpe_tokens
+FROM enc GROUP BY 1 ORDER BY win_start
+""".replace("{chain}", __import__("gipspark.functions.bpe", fromlist=["x"]).bpe_oracle_replace_chain(
+        __import__("gipspark.functions.bpe", fromlist=["x"]).bpe_oracle_init("tok"))),
+)
+def windowed_bpe_token_rate(spark, sf_dir):
+    """Batch twin of the streaming token-ingest meter
+    (streaming/tokens.windowed_token_counts, stream==batch parity in
+    tests/test_streaming_tokens.py): learned-BPE token counts per
+    5-minute tumbling window over a deterministic synthetic event time
+    (doc_id·13 s past a fixed origin — the stream staging's clock).
+    The tokens/sec gauge a crawl-ingest pipeline runs continuously;
+    this query is its oracle-checked ground truth, with the DuckDB
+    side replaying the committed merge table through the
+    wrapped-encoding replace chain. Scale shape: explode + one Arrow
+    UDF pass + one window-keyed hash agg."""
+    from gipspark.functions.bpe import bpe_token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "text",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, doc_id * 13)"
+        ).alias("ts"),
+    )
+    toks = d.select(
+        "ts",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_pretokens"),
+            F.sum(bpe_token_count(F.col("tok"))).cast("long").alias("n_bpe_tokens"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_pretokens", "n_bpe_tokens")
+        .orderBy("win_start")
+    )

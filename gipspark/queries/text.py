@@ -7145,3 +7145,77 @@ def bpe_vocab_curve(spark, sf_dir):
             "tokens_per_kchar"
         ),
     ).orderBy("n_merges")
+
+
+@register(
+    "heaps_law_docs",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), firsts AS (
+  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+), doc_tokens AS (
+  SELECT doc_id, cast(count(*) as bigint) AS n FROM toks GROUP BY doc_id
+), cps AS (
+  SELECT unnest([32, 64, 128, 256, 500]) AS cp
+)
+SELECT cast(cp as bigint) AS n_docs,
+       (SELECT cast(coalesce(sum(n), 0) as bigint) FROM doc_tokens WHERE doc_id < cp)
+         AS n_tokens,
+       (SELECT cast(count(*) as bigint) FROM firsts WHERE first_doc < cp)
+         AS n_types,
+       (SELECT cast(count(*) * 1000000 as bigint) FROM firsts WHERE first_doc < cp)
+         // (SELECT cast(greatest(coalesce(sum(n), 1), 1) as bigint)
+             FROM doc_tokens WHERE doc_id < cp)
+         AS ttr_micro
+FROM cps ORDER BY n_docs
+""",
+)
+def heaps_law_docs(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve (r5): distinct types vs
+    cumulative tokens at doubling document-count checkpoints, in
+    doc_id order (a total order, so 'first N docs' is deterministic).
+    The companion diagnostic to zipf_doubling_slope_sources that every
+    training-data pipeline reads before sizing a tokenizer vocab or
+    judging dedup health: a corpus whose type count keeps growing at
+    the Heaps rate V≈K·nᵝ is healthy; a flattening curve means
+    near-duplicate contamination, and a superlinear one means noise /
+    PII / encoding garbage. Exact integers — types counted via each
+    term's min first-occurrence doc (one hash agg), token totals via a
+    per-doc count, checkpoints evaluated by comparison not windowing;
+    the type-token ratio is a floor-div micro tick. Scale shape: one
+    explode + two hash aggs, checkpoint arms are scalar lookups on the
+    two aggregates (the doubling-bucket trick keeps the output
+    dim-bounded at any corpus size)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    arms = []
+    for cp in (32, 64, 128, 256, 500):
+        types = firsts.filter(F.col("first_doc") < cp).agg(
+            F.count("*").cast("long").alias("n_types")
+        )
+        tokens = doc_tokens.filter(F.col("doc_id") < cp).agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_tokens")
+        )
+        arms.append(
+            types.crossJoin(F.broadcast(tokens)).select(
+                F.lit(cp).cast("long").alias("n_docs"),
+                "n_tokens",
+                "n_types",
+                F.expr(
+                    "cast((n_types * 1000000) div greatest(n_tokens, 1) as bigint)"
+                ).alias("ttr_micro"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("n_docs")
