@@ -532,3 +532,75 @@ def sample_stability_audit(spark, sf_dir):
         ).alias("independence_q"),
     )
 
+
+
+@register(
+    "token_budget_select",
+    """
+WITH scored AS (
+  SELECT doc_id,
+         cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) as bigint) AS n_tok,
+         """
+    + __import__("gipspark.functions.text", fromlist=["x"]).quality_score_sql("text")
+    + """ AS q
+  FROM documents
+), tot AS (
+  SELECT cast(sum(n_tok) as bigint) AS total_tok FROM scored
+), cum AS (
+  SELECT s.doc_id, s.n_tok, s.q, t.total_tok,
+         sum(s.n_tok) OVER (ORDER BY s.q DESC, s.doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM scored s CROSS JOIN tot t
+), sel AS (
+  SELECT *, c <= total_tok * 6 // 10 AS keep FROM cum
+)
+SELECT cast((SELECT total_tok * 6 // 10 FROM tot) as bigint) AS budget_tokens,
+       cast(count(*) FILTER (WHERE keep) as bigint) AS n_selected,
+       cast(count(*) FILTER (WHERE NOT keep) as bigint) AS n_rejected,
+       cast(coalesce(sum(n_tok) FILTER (WHERE keep), 0) as bigint) AS tokens_selected,
+       cast(min(CASE WHEN keep THEN doc_id END) as bigint) AS min_kept_doc,
+       cast(max(CASE WHEN keep THEN doc_id END) as bigint) AS max_kept_doc
+FROM sel
+""",
+)
+def token_budget_select(spark, sf_dir):
+    """Greedy quality-first token-budget selection (r5): rank docs by
+    the deterministic quality score (tie-break doc_id), keep the
+    prefix whose cumulative token count fits a 60%-of-corpus budget —
+    the curation step that turns 'we can afford N tokens' into an
+    actual document subset (the greedy rank-cut is how quality-
+    filtered data mixes are built in practice; mixture_upsampling and
+    per-source caps then rebalance within the kept set). Exact: the
+    cumulative sum orders by (q DESC, doc_id) — q is the shared exact-
+    double score, doc_id the total tie-break — and the budget is an
+    integer floor-div of the corpus token total. Scale shape: one
+    score pass, one 1-row total broadcast, one global cumulative
+    window — a global ORDER BY, whose documented big-corpus
+    alternative is the two-phase range-partitioned rank (the RFM
+    swap): partial sums per range partition, prefix-offset broadcast,
+    local cumsum; this op adopts it verbatim past the single-window
+    scale."""
+    from gipspark.functions.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long").alias("n_tok"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    tot = scored.agg(F.sum("n_tok").cast("long").alias("total_tok"))
+    w = Window.orderBy(F.desc("q"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = scored.crossJoin(F.broadcast(tot)).withColumn("c", F.sum("n_tok").over(w))
+    sel = cum.withColumn("keep", F.expr("c <= (total_tok * 6) div 10"))
+    return sel.agg(
+        F.expr("cast(max((total_tok * 6) div 10) as bigint)").alias("budget_tokens"),
+        F.count_if(F.col("keep")).cast("long").alias("n_selected"),
+        F.count_if(~F.col("keep")).cast("long").alias("n_rejected"),
+        F.coalesce(F.sum(F.when(F.col("keep"), F.col("n_tok"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_selected"),
+        F.min(F.when(F.col("keep"), F.col("doc_id"))).cast("long").alias("min_kept_doc"),
+        F.max(F.when(F.col("keep"), F.col("doc_id"))).cast("long").alias("max_kept_doc"),
+    )

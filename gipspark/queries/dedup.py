@@ -231,9 +231,9 @@ FROM reach GROUP BY node
 )
 def near_dedup_clusters(spark, sf_dir):
     """Transitive closure of the verified near-dup graph: every doc in
-    a dup cluster labeled with the cluster's minimum doc_id (iterative
-    min-label propagation with pointer-jumping,
-    operators/components.py). Oracle: DuckDB WITH RECURSIVE transitive
+    a dup cluster labeled with the cluster's minimum doc_id
+    (hash-to-min set propagation, operators/components.py — O(log
+    diameter) rounds). Oracle: DuckDB WITH RECURSIVE transitive
     reachability over the same verified pair set — min reachable id ==
     component min (plus the closure-vs-union-find pytest)."""
     from gipspark.operators.components import connected_components
@@ -1845,3 +1845,81 @@ def lsh_bucket_skew_audit(spark, sf_dir):
         .orderBy("band")
     )
 
+
+
+@register(
+    "dedup_cluster_size_census",
+    "WITH RECURSIVE "
+    + _neardup_ver_sql()[len("WITH ") :]
+    + """,
+edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+          UNION SELECT id_b AS src, id_a AS dst FROM ver),
+reach(node, r) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+  WHERE e.dst <> re.node
+),
+lbl AS (SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, cast(count(*) as bigint) AS sz
+          FROM lbl GROUP BY cluster_id),
+singles AS (
+  SELECT cast(count(*) as bigint) AS n
+  FROM documents d WHERE NOT EXISTS (SELECT 1 FROM lbl WHERE lbl.doc_id = d.doc_id)
+),
+buckets AS (
+  SELECT length(bin(sz)) AS size_bucket, cast(count(*) as bigint) AS n_clusters,
+         cast(sum(sz) as bigint) AS n_docs
+  FROM sizes GROUP BY 1
+  UNION ALL
+  SELECT 1, n, n FROM singles WHERE n > 0
+)
+SELECT cast(size_bucket as bigint) AS size_bucket,
+       cast(sum(n_clusters) as bigint) AS n_clusters,
+       cast(sum(n_docs) as bigint) AS n_docs
+FROM buckets GROUP BY size_bucket ORDER BY size_bucket
+""",
+)
+def dedup_cluster_size_census(spark, sf_dir):
+    """Near-dup cluster-size spectrum (r5): verified dup clusters
+    bucketed by size bit-length (bucket k ≈ [2^(k-1), 2^k)), with
+    singletons (docs in no verified pair) as the size-1 bucket — the
+    corpus-health panel a dedup pass is judged by: mass in high
+    buckets = template farms / mirror sites (candidate for per-cluster
+    survivor caps), a fat size-2 band = boilerplate twins, and the
+    singleton share is the kept-as-is fraction. The spectrum's shape,
+    not any single count, is what drives the near-dup threshold
+    choice. Same verified-pair set and hash-to-min components as
+    near_dedup_clusters; the census adds one hash agg + the libm-free
+    bit-length ladder. Scale shape: cluster sizes are one agg over
+    the labels; singletons via anti-join against the doc universe."""
+    from gipspark.operators.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    ver = _verified_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    lbl = connected_components(ver)
+    sizes = lbl.groupBy("comp").agg(F.count("*").cast("long").alias("sz"))
+    clustered = lbl.select(F.col("node").alias("doc_id"))
+    singles = docs.join(clustered, "doc_id", "left_anti").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    buckets = sizes.select(
+        F.length(F.bin("sz")).cast("long").alias("size_bucket"),
+        F.lit(1).cast("long").alias("n_clusters"),
+        F.col("sz").alias("n_docs"),
+    ).unionByName(
+        singles.filter(F.col("n") > 0).select(
+            F.lit(1).cast("long").alias("size_bucket"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return (
+        buckets.groupBy("size_bucket")
+        .agg(
+            F.sum("n_clusters").cast("long").alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("size_bucket")
+    )

@@ -1493,3 +1493,91 @@ def ranking_semantics_sweep(spark, sf_dir):
         .orderBy("prio")
     )
 
+
+
+@register(
+    "winsorized_mean_orders",
+    f"""
+WITH it AS (
+  SELECT o_orderpriority AS pri,
+         cast(round(cast(o_totalprice as {DEC}) * 100) as bigint) AS cents,
+         o_orderkey
+  FROM orders
+), ranked AS (
+  SELECT pri, cents,
+         row_number() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY pri) AS n
+  FROM it
+), bounds AS (
+  SELECT pri,
+         max(CASE WHEN rn = (n - 1) // 10 + 1 THEN cents END) AS lo,
+         max(CASE WHEN rn = n - (n - 1) // 10 THEN cents END) AS hi,
+         max(n) AS n
+  FROM ranked GROUP BY pri
+), clamped AS (
+  SELECT r.pri, b.n, b.lo, b.hi,
+         greatest(b.lo, least(b.hi, r.cents)) AS w
+  FROM ranked r JOIN bounds b ON b.pri = r.pri
+)
+SELECT pri, cast(n as bigint) AS n, cast(lo as bigint) AS lo_cents,
+       cast(hi as bigint) AS hi_cents,
+       cast(sum(w) * 100 // n as bigint) AS winsorized_mean_centicents
+FROM clamped GROUP BY pri, n, lo, hi ORDER BY pri
+""",
+)
+def winsorized_mean_orders(spark, sf_dir):
+    """10% winsorized mean of order value per priority (r5): values
+    below the p10 order statistic are CLAMPED to it and above p90 to
+    p90 before averaging — the robust-mean variant that, unlike
+    trimmed_mean_orders (which DROPS the tails), keeps n constant and
+    so composes with per-group weights; the pair brackets how much
+    tail influence the plain mean carries. Order statistics are exact
+    ranks with the (cents, orderkey) total tie-break — p10 = value at
+    rank (n−1)//10 + 1, p90 its mirror — so both engines clamp at
+    bit-identical bounds; the mean is a floor-div in centi-cents.
+    Scale shape: one rank window + one count window sharing the group
+    shuffle, a 5-row bounds broadcast join back, one hash agg."""
+    o = load(spark, sf_dir, "orders")
+    it = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice").cast(DEC) * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("pri").orderBy("cents", "o_orderkey")
+    wp = Window.partitionBy("pri")
+    ranked = it.select(
+        "pri",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    bounds = ranked.groupBy("pri").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n - 1) div 10 + 1"), F.col("cents"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("n - (n - 1) div 10"), F.col("cents"))
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    clamped = ranked.join(F.broadcast(bounds), "pri").select(
+        "pri",
+        bounds["n"].alias("n"),
+        "lo",
+        "hi",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents"))).alias("w"),
+    )
+    return (
+        clamped.groupBy("pri", "n", "lo", "hi")
+        .agg(F.expr("cast((sum(w) * 100) div n as bigint)").alias(
+            "winsorized_mean_centicents"
+        ))
+        .select(
+            "pri",
+            F.col("n").cast("long").alias("n"),
+            F.col("lo").cast("long").alias("lo_cents"),
+            F.col("hi").cast("long").alias("hi_cents"),
+            "winsorized_mean_centicents",
+        )
+        .orderBy("pri")
+    )
