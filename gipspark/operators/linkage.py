@@ -228,14 +228,30 @@ def fuzzy_self_join(
 
     hot_set = {(r["__stem"], r["__bkt"]) for r in hot_rows}
     hot_stems = sorted({s for s, _ in hot_set})
-    is_hot = F.struct("__stem", "__bkt").isin(
-        [F.struct(F.lit(s), F.lit(k).cast("long")) for s, k in sorted(hot_set)]
-    )
-    cold = b.filter(~is_hot)
-    hot = b.filter(is_hot)
-    # Only rows sharing a stem with some hot block can partner a hot
-    # probe — prune the index side to those stems (a tiny literal set).
-    partners = b.filter(F.col("__stem").isin(hot_stems))
+    if len(hot_set) <= 256:
+        # small list → literal predicates (no join, no exchange)
+        is_hot = F.struct("__stem", "__bkt").isin(
+            [F.struct(F.lit(s), F.lit(k).cast("long")) for s, k in sorted(hot_set)]
+        )
+        cold = b.filter(~is_hot)
+        hot = b.filter(is_hot)
+        # Only rows sharing a stem with some hot block can partner a
+        # hot probe — prune the index side to those stems.
+        partners = b.filter(F.col("__stem").isin(hot_stems))
+    else:
+        # a literal predicate this wide is the 64 KB-codegen trap all
+        # over again — route via broadcast joins instead (the list is
+        # already materialized, so the broadcast is driver-local)
+        hk = b.sparkSession.createDataFrame(
+            sorted(hot_set), "__stem string, __bkt long"
+        ).withColumn("__hot", F.lit(True))
+        b2 = b.join(F.broadcast(hk), ["__stem", "__bkt"], "left")
+        cold = b2.filter(F.col("__hot").isNull()).drop("__hot")
+        hot = b2.filter(F.col("__hot").isNotNull()).drop("__hot")
+        hs = b.sparkSession.createDataFrame(
+            [(s,) for s in hot_stems], "__stem string"
+        )
+        partners = b.join(F.broadcast(hs), "__stem")
     cold_pairs = cold_pairs_of(cold)
 
     cand = _passjoin_candidates(hot, partners, max_dist)

@@ -1926,3 +1926,91 @@ def pip_degenerate_contract(spark, sf_dir):
         )
         .orderBy("poly_id", "kind")
     )
+
+
+def _ring_edges_rows() -> list[tuple]:
+    """(poly_id, ring_idx, seq, x1m, y1m, x2m, y2m) integer-micro edges
+    of every oracle-polygon ring — the shared pure generator both the
+    Spark fixture and the oracle VALUES derive from."""
+    from gipspark.queries._base import ORACLE_POLYGONS
+
+    out = []
+    for p in ORACLE_POLYGONS:
+        for ri, ring in enumerate(p["rings"]):
+            for si, ((x1, y1), (x2, y2)) in enumerate(zip(ring[:-1], ring[1:])):
+                out.append(
+                    (
+                        p["poly_id"],
+                        ri,
+                        si,
+                        round(x1 * 1e6),
+                        round(y1 * 1e6),
+                        round(x2 * 1e6),
+                        round(y2 * 1e6),
+                    )
+                )
+    return out
+
+
+@register(
+    "ring_orientation_census",
+    """
+WITH e AS (SELECT * FROM (VALUES """
+    + ",".join(
+        f"({p},{ri},{si},{a},{b},{c},{d})" for p, ri, si, a, b, c, d in _ring_edges_rows()
+    )
+    + """) AS t(poly_id, ring_idx, seq, x1, y1, x2, y2)),
+c AS (
+  -- BIGINT casts: DuckDB binds the VALUES ints as INT32 and the cross
+  -- product overflows at micro-degree scale
+  SELECT poly_id, ring_idx,
+         cast(x1 as bigint) * cast(y2 as bigint)
+           - cast(x2 as bigint) * cast(y1 as bigint) AS cr
+  FROM e
+)
+SELECT cast(poly_id as bigint) AS poly_id, cast(ring_idx as bigint) AS ring_idx,
+       cast(count(*) as bigint) AS n_edges,
+       cast(sum(cr) as bigint) AS area2_micro2,
+       CASE WHEN sum(cr) > 0 THEN 'ccw'
+            WHEN sum(cr) < 0 THEN 'cw'
+            ELSE 'degenerate' END AS orientation,
+       ring_idx > 0 AS is_inner
+FROM c GROUP BY poly_id, ring_idx ORDER BY poly_id, ring_idx
+""",
+)
+def ring_orientation_census(spark, sf_dir):
+    """Ring-orientation census (r5, completing the polygon-hygiene trio
+    with fill_rule_contract and pip_degenerate_contract): signed
+    shoelace area of every oracle-polygon ring in EXACT integer
+    micro-degree coordinates (cross terms ≤ ~4e17, inside int64) —
+    CCW outer / CW inner is the OGC convention, and a hole wound the
+    same way as its shell is the classic silently-wrong-area input
+    (even-odd PIP doesn't care, winding and area do — exactly the
+    divergence fill_rule_contract measures from the point side). The
+    doubled signed area is emitted raw so downstream exact area math
+    composes without division. Scale shape: bounded fixture census —
+    a contract on polygon inputs, not a data-scale query."""
+    rows = _ring_edges_rows()
+    e = spark.createDataFrame(
+        rows, "poly_id long, ring_idx long, seq long, x1 long, y1 long, x2 long, y2 long"
+    )
+    cross = F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+    return (
+        e.groupBy("poly_id", "ring_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(cross).cast("long").alias("area2_micro2"),
+        )
+        .select(
+            "poly_id",
+            "ring_idx",
+            "n_edges",
+            "area2_micro2",
+            F.when(F.col("area2_micro2") > 0, "ccw")
+            .when(F.col("area2_micro2") < 0, "cw")
+            .otherwise("degenerate")
+            .alias("orientation"),
+            (F.col("ring_idx") > 0).alias("is_inner"),
+        )
+        .orderBy("poly_id", "ring_idx")
+    )

@@ -183,3 +183,48 @@ def test_tiny_strings_pigeonhole_fallback(spark):
         ).collect()
     }
     assert got == _brute(rows, 2, lambda t: "s")
+
+
+def test_many_hot_blocks_fallback_branch(spark):
+    """>256 hot blocks routes through the broadcast-join fallback (the
+    literal-predicate form would rebuild the 64 KB codegen trap); the
+    result must still match the brute reference on a probe block."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from gipspark.operators.linkage import fuzzy_self_join
+
+    rows = []
+    did = 0
+    for s in range(300):
+        for i in range(70):
+            rows.append((did, f"stem{s:03d}-{i % 9}x"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    out = fuzzy_self_join(
+        df,
+        stem=F.regexp_replace(F.col("title"), F.lit("-[a-z0-9]+$"), F.lit("")),
+        max_dist=2,
+        hot_threshold=64,
+    )
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1, d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+
+        return d(len(a), len(b))
+
+    blk = [(r[0], r[1]) for r in rows if r[1].startswith("stem000-")]
+    exp = sum(
+        1 for (ia, ta), (ib, tb) in itertools.combinations(blk, 2) if lev(ta, tb) <= 2
+    )
+    got = out.filter((F.col("id_a") < 70) & (F.col("id_b") < 70)).count()
+    assert got == exp
