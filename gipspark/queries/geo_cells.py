@@ -88,6 +88,7 @@ from gipspark.queries._shared import (  # noqa: F401
     _SAX_SYMS,
     _SCAN_TOPK,
     _SEAM_GRID,
+    _SHAPE_GRID,
     _SEAM_SUPER,
     _SOLAR_BANDS,
     _SOLAR_DECL,
@@ -7572,4 +7573,115 @@ def rle_raster_audit(spark, sf_dir):
             ).alias("ratio_micro"),
         )
         .orderBy("tile_id")
+    )
+
+
+@register(
+    "perimeter_scaling_census",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), base AS (
+  SELECT DISTINCT cast(floor((lon + 180.0) / {{g}}) as bigint) AS gx,
+                  cast(floor((90.0 - lat) / {{g}}) as bigint) AS gy
+  FROM pts
+), levels AS (
+  SELECT 1 AS lvl, gx, gy FROM base
+  UNION
+  SELECT 2, gx // 2, gy // 2 FROM base
+  UNION
+  SELECT 4, gx // 4, gy // 4 FROM base
+), nb AS (
+  SELECT a.lvl, a.gx, a.gy, count(b.gx) AS n_nbr
+  FROM levels a
+  LEFT JOIN levels b
+    ON b.lvl = a.lvl AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+  GROUP BY a.lvl, a.gx, a.gy
+)
+SELECT cast(lvl as bigint) AS coarsen,
+       cast(count(*) as bigint) AS n_cells,
+       cast(sum(4 - n_nbr) as bigint) AS perimeter_edges,
+       cast(sum(4 - n_nbr) * 1000000 // count(*) as bigint)
+         AS perimeter_per_cell_micro
+FROM nb GROUP BY lvl ORDER BY coarsen
+""".replace("{g}", str(_SHAPE_GRID)),
+)
+def perimeter_scaling_census(spark, sf_dir):
+    """Coastline-paradox census (r5): the occupied-cell set's exposed
+    boundary (4·cells − 2·rook-adjacencies, counted as 4 − #rook
+    neighbors per cell) at 1×, 2× and 4× coarsening — how fast
+    measured perimeter shrinks as the ruler grows is the discrete
+    fractal-dimension probe (Richardson's law), and the perimeter
+    twin of pyramid_variance_cells' MAUP area probe: a smooth blob's
+    per-cell perimeter drops toward the 4/√n ideal under coarsening
+    while a filamentous/speckled occupation stays perimeter-dominated
+    — which is exactly what decides whether polygon covers or cell
+    lists are the cheaper representation for a region at a given
+    zoom (the engine's cover-vs-refine planning question). Exact:
+    occupancy is a distinct integer lattice, coarsening is integer
+    halving, adjacency a self-equi-join on |Δ|=1. Scale shape: one
+    distinct per level off one base lattice + one rook self-join per
+    level, all hash-keyed."""
+    pts = load(spark, sf_dir, "customer").select(
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    base = pts.select(
+        F.floor((F.col("lon") + 180.0) / _SHAPE_GRID).cast("long").alias("gx"),
+        F.floor((90.0 - F.col("lat")) / _SHAPE_GRID).cast("long").alias("gy"),
+    ).distinct()
+    lvls = None
+    for lvl in (1, 2, 4):
+        l = base.select(
+            F.lit(lvl).alias("lvl"),
+            F.expr(f"gx div {lvl}").alias("gx"),
+            F.expr(f"gy div {lvl}").alias("gy"),
+        ).distinct()
+        lvls = l if lvls is None else lvls.unionByName(l)
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        ]
+    )
+    probes = lvls.select(
+        "lvl", "gx", "gy", F.explode(offs).alias("o")
+    ).select(
+        "lvl",
+        "gx",
+        "gy",
+        (F.col("gx") + F.col("o.dx")).alias("ngx"),
+        (F.col("gy") + F.col("o.dy")).alias("ngy"),
+    )
+    occ = lvls.select(
+        F.col("lvl").alias("blvl"), F.col("gx").alias("ngx"), F.col("gy").alias("ngy")
+    )
+    nb = (
+        probes.join(
+            occ,
+            (F.col("blvl") == F.col("lvl"))
+            & (occ["ngx"] == probes["ngx"])
+            & (occ["ngy"] == probes["ngy"]),
+            "left",
+        )
+        .groupBy("lvl", "gx", "gy")
+        .agg(F.count("blvl").alias("n_nbr"))
+    )
+    return (
+        nb.groupBy("lvl")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(4 - F.col("n_nbr")).cast("long").alias("perimeter_edges"),
+            F.expr(
+                "cast((sum(4 - n_nbr) * 1000000) div count(*) as bigint)"
+            ).alias("perimeter_per_cell_micro"),
+        )
+        .select(
+            F.col("lvl").cast("long").alias("coarsen"),
+            "n_cells",
+            "perimeter_edges",
+            "perimeter_per_cell_micro",
+        )
+        .orderBy("coarsen")
     )

@@ -7219,3 +7219,81 @@ def heaps_law_docs(spark, sf_dir):
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("n_docs")
+
+
+@register(
+    "oov_bigram_rate_docs",
+    r"""
+WITH toks AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS pos
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+           generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS idx
+    FROM documents
+  )
+), bi AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), ref AS (
+  SELECT DISTINCT w1, w2 FROM bi WHERE doc_id % 2 = 0
+)
+SELECT bi.doc_id,
+       cast(count(*) as bigint) AS n_bigrams,
+       cast(count(*) FILTER (WHERE ref.w1 IS NULL) as bigint) AS n_oov,
+       cast(count(*) FILTER (WHERE ref.w1 IS NULL) * 1000000 // count(*) as bigint)
+         AS oov_rate_micro
+FROM bi LEFT JOIN ref ON ref.w1 = bi.w1 AND ref.w2 = bi.w2
+WHERE bi.doc_id % 2 = 1
+GROUP BY bi.doc_id ORDER BY bi.doc_id
+""",
+)
+def oov_bigram_rate_docs(spark, sf_dir):
+    """Out-of-vocabulary bigram rate (r5): score each held-out doc
+    (odd doc_ids) by the fraction of its token bigrams never seen in
+    the reference half (even doc_ids) — the libm-free stand-in for LM
+    perplexity filtering that training-data pipelines actually deploy
+    first (a doc whose bigrams are mostly novel against a large
+    reference is boilerplate mutation, encoding damage, or another
+    language; near-zero OOV on a held-out doc conversely flags
+    train/eval CONTAMINATION — this is the same statistic
+    n-gram decontamination thresholds). Exact integers end to end:
+    bigrams via a positional self-join on the exploded token index, a
+    distinct reference set, one left join + conditional counts.
+    Scale shape: bigram sets shuffle on (w1, w2) — Σposting bounded by
+    corpus tokens; the reference set is itself a distributed table
+    (never collected), so the join scales as a plain equi-join."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    bi = (
+        toks.alias("a")
+        .join(
+            toks.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.tok").alias("w1"),
+            F.col("b.tok").alias("w2"),
+        )
+    )
+    ref = bi.filter(F.col("doc_id") % 2 == 0).select("w1", "w2").distinct()
+    scored = bi.filter(F.col("doc_id") % 2 == 1).join(
+        ref.withColumn("__seen", F.lit(1)), ["w1", "w2"], "left"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.count_if(F.col("__seen").isNull()).cast("long").alias("n_oov"),
+            F.expr(
+                "cast((count_if(__seen is null) * 1000000) div count(*) as bigint)"
+            ).alias("oov_rate_micro"),
+        )
+        .orderBy("doc_id")
+    )
