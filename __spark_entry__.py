@@ -6,12 +6,12 @@
   UDFs) → S2/H3 encode → PIP join vs the frozen oracle polygons → GIPS
   tile assignment → per-(tile, poly) counts.
 - ``queries()`` / ``oracle_sql()``: the full operator registry lives in
-  gipspark/queries.py — one entry per SURVEY.md §2 operator, DuckDB
-  oracle SQL for every SQL-expressible one (760 queries at round-4
-  close: 746 oracle-checked + 14 rows-only — ANN-approx, geo
-  golden-vector, codec mapInPandas, RDP simplify, hull, Fréchet,
-  Viterbi; parity verified by tools/check_oracle.py, artifact
-  CORRECTNESS_local_r4.json).
+  the gipspark/queries/ package (split into per-family modules in
+  round 5) — one entry per SURVEY.md §2 operator, DuckDB oracle SQL
+  for every SQL-expressible one (777 queries at round-5 close: 761
+  bit-exact + 16 rows-only — ANN-approx, geo golden-vector, codec
+  mapInPandas, RDP simplify, hull, Fréchet, Viterbi; parity verified
+  by tools/check_oracle.py, artifact CORRECTNESS_local_r5.json).
 """
 
 from __future__ import annotations

@@ -4363,4 +4363,3 @@ cast((aggregate(
 """
         ).alias("p_two_sided_q"),
     )
-
