@@ -7685,3 +7685,104 @@ def perimeter_scaling_census(spark, sf_dir):
         )
         .orderBy("coarsen")
     )
+
+
+def _geohash_neighbors_oracle() -> str:
+    from gipspark.functions.geohash import BASE32, QBITS, QMAX, SPREAD_STEPS
+
+    n = 1 << QBITS
+    offsets = ",".join(
+        f"({dx},{dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    steps = []
+    x, y = "xn", "yn"
+    for i, (shift, mask) in enumerate(SPREAD_STEPS):
+        nx, ny = f"x{i}", f"y{i}"
+        steps.append(
+            f"g{i} AS (SELECT skey, (({x} | ({x} << {shift})) & {mask}) AS {nx}, "
+            f"(({y} | ({y} << {shift})) & {mask}) AS {ny} FROM g{'o' if i == 0 else i - 1})"
+        )
+        x, y = nx, ny
+    chars = " || ".join(
+        f"substr('{BASE32}', cast(((z >> {5 * (8 - 1 - j)}) & 31) as int) + 1, 1)"
+        for j in range(8)
+    )
+    return f"""
+WITH gq AS (
+  SELECT c_custkey AS key,
+         cast(greatest(least(floor((({_LON.format(k='c_custkey')}) + 180.0) / 360.0 * {n}), {QMAX}), 0) as bigint) AS xq,
+         cast(greatest(least(floor((({_LAT.format(k='c_custkey')}) + 90.0) / 180.0 * {n}), {QMAX}), 0) as bigint) AS yq
+  FROM customer WHERE c_custkey < 200
+), go AS (
+  SELECT key * 100 + (o.dx + 1) * 10 + (o.dy + 1) AS skey,
+         (xq + o.dx + {n}) % {n} AS xn, yq + o.dy AS yn
+  FROM gq CROSS JOIN (VALUES {offsets}) AS o(dx, dy)
+  WHERE yq + o.dy BETWEEN 0 AND {QMAX}
+),
+{", ".join(steps)},
+gz AS (SELECT skey, (({x} << 1) | {y}) AS z FROM g{len(SPREAD_STEPS) - 1})
+SELECT cast(skey // 100 as bigint) AS c_custkey,
+       cast(skey % 100 // 10 - 1 as bigint) AS dx,
+       cast(skey % 10 - 1 as bigint) AS dy,
+       {chars} AS neighbor_gh
+FROM gz ORDER BY c_custkey, dx, dy
+""";
+
+
+@register("geohash_neighbors_contract", _geohash_neighbors_oracle())
+def geohash_neighbors_contract(spark, sf_dir):
+    """Geohash neighbor generation contract (r5): the 8-neighborhood of
+    every sampled customer cell, produced WITHOUT the textbook base-32
+    edge/border lookup tables — decode-free: offset the quantized
+    integer grid coordinates directly (longitude wraps modulo 2^20,
+    latitude clamps at the poles by dropping the out-of-range row) and
+    re-encode through the shared quantize→spread→interleave→base32
+    chain. Neighbor-finding is where hand-rolled geohash code
+    classically breaks (the odd/even-char asymmetry makes the lookup
+    tables error-prone; the z-curve integer form has no such cases),
+    and the emitted neighbor STRINGS hash-compare across engines —
+    byte parity on the full 9-cell stencil incl. the (0,0) self-check.
+    Scale shape: bounded sample × 9 literal offsets, all integer bit
+    ops, no joins beyond the offset explode."""
+    from gipspark.functions.geohash import BASE32, QMAX, _quantize, _spread
+
+    n_wrap = QMAX + 1
+    pts = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            _quantize(C.derived_lon(F.col("c_custkey")), -180.0, 360.0 - 180.0).alias("xq"),
+            _quantize(C.derived_lat(F.col("c_custkey")), -90.0, 90.0).alias("yq"),
+        )
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    e = (
+        pts.select("c_custkey", "xq", "yq", F.explode(offs).alias("o"))
+        .select(
+            "c_custkey",
+            F.col("o.dx").cast("long").alias("dx"),
+            F.col("o.dy").cast("long").alias("dy"),
+            ((F.col("xq") + F.col("o.dx") + n_wrap) % n_wrap).alias("xn"),
+            (F.col("yq") + F.col("o.dy")).alias("yn"),
+        )
+        .filter((F.col("yn") >= 0) & (F.col("yn") <= QMAX))
+    )
+    z = F.shiftleft(_spread(F.col("xn")), 1).bitwiseOR(_spread(F.col("yn")))
+    alphabet = F.array(*[F.lit(c) for c in BASE32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(z, 5 * (8 - 1 - j)).bitwiseAND(F.lit(31)) + 1).cast("int"),
+        )
+        for j in range(8)
+    ]
+    return e.select(
+        "c_custkey", "dx", "dy", F.concat(*chars).alias("neighbor_gh")
+    ).orderBy("c_custkey", "dx", "dy")

@@ -1224,3 +1224,93 @@ def polyline_varint_users(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "distance_approx_error_census",
+    f"""
+WITH fixes AS (
+  SELECT user_id, ts, event_id,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), pairs AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), d AS (
+  SELECT cast(floor(abs((lat + plat) / 2) / 30.0) as bigint) AS lat_band,
+         cast(round({HAVERSINE_SQL.format(lat1='plat', lon1='plon', lat2='lat', lon2='lon')}, 0) as bigint) AS h_m,
+         cast(round(6371000.0 * sqrt(
+           ((lon - plon) * 0.017453292519943295
+             * cos((lat + plat) / 2 * 0.017453292519943295))
+           * ((lon - plon) * 0.017453292519943295
+             * cos((lat + plat) / 2 * 0.017453292519943295))
+           + ((lat - plat) * 0.017453292519943295)
+             * ((lat - plat) * 0.017453292519943295)), 0) as bigint) AS e_m
+  FROM pairs WHERE plat IS NOT NULL
+)
+SELECT lat_band,
+       cast(count(*) as bigint) AS n_pairs,
+       cast(sum(h_m) as bigint) AS sum_haversine_m,
+       cast(sum(abs(e_m - h_m)) as bigint) AS sum_abs_err_m,
+       cast(max(abs(e_m - h_m)) as bigint) AS max_abs_err_m
+FROM d GROUP BY lat_band ORDER BY lat_band
+""",
+)
+def distance_approx_error_census(spark, sf_dir):
+    """Equirectangular-vs-haversine error census (r5): every consecutive
+    user fix pair measured under BOTH the exact great-circle formula
+    and the flat-earth equirectangular shortcut (Δλ·cos φ̄, Δφ — the
+    one every hot loop is tempted to use because it needs one cos
+    instead of two sin/cos/asin), with the absolute error summed and
+    maxed per 30° latitude band — the evidence table for the standing
+    engine question 'when is the cheap metric safe': sub-meter for
+    short hops at low latitude, catastrophic across the antimeridian
+    and for long jumps near the poles, and THIS census says which
+    regime a given workload is in. Distances round to whole meters
+    first (the repo's libm-absorption discipline — both engines'
+    trig agrees to well under 0.5 m at these magnitudes), so every
+    aggregate is exact integer arithmetic. Scale shape: one lag
+    window + one hash agg on a 4-row band dim."""
+    from gipspark.geo.haversine import DEG2RAD, EARTH_RADIUS_M, haversine_col
+
+    ev = load(spark, sf_dir, "events")
+    fixes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = fixes.select(
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    h = F.round(
+        haversine_col(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")), 0
+    ).cast("long")
+    ex = (F.col("lon") - F.col("plon")) * F.lit(DEG2RAD) * F.cos(
+        (F.col("lat") + F.col("plat")) / 2 * F.lit(DEG2RAD)
+    )
+    ey = (F.col("lat") - F.col("plat")) * F.lit(DEG2RAD)
+    e = F.round(F.lit(EARTH_RADIUS_M) * F.sqrt(ex * ex + ey * ey), 0).cast("long")
+    d = pairs.select(
+        F.floor(F.abs((F.col("lat") + F.col("plat")) / 2) / F.lit(30.0))
+        .cast("long")
+        .alias("lat_band"),
+        h.alias("h_m"),
+        e.alias("e_m"),
+    )
+    return (
+        d.groupBy("lat_band")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("h_m").cast("long").alias("sum_haversine_m"),
+            F.sum(F.abs(F.col("e_m") - F.col("h_m"))).cast("long").alias("sum_abs_err_m"),
+            F.max(F.abs(F.col("e_m") - F.col("h_m"))).cast("long").alias("max_abs_err_m"),
+        )
+        .orderBy("lat_band")
+    )
