@@ -248,3 +248,76 @@ def windowed_bpe_token_rate(spark, sf_dir):
         .select(F.col("w.start").alias("win_start"), "n_pretokens", "n_bpe_tokens")
         .orderBy("win_start")
     )
+
+
+_WM_CANDIDATES_S = [60, 300, 600, 1800]
+
+
+@register(
+    "watermark_planning_census",
+    f"""
+WITH arr AS (
+  SELECT cast(epoch(ts) as bigint) AS t,
+         max(cast(epoch(ts) as bigint))
+           OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM events
+), tot AS (SELECT cast(count(*) as bigint) AS n FROM events)
+SELECT cast(w.wm as bigint) AS watermark_s,
+       tot.n AS n_events,
+       cast(count(*) FILTER (WHERE arr.hwm IS NOT NULL AND arr.t < arr.hwm - w.wm)
+            as bigint) AS n_late,
+       cast(count(*) FILTER (WHERE arr.hwm IS NOT NULL AND arr.t < arr.hwm - w.wm)
+            * 1000000 // tot.n as bigint) AS late_rate_micro
+FROM arr CROSS JOIN (VALUES {",".join(f"({w})" for w in _WM_CANDIDATES_S)}) AS w(wm)
+CROSS JOIN tot
+GROUP BY w.wm, tot.n ORDER BY watermark_s
+""",
+)
+def watermark_planning_census(spark, sf_dir):
+    """Watermark planning census (r5): for each candidate watermark,
+    how many events would arrive LATE — event time below the running
+    high-water mark (max event time over all EARLIER arrivals, arrival
+    order = event_id, the log-offset proxy) minus the watermark — and
+    so be DROPPED by a Structured Streaming windowed aggregate. This
+    is the number you need BEFORE choosing withWatermark's horizon
+    (the streaming families here run '10 minutes' on faith; this
+    census is the faith's audit): pick the knee where late_rate stops
+    falling. Exact integers: epoch seconds, a running max with a
+    1-PRECEDING frame (the first arrival has no HWM and cannot be
+    late), candidate horizons as a literal dim. Scale shape: the
+    running max is a GLOBAL ordered window — the documented big-data
+    alternative is per-partition HWMs + a broadcast prefix merge (the
+    same two-phase swap as the global cumsum ops); per-key watermarks
+    would partition by source. One window + one 4-row dim cross +
+    one agg."""
+    ev = load(spark, sf_dir, "events")
+    w_arr = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        F.expr("cast(unix_timestamp(ts) as bigint)").alias("t"),
+        F.max(F.expr("cast(unix_timestamp(ts) as bigint)")).over(w_arr).alias("hwm"),
+    )
+    tot = ev.agg(F.count("*").cast("long").alias("n"))
+    wm = None
+    for wsec in _WM_CANDIDATES_S:
+        r = (
+            arr.crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(wsec).cast("long").alias("watermark_s"),
+                F.max("n").alias("n_events"),
+                F.count_if(
+                    F.col("hwm").isNotNull() & (F.col("t") < F.col("hwm") - wsec)
+                )
+                .cast("long")
+                .alias("n_late"),
+                F.expr(
+                    f"cast((count_if(hwm is not null and t < hwm - {wsec}) * 1000000)"
+                    " div max(n) as bigint)"
+                ).alias("late_rate_micro"),
+            )
+        )
+        wm = r if wm is None else wm.unionByName(r)
+    return wm.orderBy("watermark_s")
