@@ -7297,3 +7297,115 @@ def oov_bigram_rate_docs(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _ranker_agreement_sql() -> str:
+    from gipspark.queries._shared import _BM25_TERMS, _bm25_tf_sql
+
+    arms = []
+    for term in _BM25_TERMS:
+        tf = _bm25_tf_sql(term)
+        arms.append(f"""
+SELECT '{term}' AS term, n_matched, overlap_at_10 FROM (
+  WITH pt AS (
+    SELECT doc_id,
+           cast({{dl}} as bigint) AS dl,
+           cast({tf} as bigint) AS tf
+    FROM documents
+  ), st AS (
+    SELECT cast(count(*) as bigint) AS n, cast(sum(dl) as bigint) AS sumdl,
+           cast(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) as bigint) AS df
+    FROM pt
+  ), m AS (SELECT pt.*, st.n, st.sumdl, st.df FROM pt CROSS JOIN st WHERE tf > 0),
+  bm AS (
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             ((cast(n - df as double) + 0.5) / (cast(df as double) + 0.5) + 1.0)
+             * ((cast(tf as double) * 2.2) / (cast(tf as double) + 1.2 * (0.25 + 0.75 * (cast(dl as double) / (cast(sumdl as double) / cast(n as double)))))) AS s
+      FROM m) ORDER BY s DESC, doc_id LIMIT 10
+  ), tfr AS (
+    SELECT doc_id FROM m ORDER BY tf DESC, doc_id LIMIT 10
+  )
+  SELECT (SELECT cast(count(*) as bigint) FROM m) AS n_matched,
+         (SELECT cast(count(*) as bigint) FROM bm JOIN tfr USING (doc_id))
+           AS overlap_at_10
+)""")
+    body = "\nUNION ALL\n".join(arms)
+    return body.replace(
+        "{dl}", "len(regexp_split_to_array(lower(trim(text)), '\\s+'))"
+    ) + "\nORDER BY term"
+
+
+@register("ranker_agreement_contract", _ranker_agreement_sql())
+def ranker_agreement_contract(spark, sf_dir):
+    """Ranker-agreement contract (r5): per frozen query term, the
+    overlap@10 between BM25 (saturated tf, length-normalized) and raw
+    term-frequency ranking — for a single term, classic TF-IDF orders
+    purely by tf (idf is constant within the term), so this census
+    isolates exactly what BM25's k1 saturation + b length prior CHANGE
+    in the result page, which is the evidence a search tuner wants
+    before touching those knobs (overlap 10/10 = the prior is inert on
+    this corpus; low overlap = long docs were dominating raw tf). Both
+    rankers use exact deterministic tie-breaks (score/tf desc, doc_id)
+    and BM25 keeps the log-free rational idf (the bm25_topk_docs
+    discipline) so every double is bit-identical cross-engine. Scale
+    shape: per term one 1-row stats broadcast + two top-10
+    TakeOrderedAndProject + one 10×10 join — constant beyond the scan."""
+    from gipspark.queries._shared import _BM25_TERMS
+
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    out = None
+    for term in _BM25_TERMS:
+        pt = d.select(
+            "doc_id",
+            T.token_count(F.col("text")).cast("long").alias("dl"),
+            F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("long").alias("tf"),
+        )
+        st = pt.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("sumdl"),
+            F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).cast("long").alias("df"),
+        )
+        m = pt.filter(F.col("tf") > 0).crossJoin(F.broadcast(st))
+        s = (
+            ((F.col("n") - F.col("df")).cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+            + 1.0
+        ) * (
+            (F.col("tf").cast("double") * 2.2)
+            / (
+                F.col("tf").cast("double")
+                + 1.2
+                * (
+                    0.25
+                    + 0.75
+                    * (
+                        F.col("dl").cast("double")
+                        / (F.col("sumdl").cast("double") / F.col("n").cast("double"))
+                    )
+                )
+            )
+        )
+        bm = (
+            m.select("doc_id", s.alias("s"))
+            .orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id")
+        )
+        tfr = (
+            m.select("doc_id", "tf")
+            .orderBy(F.desc("tf"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id")
+        )
+        n_matched = m.agg(F.count("*").cast("long").alias("n_matched"))
+        overlap = bm.join(tfr, "doc_id").agg(
+            F.count("*").cast("long").alias("overlap_at_10")
+        )
+        row = (
+            n_matched.crossJoin(F.broadcast(overlap))
+            .select(F.lit(term).alias("term"), "n_matched", "overlap_at_10")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("term")

@@ -62,6 +62,7 @@ CROSS_OK = {
     "heaps_law_docs",  # 1-row token-total scalar broadcast per checkpoint arm
     "token_budget_select",  # 1-row corpus-token-total broadcast into the rank cut
     "watermark_planning_census",  # 1-row event-total broadcast per candidate-horizon arm
+    "ranker_agreement_contract",  # 1-row corpus-stats broadcast per term arm (bm25_topk sibling)
     "q15_top_supplier",  # 1-row max-revenue scalar broadcast back over the quarter agg
     "q11_important_stock",  # 1-row regional-total broadcast into the per-part values
     "q22_dormant_customers",  # 1-row positive-balance moment broadcast into customers
