@@ -129,6 +129,30 @@ BENCH_QUERIES = [
     "temporal_reachability_users",
     "fca_accessibility_customers",
     "mobility_motifs_users",
+    # round-5 representatives: learned-BPE family, PQ/IVFPQ search,
+    # polygon-hygiene contracts, geohash neighbors, perimeter scaling,
+    # watermark planning, curation budget cut, dedup spectrum
+    "bpe_merge_token_counts",
+    "bpe_vocab_curve",
+    "pq_cosine_topk",
+    "ivfpq_cosine_topk",
+    "heaps_law_docs",
+    "polyline_varint_users",
+    "rle_raster_audit",
+    "geohash_neighbors_contract",
+    "oov_bigram_rate_docs",
+    "dedup_cluster_size_census",
+    "perimeter_scaling_census",
+    "watermark_planning_census",
+    "region_adjacency_pairs",
+    "token_budget_select",
+    "winsorized_mean_orders",
+    "distance_approx_error_census",
+    "ranker_agreement_contract",
+    "windowed_bpe_token_rate",
+    "fill_rule_contract",
+    "ring_orientation_census",
+    "pip_degenerate_contract",
 ]
 
 
