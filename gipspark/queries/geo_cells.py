@@ -7786,3 +7786,69 @@ def geohash_neighbors_contract(spark, sf_dir):
     return e.select(
         "c_custkey", "dx", "dy", F.concat(*chars).alias("neighbor_gh")
     ).orderBy("c_custkey", "dx", "dy")
+
+
+@register(
+    "tile_load_gini",
+    f"""
+WITH pts AS (
+  SELECT {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), cells AS (
+  SELECT cast(floor((lon + 180.0) / {{g}}) as bigint) AS gx,
+         cast(floor((90.0 - lat) / {{g}}) as bigint) AS gy,
+         cast(count(*) as bigint) AS c
+  FROM pts GROUP BY gx, gy
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c, gx, gy) AS i,
+         count(*) OVER () AS n, sum(c) OVER () AS tot
+  FROM cells
+)
+SELECT cast(max(n) as bigint) AS n_cells,
+       cast(max(tot) as bigint) AS n_events,
+       cast(sum((2 * i - n - 1) * c) * 1000000 // (max(n) * max(tot)) as bigint)
+         AS gini_micro,
+       cast(max(c) * 1000000 // max(tot) as bigint) AS top_cell_share_micro
+FROM ranked
+""".replace("{g}", str(_SHAPE_GRID)),
+)
+def tile_load_gini(spark, sf_dir):
+    """Spatial load-imbalance Gini (r5): inequality of per-cell event
+    counts plus the single hottest cell's share — THE planning number
+    behind this engine's skew machinery (salted joins, AQE skew
+    splits, the megacity-hotspot fixture): Gini near 0 says plain
+    hash partitioning on cell id balances fine, a high Gini with a
+    fat top-cell share says exactly how much salt the hot cells need
+    (skew_salted_join's threshold derives from this census). Exact:
+    integer Gini via the sorted-rank identity Σ(2i−n−1)cᵢ / (n·Σc)
+    in micro ticks with a (count, gx, gy) total tie-break. Scale
+    shape: one hash agg to the bounded cell table + one global rank
+    window ON THE CELL TABLE (dim-bounded — cells, not events; the
+    repo's global-window contract) + scalar aggregates."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor((F.col("lon") + 180.0) / _SHAPE_GRID).cast("long").alias("gx"),
+        F.floor((90.0 - F.col("lat")) / _SHAPE_GRID).cast("long").alias("gy"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("c", "gx", "gy")
+    wa = Window.partitionBy()
+    ranked = cells.select(
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wa).alias("n"),
+        F.sum("c").over(wa).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_cells"),
+        F.max("tot").cast("long").alias("n_events"),
+        F.expr(
+            "cast((sum((2 * i - n - 1) * c) * 1000000) div (max(n) * max(tot)) as bigint)"
+        ).alias("gini_micro"),
+        F.expr("cast((max(c) * 1000000) div max(tot) as bigint)").alias(
+            "top_cell_share_micro"
+        ),
+    )
