@@ -112,18 +112,87 @@ def markov_stationary_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("isotonic_calibration_sources", None)
+def _pava_oracle_sql() -> str:
+    """Recursive-CTE PAVA (round 5): unlike the hull's trailing-scan
+    shortcut, PAVA's pop tests read MERGED pool values, so pops cannot
+    be precomputed — instead the recursion performs exactly ONE stack
+    operation per iteration (merge-top-into-cur, push-cur, or
+    consume-next-bin), which keeps every expression single-level and
+    terminates in ≤3n steps per group. Integer cross-multiplied mean
+    comparisons mirror operators/isotonic.pava_pools verbatim; the
+    terminal state per group is selected by max step. Verified
+    bit-identical on all 60 (source, bin) rows before wiring in."""
+    return """
+WITH RECURSIVE binned AS (
+  SELECT source, least(n_chars // 200, 9) AS bin,
+         cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) as bigint) AS sum_y,
+         cast(count(*) as bigint) AS cnt
+  FROM documents GROUP BY source, bin
+), grp AS (
+  SELECT source,
+         list_transform(list_sort(list({'b': bin, 's': sum_y, 'c': cnt})), x -> x.b) AS bins,
+         list_transform(list_sort(list({'b': bin, 's': sum_y, 'c': cnt})), x -> x.s) AS sums,
+         list_transform(list_sort(list({'b': bin, 's': sum_y, 'c': cnt})), x -> x.c) AS cnts,
+         len(list(bin)) AS n
+  FROM binned GROUP BY source
+), pava AS (
+  SELECT source, bins, sums, cnts, n, 0 AS i,
+         cast([] as struct(p bigint, s bigint, c bigint)[]) AS stack,
+         {'p': cast(0 as bigint), 's': cast(0 as bigint), 'c': cast(0 as bigint)} AS cur,
+         0 AS step
+  FROM grp
+  UNION ALL
+  SELECT source, bins, sums, cnts, n,
+         CASE WHEN cur.c > 0 THEN i ELSE i + 1 END AS i,
+         CASE WHEN cur.c > 0 AND len(stack) > 0
+                   AND stack[len(stack)].s * cur.c > cur.s * stack[len(stack)].c
+              THEN stack[1:len(stack) - 1]
+              WHEN cur.c > 0 THEN list_append(stack, cur)
+              ELSE stack END AS stack,
+         CASE WHEN cur.c > 0 AND len(stack) > 0
+                   AND stack[len(stack)].s * cur.c > cur.s * stack[len(stack)].c
+              THEN {'p': stack[len(stack)].p, 's': stack[len(stack)].s + cur.s,
+                    'c': stack[len(stack)].c + cur.c}
+              WHEN cur.c > 0
+              THEN {'p': cast(0 as bigint), 's': cast(0 as bigint), 'c': cast(0 as bigint)}
+              ELSE {'p': cast(i as bigint), 's': sums[i + 1], 'c': cnts[i + 1]} END AS cur,
+         step + 1
+  FROM pava
+  WHERE cur.c > 0 OR i < n
+), final AS (
+  SELECT source, bins, n, stack
+  FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY step DESC) AS rn FROM pava)
+  WHERE rn = 1
+), outp AS (
+  SELECT source, bins, n, stack, unnest(generate_series(1, n)) AS pos
+  FROM final
+), mapped AS (
+  SELECT source, bins[pos] AS bin,
+         len(list_filter(stack, x -> x.p <= pos - 1)) - 1 AS pool_id, stack
+  FROM outp
+)
+SELECT source, cast(bin as int) AS bin,
+       stack[pool_id + 1].s AS pool_sum,
+       stack[pool_id + 1].c AS pool_cnt,
+       cast(pool_id as int) AS pool_id,
+       cast((stack[pool_id + 1].s * 1000000) // stack[pool_id + 1].c as bigint) AS fitted_q
+FROM mapped ORDER BY source, bin
+"""
+
+
+@register("isotonic_calibration_sources", _pava_oracle_sql())
 def isotonic_calibration_sources(spark, sf_dir):
     """Isotonic (PAVA) calibration curve per source: docs bin by length
     decile (global 10-bin grid), label = lang='en', and the per-source
     empirical P(en | length-bin) is made monotone by
     operators/isotonic.py — the post-hoc calibrator that turns a raw
     score into a monotone probability (the step after
-    calibration_ece_docs measures miscalibration). Rows-only: the
-    pool-adjacent-violators recurrence is inherently sequential per
-    group, so there is no SQL twin — tests/test_isotonic.py proves the
-    kernel against a method-independent repeated-sweep PAVA and the
-    grouped operator against the kernel. Python sees only (source ×
+    calibration_ece_docs measures miscalibration). Round 5 made this a
+    BIT-EXACT oracle query: the DuckDB mirror runs PAVA as a recursive
+    CTE performing one stack operation per iteration (_pava_oracle_sql
+    — the merged-pool values forbid the hull's precomputed-pop
+    shortcut), on top of tests/test_isotonic.py's method-independent
+    repeated-sweep reference. Python sees only (source ×
     10) binned rows; the fact-table work is one aggregate."""
     from gipspark.operators.isotonic import isotonic_fit
 
