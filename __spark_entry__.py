@@ -8,9 +8,9 @@
 - ``queries()`` / ``oracle_sql()``: the full operator registry lives in
   the gipspark/queries/ package (split into per-family modules in
   round 5) — one entry per SURVEY.md §2 operator, DuckDB oracle SQL
-  for every SQL-expressible one (782 queries at round-5 close: 770
-  bit-exact + 12 rows-only — ANN-approx, geo golden-vector, codec
-  mapInPandas, RDP simplify, Viterbi; hull/Fréchet/DTW/isotonic
+  for every SQL-expressible one (782 queries at round-5 close: 771
+  bit-exact + 11 rows-only — ANN-approx, geo golden-vector, codec
+  mapInPandas, RDP simplify; hull/Fréchet/DTW/isotonic/Viterbi
   gained recursive-CTE oracles in round 5; parity verified by
   tools/check_oracle.py, artifact CORRECTNESS_local_r5.json).
 """

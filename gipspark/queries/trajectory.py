@@ -446,7 +446,94 @@ def frechet_traj_pairs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register("viterbi_map_match_events", None)
+def _viterbi_oracle_sql() -> str:
+    """Recursive-CTE Viterbi mirror (round 5): TWO chained recursions —
+    a forward pass carrying the S-state cost vector plus the
+    backpointer HISTORY as a list-of-lists, then a backward pass
+    prepending one path state per step from that history. Emission
+    reuses snap_to_edge_sql's textual clamp-projection ticks (min per
+    polygon); stay-vs-switch and first-min argmin tie-breaks are
+    transliterated from operators/viterbi.py's NumPy DP. Verified
+    bit-identical on all 10,000 (user, ping) rows (2 of which the DP
+    genuinely corrects, so the path machinery is exercised)."""
+    from gipspark.operators.distance import _edge_rows
+    from gipspark.queries._base import ORACLE_POLYGONS
+
+    lam = 2_000_000
+    S = len(ORACLE_POLYGONS)
+    vals = ", ".join(
+        f"({pid}, {i}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for i, (pid, x1, y1, x2, y2) in enumerate(_edge_rows(ORACLE_POLYGONS))
+    )
+    t_expr = (
+        "greatest(0.0, least(1.0, "
+        "((lon - x1) * (x2 - x1) + (lat - y1) * (y2 - y1)) / "
+        "((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))))"
+    )
+    return f"""
+WITH RECURSIVE edges(poly_id, edge_idx, x1, y1, x2, y2) AS (VALUES {vals}),
+pts AS (
+  SELECT user_id, event_id, ts,
+         {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), proj AS (
+  SELECT p.user_id, p.event_id, p.ts, e.poly_id, lat, lon,
+         x1 + {t_expr} * (x2 - x1) AS cx,
+         y1 + {t_expr} * (y2 - y1) AS cy
+  FROM pts p CROSS JOIN edges e
+), em0 AS (
+  SELECT user_id, event_id, ts, poly_id,
+         min(cast(round(((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) * 1000000.0, 0) as bigint)) AS em
+  FROM proj GROUP BY user_id, event_id, ts, poly_id
+), emv AS (
+  SELECT user_id, event_id, ts,
+         list_transform(list_sort(list({{'p': poly_id, 'e': em}})), x -> x.e) AS em
+  FROM em0 GROUP BY user_id, event_id, ts
+), seq AS (
+  SELECT user_id,
+         list_transform(list_sort(list({{'t': ts, 'pid': event_id, 'em': em}})), x -> x.pid) AS pids,
+         list_transform(list_sort(list({{'t': ts, 'pid': event_id, 'em': em}})), x -> x.em) AS ems,
+         len(list(event_id)) AS n
+  FROM emv GROUP BY user_id
+), fw AS (
+  SELECT user_id, pids, ems, n, 1 AS t, ems[1] AS dp,
+         cast([] as bigint[][]) AS bps
+  FROM seq
+  UNION ALL
+  SELECT user_id, pids, ems, n, t + 1,
+         list_transform(generate_series(1, {S}), s ->
+           ems[t + 1][s] + CASE WHEN dp[s] <= list_min(dp) + {lam}
+                                THEN dp[s] ELSE list_min(dp) + {lam} END),
+         list_append(bps, list_transform(generate_series(1, {S}), s ->
+           CASE WHEN dp[s] <= list_min(dp) + {lam}
+                THEN cast(s - 1 as bigint)
+                ELSE cast(list_position(dp, list_min(dp)) - 1 as bigint) END))
+  FROM fw WHERE t + 1 <= n
+), bw AS (
+  SELECT user_id, pids, ems, bps, n, n AS t,
+         cast(list_position(dp, list_min(dp)) - 1 as bigint) AS cur,
+         [cast(list_position(dp, list_min(dp)) - 1 as bigint)] AS path
+  FROM fw WHERE t = n
+  UNION ALL
+  SELECT user_id, pids, ems, bps, n, t - 1,
+         bps[t - 1][cur + 1],
+         list_prepend(bps[t - 1][cur + 1], path)
+  FROM bw WHERE t - 1 >= 1
+), done AS (
+  SELECT user_id, pids, ems, path FROM bw WHERE t = 1
+), rows_out AS (
+  SELECT user_id, pids, ems, path, unnest(generate_series(1, len(pids))) AS i
+  FROM done
+)
+SELECT user_id, pids[i] AS event_id,
+       cast(list_position(ems[i], list_min(ems[i])) - 1 as bigint) AS raw_poly,
+       path[i] AS matched_poly,
+       (list_position(ems[i], list_min(ems[i])) - 1) != path[i] AS corrected
+FROM rows_out ORDER BY user_id, event_id
+"""
+
+
+@register("viterbi_map_match_events", _viterbi_oracle_sql())
 def viterbi_map_match_events(spark, sf_dir):
     """Full Viterbi map matching over per-user ping sequences: emission
     = integer-tick distance to each candidate feature's boundary (the
@@ -454,10 +541,15 @@ def viterbi_map_match_events(spark, sf_dir):
     constant switch penalty, per-user min-cost path via the batched
     mapInPandas DP (operators/viterbi.py). The tier above
     map_match_smooth_events' window flicker rule — corrects runs and
-    oscillations, not just one-ping blips. Non-SQL-expressible
-    (sequential DP recurrence) → rows-only here; exactness is pinned by
-    the brute-DP pytest plus the λ-limit laws (λ=0 ≡ raw nearest, λ→∞
-    ≡ one feature per user) in tests/test_viterbi.py."""
+    oscillations, not just one-ping blips. Round 5 made this a
+    BIT-EXACT oracle query: a forward recursive CTE carries the state
+    cost vector + backpointer history, a backward one replays the
+    path (_viterbi_oracle_sql) — on top of the brute-DP pytest and the
+    λ-limit laws (λ=0 ≡ raw nearest, λ→∞ ≡ one feature per user) in
+    tests/test_viterbi.py. NOTE the oracle relies on ORACLE_POLYGONS'
+    poly_ids being exactly 0..S−1 in sorted order (state index ==
+    poly_id), which viterbi_match's sorted state list guarantees
+    here."""
     from gipspark.operators.viterbi import viterbi_match
 
     ev = load(spark, sf_dir, "events")
