@@ -1923,3 +1923,76 @@ def dedup_cluster_size_census(spark, sf_dir):
         )
         .orderBy("size_bucket")
     )
+
+
+_DTS_THRESHOLDS = [30, 50, 70, 90]
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+WITH base AS (
+  SELECT doc_id, {D.shingles_sql('text', 2)} AS sh
+  FROM documents WHERE doc_id < 1500
+), post AS (
+  SELECT doc_id, unnest(sh) AS s, len(sh) AS sz FROM base
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         cast(count(*) as bigint) AS common,
+         any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+)
+SELECT cast(t.th as bigint) AS threshold_pct,
+       cast(count(*) FILTER (
+         WHERE 100 * common >= t.th * (sz_a + sz_b - common)) as bigint) AS n_pairs
+FROM pairs CROSS JOIN (VALUES {",".join(f"({t})" for t in _DTS_THRESHOLDS)}) AS t(th)
+GROUP BY t.th ORDER BY threshold_pct
+""",
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Near-dup threshold sweep (r5): exact Jaccard pair counts at
+    candidate thresholds 30/50/70/90% over the calibration sample —
+    the curve a dedup pass reads BEFORE freezing its threshold
+    (lsh_pr_contract then scores the banded candidates against the
+    chosen point; dedup_cluster_size_census shows the cluster
+    structure that choice produces — this sweep is the missing first
+    panel of that triptych). Exact integers: the posting-list
+    self-join bounds work by Σposting², Jaccard ≥ τ tested as
+    100·|∩| ≥ τ·|∪| with no division, thresholds as a 4-row literal
+    dim. Scale shape: ONE posting self-join + one hash agg, the
+    thresholds evaluated as conditional counts over the same pair
+    table (never re-joining per τ)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    sh = docs.select("doc_id", D.shingles(F.col("text"), 2).alias("sh")).withColumn(
+        "sz", F.size("sh")
+    )
+    post = sh.select("doc_id", F.explode("sh").alias("s"), "sz")
+    a = post.select(
+        F.col("doc_id").alias("id_a"), "s", F.col("sz").alias("sz_a")
+    )
+    b = post.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("s2"), F.col("sz").alias("sz_b")
+    )
+    pairs = (
+        a.join(b, (F.col("s") == F.col("s2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.any_value("sz_a").alias("sz_a"),
+            F.any_value("sz_b").alias("sz_b"),
+        )
+    )
+    out = None
+    for th in _DTS_THRESHOLDS:
+        r = pairs.agg(
+            F.lit(th).cast("long").alias("threshold_pct"),
+            F.count_if(
+                100 * F.col("common")
+                >= th * (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            )
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("threshold_pct")

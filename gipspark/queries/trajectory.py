@@ -1547,3 +1547,102 @@ def distance_approx_error_census(spark, sf_dir):
         )
         .orderBy("lat_band")
     )
+
+
+def _ambiguity_oracle_sql() -> str:
+    from gipspark.operators.distance import _edge_rows
+    from gipspark.queries._base import ORACLE_POLYGONS
+
+    vals = ", ".join(
+        f"({pid}, {i}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for i, (pid, x1, y1, x2, y2) in enumerate(_edge_rows(ORACLE_POLYGONS))
+    )
+    t_expr = (
+        "greatest(0.0, least(1.0, "
+        "((lon - x1) * (x2 - x1) + (lat - y1) * (y2 - y1)) / "
+        "((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))))"
+    )
+    return f"""
+WITH edges(poly_id, edge_idx, x1, y1, x2, y2) AS (VALUES {vals}),
+pts AS (
+  SELECT event_id, {_LAT.format(k='event_id')} AS lat, {_LON.format(k='event_id')} AS lon
+  FROM events
+), proj AS (
+  SELECT p.event_id, e.poly_id, lat, lon,
+         x1 + {t_expr} * (x2 - x1) AS cx,
+         y1 + {t_expr} * (y2 - y1) AS cy
+  FROM pts p CROSS JOIN edges e
+), em AS (
+  SELECT event_id, poly_id,
+         min(cast(round(((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy)) * 1000000.0, 0) as bigint)) AS ticks
+  FROM proj GROUP BY event_id, poly_id
+), ranked AS (
+  SELECT event_id, ticks,
+         row_number() OVER (PARTITION BY event_id ORDER BY ticks, poly_id) AS rn
+  FROM em
+), margins AS (
+  SELECT event_id,
+         max(CASE WHEN rn = 2 THEN ticks END) - max(CASE WHEN rn = 1 THEN ticks END)
+           AS margin
+  FROM ranked GROUP BY event_id
+)
+SELECT cast(CASE WHEN margin = 0 THEN 0 ELSE length(bin(margin)) END as bigint)
+         AS margin_bucket,
+       cast(count(*) as bigint) AS n_pings,
+       cast(min(margin) as bigint) AS min_margin,
+       cast(max(margin) as bigint) AS max_margin
+FROM margins GROUP BY margin_bucket ORDER BY margin_bucket
+""";
+
+
+@register("matching_ambiguity_census", _ambiguity_oracle_sql())
+def matching_ambiguity_census(spark, sf_dir):
+    """Map-matching ambiguity census (r5): per ping, the margin between
+    the nearest and second-nearest feature's boundary distance (exact
+    integer ticks, the viterbi emission machinery), bucketed by the
+    libm-free bit-length ladder — the confidence panel behind the
+    map-matching tier choice: mass in low buckets = pings sitting on
+    feature boundaries where raw nearest-neighbor assignment flickers
+    and the HMM (viterbi_map_match_events) earns its switch penalty;
+    all-high-margin corpora can skip the DP entirely. Margin 0 (exact
+    ties, broken by poly_id everywhere else) gets its own bucket.
+    Scale shape: one bounded edges broadcast, per-ping min + one
+    2-row-per-ping rank window keyed by event, one census agg."""
+    from gipspark.operators.viterbi import _poly_ticks
+    from gipspark.queries._base import ORACLE_POLYGONS
+    from gipspark.operators.distance import _edge_rows
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        C.derived_lat(F.col("event_id")).alias("lat"),
+        C.derived_lon(F.col("event_id")).alias("lon"),
+    )
+    polys = sorted(ORACLE_POLYGONS, key=lambda p: int(p["poly_id"]))
+    em = F.array(
+        *[
+            F.struct(
+                _poly_ticks(F.col("lon"), F.col("lat"), _edge_rows([p])).alias("t"),
+                F.lit(int(p["poly_id"])).alias("p"),
+            )
+            for p in polys
+        ]
+    )
+    sorted_em = F.array_sort(em)
+    margins = pts.select(
+        (
+            F.element_at(sorted_em, 2)["t"] - F.element_at(sorted_em, 1)["t"]
+        ).alias("margin")
+    )
+    bucket = F.when(F.col("margin") == 0, F.lit(0)).otherwise(
+        F.length(F.bin("margin"))
+    ).cast("long")
+    return (
+        margins.groupBy(bucket.alias("margin_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_pings"),
+            F.min("margin").cast("long").alias("min_margin"),
+            F.max("margin").cast("long").alias("max_margin"),
+        )
+        .orderBy("margin_bucket")
+    )
