@@ -8,7 +8,7 @@
 - ``queries()`` / ``oracle_sql()``: the full operator registry lives in
   the gipspark/queries/ package (split into per-family modules in
   round 5) — one entry per SURVEY.md §2 operator, DuckDB oracle SQL
-  for every SQL-expressible one (784 queries at round-5 close: 773
+  for every SQL-expressible one (785 queries at round-5 close: 774
   bit-exact + 11 rows-only — ANN-approx, geo golden-vector, codec
   mapInPandas, RDP simplify; hull/Fréchet/DTW/isotonic/Viterbi
   gained recursive-CTE oracles in round 5; parity verified by

@@ -2014,3 +2014,111 @@ def ring_orientation_census(spark, sf_dir):
         )
         .orderBy("poly_id", "ring_idx")
     )
+
+
+@register(
+    "pip_prefilter_selectivity",
+    f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT.format(k='c_custkey')} AS lat, {_LON.format(k='c_custkey')} AS lon
+  FROM customer
+), e AS (SELECT * FROM {_edges_values_sql()}),
+bb AS (
+  SELECT poly_id, min(least(x1, x2)) AS x0, max(greatest(x1, x2)) AS x1,
+         min(least(y1, y2)) AS y0, max(greatest(y1, y2)) AS y1
+  FROM e GROUP BY poly_id
+), cand AS (
+  SELECT b.poly_id, p.c_custkey, p.lat, p.lon
+  FROM pts p JOIN bb b
+    ON p.lon >= b.x0 AND p.lon <= b.x1 AND p.lat >= b.y0 AND p.lat <= b.y1
+), refined AS (
+  SELECT c.poly_id, c.c_custkey
+  FROM cand c JOIN e ON e.poly_id = c.poly_id
+  WHERE ((e.y1 > c.lat) != (e.y2 > c.lat))
+    AND (c.lon < (e.x2 - e.x1) * (c.lat - e.y1) / (e.y2 - e.y1) + e.x1)
+  GROUP BY c.poly_id, c.c_custkey
+  HAVING count(*) % 2 = 1
+)
+SELECT b.poly_id,
+       cast((SELECT count(*) FROM cand WHERE cand.poly_id = b.poly_id) as bigint)
+         AS n_bbox_candidates,
+       cast((SELECT count(*) FROM refined WHERE refined.poly_id = b.poly_id) as bigint)
+         AS n_inside,
+       cast(coalesce((SELECT count(*) FROM refined WHERE refined.poly_id = b.poly_id)
+         * 1000000 // nullif((SELECT count(*) FROM cand WHERE cand.poly_id = b.poly_id), 0), 0)
+         as bigint) AS keep_rate_micro
+FROM bb b ORDER BY b.poly_id
+""",
+)
+def pip_prefilter_selectivity(spark, sf_dir):
+    """PIP prefilter selectivity census (r5): per oracle polygon, how
+    many customer points its BOUNDING BOX admits versus how many the
+    exact ray-cast keeps — the number that justifies (or indicts) the
+    engine's prefilter-then-refine architecture: keep-rate near 10⁶
+    means the bbox is tight and cell covers buy little; a thin
+    diagonal or star polygon (keep ~ area/bbox-area) is exactly where
+    the S2 cover prefilter (operators/pip.py) beats bboxes, and this
+    census quantifies by how much per polygon. Exact: the bbox test
+    is pure comparisons on the shared doubles, the refine is the house
+    crossing rule. Scale shape: broadcast 5-row bbox dim join +
+    candidate-bounded refine + per-poly counts."""
+    from gipspark.queries._base import ORACLE_POLYGONS
+
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        C.derived_lat(F.col("c_custkey")).alias("lat"),
+        C.derived_lon(F.col("c_custkey")).alias("lon"),
+    )
+    bbs = []
+    edges_rows = []
+    for p in ORACLE_POLYGONS:
+        xs = [v[0] for ring in p["rings"] for v in ring]
+        ys = [v[1] for ring in p["rings"] for v in ring]
+        bbs.append((p["poly_id"], min(xs), max(xs), min(ys), max(ys)))
+        for ring in p["rings"]:
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+                edges_rows.append((p["poly_id"], float(x1), float(y1), float(x2), float(y2)))
+    bb = spark.createDataFrame(bbs, "poly_id long, x0 double, x1 double, y0 double, y1 double")
+    edges = spark.createDataFrame(
+        edges_rows, "poly_id long, ex1 double, ey1 double, ex2 double, ey2 double"
+    )
+    cand = pts.join(
+        F.broadcast(bb),
+        (F.col("lon") >= F.col("x0"))
+        & (F.col("lon") <= F.col("x1"))
+        & (F.col("lat") >= F.col("y0"))
+        & (F.col("lat") <= F.col("y1")),
+    ).select("poly_id", "c_custkey", "lat", "lon")
+    hit = (
+        (F.col("ey1") > F.col("lat")) != (F.col("ey2") > F.col("lat"))
+    ) & (
+        F.col("lon")
+        < (F.col("ex2") - F.col("ex1"))
+        * (F.col("lat") - F.col("ey1"))
+        / (F.col("ey2") - F.col("ey1"))
+        + F.col("ex1")
+    )
+    refined = (
+        cand.join(F.broadcast(edges), "poly_id")
+        .withColumn("c", F.when(hit, 1).otherwise(0))
+        .groupBy("poly_id", "c_custkey")
+        .agg(F.sum("c").alias("nc"))
+        .filter(F.col("nc") % 2 == 1)
+    )
+    nc = cand.groupBy("poly_id").agg(F.count("*").cast("long").alias("n_bbox_candidates"))
+    ni = refined.groupBy("poly_id").agg(F.count("*").cast("long").alias("n_inside"))
+    return (
+        bb.select("poly_id")
+        .join(nc, "poly_id", "left")
+        .join(ni, "poly_id", "left")
+        .select(
+            "poly_id",
+            F.coalesce("n_bbox_candidates", F.lit(0)).cast("long").alias("n_bbox_candidates"),
+            F.coalesce("n_inside", F.lit(0)).cast("long").alias("n_inside"),
+            F.expr(
+                "cast(coalesce((coalesce(n_inside, 0) * 1000000)"
+                " div nullif(coalesce(n_bbox_candidates, 0), 0), 0) as bigint)"
+            ).alias("keep_rate_micro"),
+        )
+        .orderBy("poly_id")
+    )

@@ -63,6 +63,7 @@ CROSS_OK = {
     "token_budget_select",  # 1-row corpus-token-total broadcast into the rank cut
     "watermark_planning_census",  # 1-row event-total broadcast per candidate-horizon arm
     "ranker_agreement_contract",  # 1-row corpus-stats broadcast per term arm (bm25_topk sibling)
+    "pip_prefilter_selectivity",  # 5-row bbox dim broadcast NL (range predicate, bounded by construction)
     "q15_top_supplier",  # 1-row max-revenue scalar broadcast back over the quarter agg
     "q11_important_stock",  # 1-row regional-total broadcast into the per-part values
     "q22_dormant_customers",  # 1-row positive-balance moment broadcast into customers
